@@ -1,0 +1,147 @@
+#!/usr/bin/env python
+"""Headline benchmark: decode tokens/s on the flagship model, one TPU chip.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+vs_baseline compares single-stream decode tok/s against the reference's
+published A100 number (81.5 tok/s, Qwen-7B — `/root/reference/README.md:198-211`;
+see BASELINE.md). Weights are random (zero-egress sandbox): decode throughput
+is independent of weight values.
+
+Extra diagnostics go to stderr. Usage:
+  python bench.py [--model qwen2.5-7b] [--bits 8] [--batch 8] [--steps 50]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+REFERENCE_SINGLE_USER_TOKS = 81.5  # README.md:198-211 (A100, Qwen-7B)
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def build_engine(model: str, bits: int, batch: int, kv_pages: int,
+                 page_size: int, max_pages_per_seq: int):
+    from microvllm_tpu.config import (CacheConfig, EngineConfig, PRESETS,
+                                      QuantConfig, SchedulerConfig)
+    from microvllm_tpu.runtime.engine import InferenceEngine
+
+    mcfg = PRESETS[model]
+    cfg = EngineConfig(
+        model=mcfg,
+        cache=CacheConfig(num_pages=kv_pages, page_size=page_size,
+                          max_pages_per_seq=max_pages_per_seq),
+        scheduler=SchedulerConfig(
+            max_batch_size=batch,
+            decode_buckets=(batch,),
+            prefill_len_buckets=(128, 512),
+            prefill_batch_buckets=(1, batch) if batch > 1 else (1,),
+            prefill_wait_s=0.0),
+        quant=QuantConfig(weight_bits=bits),
+        max_model_len=page_size * max_pages_per_seq,
+        seed=0,
+    )
+    t0 = time.monotonic()
+    eng = InferenceEngine(cfg)
+    log(f"engine built in {time.monotonic()-t0:.1f}s "
+        f"(model={model}, bits={bits})")
+    return eng
+
+
+def bench_decode(eng, batch: int, steps: int, context: int) -> float:
+    """Aggregate decode tokens/s at the given batch size."""
+    from microvllm_tpu.runtime.sequence import SamplingParams
+
+    # Enqueue `batch` sequences with `context`-token prompts, prefill them.
+    sp = SamplingParams(temperature=0.0, max_new_tokens=steps + 8,
+                        ignore_eos=True)
+    for i in range(batch):
+        eng.add_request(prompt_token_ids=list(np.random.randint(
+            1, eng.mcfg.vocab_size - 1, size=context)), sampling=sp)
+    while eng.scheduler.prefilling or eng.scheduler.waiting:
+        eng.step()
+    log(f"prefilled {batch} seqs @ {context} tokens")
+
+    # Warm the decode bucket, then time.
+    for _ in range(3):
+        eng.step()
+    t0 = time.monotonic()
+    produced = 0
+    for _ in range(steps):
+        produced += eng.step()
+    dt = time.monotonic() - t0
+    # drain
+    for s in list(eng.scheduler.running):
+        eng.allocator.free(s.seq_id)
+        eng.scheduler.mark_finished(s)
+    eng.scheduler.pop_finished()
+    return produced / dt
+
+
+def bench_ttft(eng, context: int, n: int = 5) -> float:
+    """p50 time-to-first-token (prefill latency) in ms."""
+    from microvllm_tpu.runtime.sequence import SamplingParams
+
+    lat = []
+    for _ in range(n):
+        sp = SamplingParams(temperature=0.0, max_new_tokens=1)
+        t0 = time.monotonic()
+        eng.generate([list(np.random.randint(1, eng.mcfg.vocab_size - 1,
+                                             size=context))], sampling=sp)
+        lat.append((time.monotonic() - t0) * 1e3)
+    return float(np.percentile(lat, 50))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model", default="qwen2.5-7b")
+    ap.add_argument("--bits", type=int, default=8)
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--steps", type=int, default=50)
+    ap.add_argument("--context", type=int, default=256)
+    ap.add_argument("--page-size", type=int, default=64)
+    ap.add_argument("--kv-pages", type=int, default=512)
+    ap.add_argument("--max-pages-per-seq", type=int, default=16)
+    args = ap.parse_args()
+
+    log(f"devices: {jax.devices()}")
+    eng = build_engine(args.model, args.bits, args.batch, args.kv_pages,
+                       args.page_size, args.max_pages_per_seq)
+
+    # Single-stream first (the headline), then aggregate at --batch.
+    single = bench_decode(eng, 1, args.steps, args.context)
+    log(f"single-stream decode: {single:.2f} tok/s")
+    agg = single
+    if args.batch > 1:
+        agg = bench_decode(eng, args.batch, args.steps, args.context)
+        log(f"batch-{args.batch} aggregate decode: {agg:.2f} tok/s "
+            f"({agg/args.batch:.2f}/seq)")
+    ttft = bench_ttft(eng, args.context)
+    log(f"p50 TTFT @ {args.context} ctx: {ttft:.1f} ms")
+    log(f"cache stats: {eng.cache_stats}")
+
+    print(json.dumps({
+        "metric": f"decode_toks_per_s_single_stream_{args.model}_int{args.bits}",
+        "value": round(single, 2),
+        "unit": "tok/s",
+        "vs_baseline": round(single / REFERENCE_SINGLE_USER_TOKS, 3),
+        "extra": {
+            f"aggregate_b{args.batch}": round(agg, 2),
+            "p50_ttft_ms": round(ttft, 1),
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,274 @@
+"""Typed configuration for the TPU-native inference engine.
+
+Replaces the reference's hardcoded constants (`config/config.py:3-4`,
+`core/engine.py:42-43`, `core/scheduler.py:12-29` in the reference repo) with
+one declarative, serializable config layer.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import math
+import os
+from dataclasses import dataclass, field
+from typing import Any, Sequence
+
+import jax.numpy as jnp
+
+# ---------------------------------------------------------------------------
+# Model config
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class ModelConfig:
+    """Architecture hyperparameters for a llama/qwen2-family decoder."""
+
+    vocab_size: int = 151936
+    hidden_size: int = 896
+    intermediate_size: int = 4864
+    num_layers: int = 24
+    num_heads: int = 14
+    num_kv_heads: int = 2
+    head_dim: int = 64
+    rope_theta: float = 1000000.0
+    rms_norm_eps: float = 1e-6
+    max_position_embeddings: int = 32768
+    qkv_bias: bool = True  # qwen2 uses bias on q/k/v projections
+    tie_word_embeddings: bool = True
+    dtype: str = "bfloat16"
+    model_type: str = "qwen2"
+
+    @property
+    def q_dim(self) -> int:
+        return self.num_heads * self.head_dim
+
+    @property
+    def kv_dim(self) -> int:
+        return self.num_kv_heads * self.head_dim
+
+    @property
+    def jax_dtype(self):
+        return jnp.dtype(self.dtype)
+
+    @classmethod
+    def from_hf_config(cls, cfg: dict[str, Any]) -> "ModelConfig":
+        """Build from a HuggingFace ``config.json`` dict (qwen2/llama/mistral).
+
+        Plays the role of the reference's ``models/adapter.py`` +
+        ``models/configs/qwen.json`` mapping layer, but is actually used by
+        the live path (the reference's adapter is dead code, see SURVEY.md §2).
+        """
+        model_type = cfg.get("model_type", "llama")
+        hidden = cfg["hidden_size"]
+        heads = cfg["num_attention_heads"]
+        head_dim = cfg.get("head_dim") or hidden // heads
+        return cls(
+            vocab_size=cfg["vocab_size"],
+            hidden_size=hidden,
+            intermediate_size=cfg["intermediate_size"],
+            num_layers=cfg["num_hidden_layers"],
+            num_heads=heads,
+            num_kv_heads=cfg.get("num_key_value_heads", heads),
+            head_dim=head_dim,
+            rope_theta=cfg.get("rope_theta", 10000.0),
+            rms_norm_eps=cfg.get("rms_norm_eps", 1e-6),
+            max_position_embeddings=cfg.get("max_position_embeddings", 4096),
+            qkv_bias=(model_type == "qwen2" and cfg.get("attention_bias", True))
+            or cfg.get("attention_bias", False),
+            tie_word_embeddings=cfg.get("tie_word_embeddings", False),
+            model_type=model_type,
+        )
+
+    @classmethod
+    def from_pretrained(cls, path: str) -> "ModelConfig":
+        with open(os.path.join(path, "config.json")) as f:
+            return cls.from_hf_config(json.load(f))
+
+    @classmethod
+    def tiny(cls, **overrides) -> "ModelConfig":
+        """A tiny CPU-testable config (same family, toy sizes)."""
+        base = dict(
+            vocab_size=512,
+            hidden_size=128,
+            intermediate_size=256,
+            num_layers=2,
+            num_heads=4,
+            num_kv_heads=2,
+            head_dim=32,
+            rope_theta=10000.0,
+            max_position_embeddings=1024,
+            qkv_bias=True,
+            tie_word_embeddings=True,
+            dtype="float32",
+        )
+        base.update(overrides)
+        return cls(**base)
+
+
+# Well-known architectures, so benches/tests can build models without
+# downloading anything (zero-egress environment).
+PRESETS: dict[str, ModelConfig] = {
+    "qwen2.5-0.5b": ModelConfig(
+        vocab_size=151936, hidden_size=896, intermediate_size=4864,
+        num_layers=24, num_heads=14, num_kv_heads=2, head_dim=64,
+        rope_theta=1000000.0, tie_word_embeddings=True, qkv_bias=True,
+        model_type="qwen2"),
+    "qwen2.5-1.5b": ModelConfig(
+        vocab_size=151936, hidden_size=1536, intermediate_size=8960,
+        num_layers=28, num_heads=12, num_kv_heads=2, head_dim=128,
+        rope_theta=1000000.0, tie_word_embeddings=True, qkv_bias=True,
+        model_type="qwen2"),
+    "qwen2.5-7b": ModelConfig(
+        vocab_size=152064, hidden_size=3584, intermediate_size=18944,
+        num_layers=28, num_heads=28, num_kv_heads=4, head_dim=128,
+        rope_theta=1000000.0, tie_word_embeddings=False, qkv_bias=True,
+        model_type="qwen2"),
+    "llama-3.2-1b": ModelConfig(
+        vocab_size=128256, hidden_size=2048, intermediate_size=8192,
+        num_layers=16, num_heads=32, num_kv_heads=8, head_dim=64,
+        rope_theta=500000.0, tie_word_embeddings=True, qkv_bias=False,
+        rms_norm_eps=1e-5, model_type="llama"),
+    "llama-3-8b": ModelConfig(
+        vocab_size=128256, hidden_size=4096, intermediate_size=14336,
+        num_layers=32, num_heads=32, num_kv_heads=8, head_dim=128,
+        rope_theta=500000.0, tie_word_embeddings=False, qkv_bias=False,
+        rms_norm_eps=1e-5, model_type="llama"),
+    "llama-3-70b": ModelConfig(
+        vocab_size=128256, hidden_size=8192, intermediate_size=28672,
+        num_layers=80, num_heads=64, num_kv_heads=8, head_dim=128,
+        rope_theta=500000.0, tie_word_embeddings=False, qkv_bias=False,
+        rms_norm_eps=1e-5, model_type="llama"),
+}
+
+
+# ---------------------------------------------------------------------------
+# Quantization config
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class QuantConfig:
+    """Weight-only + KV-cache quantization settings."""
+
+    weight_bits: int = 16         # 16 (off), 8, or 4
+    weight_group_size: int = 128  # contraction-dim group for scales
+    kv_bits: int = 16             # 16 (off) or 8
+
+    @property
+    def quantize_weights(self) -> bool:
+        return self.weight_bits in (4, 8)
+
+    @property
+    def quantize_kv(self) -> bool:
+        return self.kv_bits == 8
+
+
+# ---------------------------------------------------------------------------
+# Parallelism config
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class ParallelConfig:
+    """Mesh layout. TP shards heads/intermediate over the ``model`` axis
+    (the reference's Megatron-style split, `model_graph.py:97-116`), DP
+    replicates over ``data``."""
+
+    tp_size: int = 1
+    dp_size: int = 1
+
+    @property
+    def world_size(self) -> int:
+        return self.tp_size * self.dp_size
+
+
+# ---------------------------------------------------------------------------
+# Engine / cache / scheduler config
+# ---------------------------------------------------------------------------
+
+
+def _default_decode_buckets() -> tuple[int, ...]:
+    return (1, 2, 4, 8, 16, 32, 64)
+
+
+def _default_prefill_buckets() -> tuple[int, ...]:
+    return (64, 128, 256, 512, 1024, 2048)
+
+
+@dataclass(frozen=True)
+class CacheConfig:
+    """Paged KV cache geometry.
+
+    Device layout per layer is ``[num_pages, kv_heads, page_size, head_dim]``
+    so the trailing two dims are TPU-tile aligned. Page 0 is a reserved trash
+    page that absorbs writes from padding slots (instead of the reference's
+    sequence-duplication + dedupe-mask scheme, `scheduler.py:87-94`).
+    """
+
+    num_pages: int = 256          # total pages, including trash page 0
+    page_size: int = 64           # tokens per page (multiple of 16)
+    max_pages_per_seq: int = 32   # static width of block tables
+
+    @property
+    def max_context(self) -> int:
+        return self.page_size * self.max_pages_per_seq
+
+    @property
+    def num_usable_pages(self) -> int:
+        return self.num_pages - 1
+
+
+@dataclass(frozen=True)
+class SchedulerConfig:
+    """Continuous-batching knobs (reference: `core/scheduler.py:11-29`)."""
+
+    max_batch_size: int = 64
+    max_prefill_tokens: int = 4096
+    prefill_wait_s: float = 0.004     # batch-forming timeout
+    decode_buckets: tuple[int, ...] = field(default_factory=_default_decode_buckets)
+    prefill_len_buckets: tuple[int, ...] = field(default_factory=_default_prefill_buckets)
+    prefill_batch_buckets: tuple[int, ...] = (1, 2, 4, 8)
+
+
+@dataclass(frozen=True)
+class EngineConfig:
+    model: ModelConfig = field(default_factory=ModelConfig)
+    cache: CacheConfig = field(default_factory=CacheConfig)
+    scheduler: SchedulerConfig = field(default_factory=SchedulerConfig)
+    quant: QuantConfig = field(default_factory=QuantConfig)
+    parallel: ParallelConfig = field(default_factory=ParallelConfig)
+    max_model_len: int = 2048            # clamp on prompt+generation length
+    default_max_new_tokens: int = 512
+    seed: int = 0
+
+    def replace(self, **kw) -> "EngineConfig":
+        return dataclasses.replace(self, **kw)
+
+    def validate(self) -> None:
+        m, c = self.model, self.cache
+        if c.page_size % 16 != 0:
+            raise ValueError(f"page_size {c.page_size} must be a multiple of 16")
+        if self.max_model_len > c.max_context:
+            raise ValueError(
+                f"max_model_len {self.max_model_len} exceeds cache capacity "
+                f"{c.max_context} (= page_size * max_pages_per_seq)")
+        if m.num_heads % m.num_kv_heads != 0:
+            raise ValueError("num_heads must be divisible by num_kv_heads")
+        tp = self.parallel.tp_size
+        if tp > 1:
+            if m.num_kv_heads % tp != 0 and tp % m.num_kv_heads != 0:
+                raise ValueError(
+                    f"tp_size {tp} incompatible with {m.num_kv_heads} kv heads")
+            if m.num_heads % tp != 0:
+                raise ValueError(
+                    f"num_heads {m.num_heads} not divisible by tp_size {tp}")
+
+
+def pick_bucket(n: int, buckets: Sequence[int]) -> int:
+    """Smallest bucket >= n; the largest bucket if none fits."""
+    for b in buckets:
+        if n <= b:
+            return b
+    return max(buckets)

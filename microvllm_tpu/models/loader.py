@@ -1,0 +1,96 @@
+"""HF checkpoint → param-pytree loader.
+
+The real version of what the reference's dead-code adapter layer
+(`models/adapter.py:7-53`, `models/configs/qwen.json`) was meant to do:
+a declarative per-architecture name map from HF safetensors tensors to our
+layer-stacked functional param tree. Works fully offline from a local
+snapshot directory (zero-egress environment).
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+import jax.numpy as jnp
+
+from ..config import ModelConfig
+from .transformer import Params
+
+# HF name templates shared by llama/qwen2/mistral-family checkpoints.
+_LAYER_MAP = {
+    "attn_norm": "model.layers.{i}.input_layernorm.weight",
+    "wq": "model.layers.{i}.self_attn.q_proj.weight",
+    "wk": "model.layers.{i}.self_attn.k_proj.weight",
+    "wv": "model.layers.{i}.self_attn.v_proj.weight",
+    "wo": "model.layers.{i}.self_attn.o_proj.weight",
+    "bq": "model.layers.{i}.self_attn.q_proj.bias",
+    "bk": "model.layers.{i}.self_attn.k_proj.bias",
+    "bv": "model.layers.{i}.self_attn.v_proj.bias",
+    "mlp_norm": "model.layers.{i}.post_attention_layernorm.weight",
+    "w_gate": "model.layers.{i}.mlp.gate_proj.weight",
+    "w_up": "model.layers.{i}.mlp.up_proj.weight",
+    "w_down": "model.layers.{i}.mlp.down_proj.weight",
+}
+_TRANSPOSED = {"wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down"}
+
+
+def _open_checkpoint(path: str):
+    """Yield a dict-like mapping tensor name -> jax array, lazily.
+
+    Uses safetensors' flax framework so bf16 tensors load natively (the
+    numpy framework cannot represent bfloat16).
+    """
+    from safetensors import safe_open
+
+    files = sorted(glob.glob(os.path.join(path, "*.safetensors")))
+    if not files:
+        raise FileNotFoundError(f"no .safetensors under {path}")
+    handles = [safe_open(f, framework="flax") for f in files]
+    index: dict[str, int] = {}
+    for hi, h in enumerate(handles):
+        for name in h.keys():
+            index[name] = hi
+
+    class _CKPT:
+        def __contains__(self, name):
+            return name in index
+
+        def __getitem__(self, name):
+            return handles[index[name]].get_tensor(name)
+
+        def keys(self):
+            return index.keys()
+
+    return _CKPT()
+
+
+def load_params(path: str, cfg: ModelConfig | None = None) -> tuple[ModelConfig, Params]:
+    """Load a local HF snapshot (config.json + *.safetensors) into our tree."""
+    if cfg is None:
+        cfg = ModelConfig.from_pretrained(path)
+    dtype = cfg.jax_dtype
+    ckpt = _open_checkpoint(path)
+
+    def get(name: str) -> jnp.ndarray:
+        return jnp.asarray(ckpt[name]).astype(dtype)
+
+    layers: Params = {}
+    for key, tmpl in _LAYER_MAP.items():
+        if tmpl.format(i=0) not in ckpt:
+            continue  # e.g. biases absent for llama
+        x = jnp.stack([get(tmpl.format(i=i)) for i in range(cfg.num_layers)])
+        if key in _TRANSPOSED:
+            x = jnp.swapaxes(x, 1, 2)  # HF stores [out, in]; we want [in, out]
+        layers[key] = x
+
+    params: Params = {
+        "embed": get("model.embed_tokens.weight"),
+        "layers": layers,
+        "final_norm": get("model.norm.weight"),
+        "lm_head": None,
+    }
+    if not cfg.tie_word_embeddings and "lm_head.weight" in ckpt:
+        params["lm_head"] = jnp.swapaxes(get("lm_head.weight"), 0, 1)
+    return cfg, params

@@ -1,0 +1,283 @@
+"""Functional llama/qwen2-family decoder with paged KV cache.
+
+TPU-native re-design of the reference's `core/layer/model_graph.py` /
+`core/layer/model_prefill.py` runners: instead of mutable pre-allocated
+buffers + CUDA-graph capture, the model is a pure function of
+``(params, kv_cache, inputs)`` whose layer loop is a single `lax.scan` over
+layer-stacked weights (one compiled layer body regardless of depth), jitted
+per shape bucket with the KV cache donated for in-place updates.
+
+Weight layout: every projection is stored ``[in_dim, out_dim]`` so the
+forward is ``x @ W``; layer weights are stacked on a leading ``num_layers``
+axis for the scan. KV cache per layer: ``[num_pages, kv_heads, page_size,
+head_dim]`` (see `microvllm_tpu/ops/attention.py`).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from ..config import CacheConfig, ModelConfig
+from ..ops.activations import swiglu
+from ..ops.attention import (
+    append_kv,
+    chunked_prefill_attention_ref,
+    pad_head,
+    padded_head_dim,
+    paged_decode_attention_auto,
+    prefill_attention_ref,
+    slot_coords,
+)
+from ..ops.linear import linear
+from ..ops.normalization import rmsnorm, rmsnorm_residual
+from ..ops.rope import apply_rope, rope_cos_sin
+
+Params = dict[str, Any]
+
+
+# ---------------------------------------------------------------------------
+# Parameter init / structure
+# ---------------------------------------------------------------------------
+
+
+def init_params(cfg: ModelConfig, key: jax.Array) -> Params:
+    """Random-init parameters (deterministic; used for tests and benches —
+    the zero-egress environment has no weight downloads)."""
+    dtype = cfg.jax_dtype
+    h, q_dim, kv_dim, inter = (cfg.hidden_size, cfg.q_dim, cfg.kv_dim,
+                               cfg.intermediate_size)
+    L = cfg.num_layers
+    keys = jax.random.split(key, 16)
+
+    def w(key, shape, fan_in):
+        # generate directly in the target dtype: no fp32 transient at 7B+
+        return jax.random.normal(key, shape, dtype) * jnp.asarray(
+            1.0 / fan_in ** 0.5, dtype)
+
+    layers: Params = {
+        "attn_norm": jnp.ones((L, h), dtype),
+        "wq": w(keys[0], (L, h, q_dim), h),
+        "wk": w(keys[1], (L, h, kv_dim), h),
+        "wv": w(keys[2], (L, h, kv_dim), h),
+        "wo": w(keys[3], (L, q_dim, h), q_dim),
+        "mlp_norm": jnp.ones((L, h), dtype),
+        "w_gate": w(keys[4], (L, h, inter), h),
+        "w_up": w(keys[5], (L, h, inter), h),
+        "w_down": w(keys[6], (L, inter, h), inter),
+    }
+    if cfg.qkv_bias:
+        layers["bq"] = jnp.zeros((L, q_dim), dtype)
+        layers["bk"] = jnp.zeros((L, kv_dim), dtype)
+        layers["bv"] = jnp.zeros((L, kv_dim), dtype)
+
+    params: Params = {
+        "embed": w(keys[7], (cfg.vocab_size, h), h),
+        "layers": layers,
+        "final_norm": jnp.ones((h,), dtype),
+        "lm_head": None if cfg.tie_word_embeddings else w(keys[8], (h, cfg.vocab_size), h),
+    }
+    return params
+
+
+def init_kv_cache(cfg: ModelConfig, cache: CacheConfig,
+                  dtype=None) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Zeroed paged KV cache ``[L, num_pages, kv_heads, page_size, head_dim]``.
+
+    head_dim is padded to the TPU lane width (128) so Pallas page DMAs are
+    tile-aligned; the zero padding is inert in attention math.
+    """
+    dtype = dtype or cfg.jax_dtype
+    shape = (cfg.num_layers, cache.num_pages, cfg.num_kv_heads,
+             cache.page_size, padded_head_dim(cfg.head_dim))
+    return jnp.zeros(shape, dtype), jnp.zeros(shape, dtype)
+
+
+def _lm_logits(params: Params, h: jnp.ndarray) -> jnp.ndarray:
+    """Project final hidden states to vocab logits (handles tied embeddings)."""
+    if params.get("lm_head") is None:
+        return jnp.einsum("...h,vh->...v", h, params["embed"]).astype(jnp.float32)
+    return linear(h, params["lm_head"]).astype(jnp.float32)
+
+
+def _layer_xs(params: Params, cfg: ModelConfig):
+    return (jnp.arange(cfg.num_layers, dtype=jnp.int32), params["layers"])
+
+
+# ---------------------------------------------------------------------------
+# Decode step: one token per sequence, paged attention
+# ---------------------------------------------------------------------------
+
+
+def decode_step(cfg: ModelConfig, params: Params,
+                k_cache: jnp.ndarray, v_cache: jnp.ndarray,
+                tokens: jnp.ndarray, block_tables: jnp.ndarray,
+                context_lens: jnp.ndarray,
+                ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """One decode step for a fixed-size batch.
+
+    tokens:        ``[B]`` int32 — current input token per sequence
+    block_tables:  ``[B, max_pages_per_seq]`` int32
+    context_lens:  ``[B]`` int32 — tokens already in cache (== position of
+                   the new token). Padding rows use context_len 0 and an
+                   all-trash block table.
+    Returns (logits ``[B, V]`` fp32, new_k_cache, new_v_cache).
+    """
+    page_size = k_cache.shape[3]
+    scale = cfg.head_dim ** -0.5
+    B = tokens.shape[0]
+
+    h = jnp.take(params["embed"], tokens, axis=0)          # [B, H]
+    cos, sin = rope_cos_sin(context_lens, cfg.head_dim, cfg.rope_theta)
+    page_ids, offsets = slot_coords(block_tables, context_lens, page_size)
+
+    def body(carry, xs):
+        hid, kc, vc = carry
+        l, lp = xs
+        normed = rmsnorm(hid, lp["attn_norm"], cfg.rms_norm_eps)
+        q = linear(normed, lp["wq"], lp.get("bq"))
+        k = linear(normed, lp["wk"], lp.get("bk"))
+        v = linear(normed, lp["wv"], lp.get("bv"))
+        q = q.reshape(B, cfg.num_heads, cfg.head_dim)
+        k = k.reshape(B, cfg.num_kv_heads, cfg.head_dim)
+        v = v.reshape(B, cfg.num_kv_heads, cfg.head_dim)
+        q = apply_rope(q, cos, sin)
+        k = apply_rope(k, cos, sin)
+
+        d_pad = kc.shape[-1]
+        kc = kc.at[l, page_ids, :, offsets].set(
+            pad_head(k, d_pad).astype(kc.dtype))
+        vc = vc.at[l, page_ids, :, offsets].set(
+            pad_head(v, d_pad).astype(vc.dtype))
+
+        attn = paged_decode_attention_auto(
+            pad_head(q, d_pad), kc[l], vc[l], block_tables,
+            context_lens + 1, scale)[..., : cfg.head_dim]
+        attn_out = linear(attn.reshape(B, cfg.q_dim), lp["wo"])
+
+        normed2, resid = rmsnorm_residual(attn_out, hid, lp["mlp_norm"],
+                                          cfg.rms_norm_eps)
+        mlp = linear(swiglu(linear(normed2, lp["w_gate"]),
+                            linear(normed2, lp["w_up"])), lp["w_down"])
+        return (resid + mlp, kc, vc), None
+
+    (h, k_cache, v_cache), _ = jax.lax.scan(
+        body, (h, k_cache, v_cache), _layer_xs(params, cfg))
+
+    h = rmsnorm(h, params["final_norm"], cfg.rms_norm_eps)
+    return _lm_logits(params, h), k_cache, v_cache
+
+
+# ---------------------------------------------------------------------------
+# Prefill step: rectangular [B, S] chunk, fills the paged cache
+# ---------------------------------------------------------------------------
+
+
+def prefill_step(cfg: ModelConfig, params: Params,
+                 k_cache: jnp.ndarray, v_cache: jnp.ndarray,
+                 tokens: jnp.ndarray, block_tables: jnp.ndarray,
+                 chunk_lens: jnp.ndarray, history_lens: jnp.ndarray,
+                 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Prefill a ``[B, S]`` chunk, writing all KV into the paged cache.
+
+    chunk_lens:   ``[B]`` — valid tokens in this chunk (rest is padding)
+    history_lens: ``[B]`` — tokens already in cache before this chunk
+                  (0 for plain prefill; >0 enables chunked prefill, which the
+                  reference lacks — SURVEY.md §5 "long-context: absent").
+    Returns (last-token logits ``[B, V]`` fp32, new_k, new_v).
+    """
+    B, S = tokens.shape
+    page_size = k_cache.shape[3]
+    scale = cfg.head_dim ** -0.5
+
+    h = jnp.take(params["embed"], tokens, axis=0)          # [B, S, H]
+    positions = history_lens[:, None] + jnp.arange(S, dtype=jnp.int32)[None, :]
+    cos, sin = rope_cos_sin(positions, cfg.head_dim, cfg.rope_theta)
+
+    valid = jnp.arange(S, dtype=jnp.int32)[None, :] < chunk_lens[:, None]
+    page_ids, offsets = slot_coords(block_tables, positions, page_size)
+    # Route padding-token writes to the reserved trash page 0, slot 0.
+    page_ids = jnp.where(valid, page_ids, 0)
+    offsets = jnp.where(valid, offsets, 0)
+    flat_pages = page_ids.reshape(B * S)
+    flat_offsets = offsets.reshape(B * S)
+
+    def body(carry, xs):
+        hid, kc, vc = carry
+        l, lp = xs
+        normed = rmsnorm(hid, lp["attn_norm"], cfg.rms_norm_eps)
+        q = linear(normed, lp["wq"], lp.get("bq"))
+        k = linear(normed, lp["wk"], lp.get("bk"))
+        v = linear(normed, lp["wv"], lp.get("bv"))
+        q = q.reshape(B, S, cfg.num_heads, cfg.head_dim)
+        k = k.reshape(B, S, cfg.num_kv_heads, cfg.head_dim)
+        v = v.reshape(B, S, cfg.num_kv_heads, cfg.head_dim)
+        q = apply_rope(q, cos, sin)
+        k = apply_rope(k, cos, sin)
+
+        d_pad = kc.shape[-1]
+        attn = chunked_prefill_attention_ref(
+            pad_head(q, d_pad), pad_head(k, d_pad), pad_head(v, d_pad),
+            kc[l], vc[l], block_tables, history_lens,
+            scale)[..., : cfg.head_dim]
+
+        kc = kc.at[l, flat_pages, :, flat_offsets].set(
+            pad_head(k, d_pad).reshape(
+                B * S, cfg.num_kv_heads, d_pad).astype(kc.dtype))
+        vc = vc.at[l, flat_pages, :, flat_offsets].set(
+            pad_head(v, d_pad).reshape(
+                B * S, cfg.num_kv_heads, d_pad).astype(vc.dtype))
+
+        attn_out = linear(attn.reshape(B, S, cfg.q_dim), lp["wo"])
+        normed2, resid = rmsnorm_residual(attn_out, hid, lp["mlp_norm"],
+                                          cfg.rms_norm_eps)
+        mlp = linear(swiglu(linear(normed2, lp["w_gate"]),
+                            linear(normed2, lp["w_up"])), lp["w_down"])
+        return (resid + mlp, kc, vc), None
+
+    (h, k_cache, v_cache), _ = jax.lax.scan(
+        body, (h, k_cache, v_cache), _layer_xs(params, cfg))
+
+    h = rmsnorm(h, params["final_norm"], cfg.rms_norm_eps)
+    # Only the last valid token's logits are needed (next-token prediction).
+    last_idx = jnp.clip(chunk_lens - 1, 0, S - 1)
+    h_last = jnp.take_along_axis(h, last_idx[:, None, None], axis=1)[:, 0]
+    return _lm_logits(params, h_last), k_cache, v_cache
+
+
+# ---------------------------------------------------------------------------
+# Plain full-sequence forward (no cache) — used by the perplexity harness
+# ---------------------------------------------------------------------------
+
+
+def forward_logits(cfg: ModelConfig, params: Params,
+                   tokens: jnp.ndarray) -> jnp.ndarray:
+    """All-position logits ``[B, S, V]`` for evaluation (no KV cache)."""
+    B, S = tokens.shape
+    scale = cfg.head_dim ** -0.5
+    h = jnp.take(params["embed"], tokens, axis=0)
+    positions = jnp.broadcast_to(jnp.arange(S, dtype=jnp.int32)[None, :], (B, S))
+    cos, sin = rope_cos_sin(positions, cfg.head_dim, cfg.rope_theta)
+
+    def body(hid, xs):
+        _, lp = xs
+        normed = rmsnorm(hid, lp["attn_norm"], cfg.rms_norm_eps)
+        q = linear(normed, lp["wq"], lp.get("bq")).reshape(B, S, cfg.num_heads, cfg.head_dim)
+        k = linear(normed, lp["wk"], lp.get("bk")).reshape(B, S, cfg.num_kv_heads, cfg.head_dim)
+        v = linear(normed, lp["wv"], lp.get("bv")).reshape(B, S, cfg.num_kv_heads, cfg.head_dim)
+        q = apply_rope(q, cos, sin)
+        k = apply_rope(k, cos, sin)
+        attn = prefill_attention_ref(q, k, v, scale)
+        attn_out = linear(attn.reshape(B, S, cfg.q_dim), lp["wo"])
+        normed2, resid = rmsnorm_residual(attn_out, hid, lp["mlp_norm"],
+                                          cfg.rms_norm_eps)
+        mlp = linear(swiglu(linear(normed2, lp["w_gate"]),
+                            linear(normed2, lp["w_up"])), lp["w_down"])
+        return resid + mlp, None
+
+    h, _ = jax.lax.scan(body, h, _layer_xs(params, cfg))
+    h = rmsnorm(h, params["final_norm"], cfg.rms_norm_eps)
+    return _lm_logits(params, h)

@@ -1,0 +1,226 @@
+"""Paged attention ops — jnp reference implementations + dispatch.
+
+These are the TPU-native equivalents of the reference's external
+`flash_attn_with_kvcache` CUDA kernel (call sites
+`core/layer/model_graph.py:161`, `core/layer/model_prefill.py:49`) and its
+Triton `store_kvcache_kernel` (`core/cache_manager.py:74-140`).
+
+KV cache device layout (per layer): ``[num_pages, kv_heads, page_size,
+head_dim]`` — trailing two dims (page_size, head_dim) are TPU-tile aligned
+regardless of how few KV heads the model has (GQA models often have 2-8).
+
+The jnp forms here are correct on any backend and serve as the numerics
+oracle for the Pallas kernels in `microvllm_tpu/ops/pallas/`.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF = -2.0e38  # finite, avoids NaNs from all-masked softmax rows
+
+# TPU lane width: the KV cache's head_dim axis is padded to a multiple of
+# this so Pallas DMA slices are tile-aligned (models like Qwen2.5-0.5B /
+# Llama-3.2-1B have head_dim 64). Zero padding is inert in q·k and p·v.
+KV_LANE = 128
+
+
+def padded_head_dim(head_dim: int) -> int:
+    return -(-head_dim // KV_LANE) * KV_LANE
+
+
+def pad_head(x: jnp.ndarray, target: int) -> jnp.ndarray:
+    """Zero-pad the last axis to ``target`` (no-op if already there)."""
+    d = x.shape[-1]
+    if d == target:
+        return x
+    pad = [(0, 0)] * (x.ndim - 1) + [(0, target - d)]
+    return jnp.pad(x, pad)
+
+
+@functools.cache
+def use_pallas() -> bool:
+    """Kernel dispatch: Pallas on TPU, jnp reference elsewhere.
+
+    Override with MVT_ATTENTION=ref|pallas (useful for A/B benchmarking and
+    for interpret-mode debugging).
+    """
+    forced = os.environ.get("MVT_ATTENTION")
+    if forced == "ref":
+        return False
+    if forced == "pallas":
+        return True
+    return jax.default_backend() not in ("cpu",)
+
+
+def paged_decode_attention_auto(q, k_pages, v_pages, block_tables,
+                                context_lens, scale):
+    """Dispatching wrapper used by the model's decode path."""
+    if use_pallas():
+        from .pallas.decode_attention import paged_decode_attention
+        return paged_decode_attention(q, k_pages, v_pages, block_tables,
+                                      context_lens, scale=scale)
+    return paged_decode_attention_ref(q, k_pages, v_pages, block_tables,
+                                      context_lens, scale)
+
+
+# ---------------------------------------------------------------------------
+# KV append (the store_kvcache equivalent)
+# ---------------------------------------------------------------------------
+
+
+def append_kv(k_pages: jnp.ndarray, v_pages: jnp.ndarray,
+              k_new: jnp.ndarray, v_new: jnp.ndarray,
+              page_ids: jnp.ndarray, offsets: jnp.ndarray
+              ) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Scatter new KV rows into the paged cache.
+
+    k_pages/v_pages: ``[num_pages, kv_heads, page_size, head_dim]``
+    k_new/v_new:     ``[T, kv_heads, head_dim]`` (T flattened tokens)
+    page_ids/offsets: ``[T]`` int32 — destination (page, slot) per token.
+    Padding tokens must point at the reserved trash page (page 0).
+    """
+    k_pages = k_pages.at[page_ids, :, offsets].set(k_new.astype(k_pages.dtype))
+    v_pages = v_pages.at[page_ids, :, offsets].set(v_new.astype(v_pages.dtype))
+    return k_pages, v_pages
+
+
+def slot_coords(block_tables: jnp.ndarray, token_positions: jnp.ndarray,
+                page_size: int) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Map per-sequence token positions to (page_id, offset).
+
+    block_tables: ``[B, max_pages_per_seq]`` int32
+    token_positions: ``[B]`` or ``[B, S]`` int32 (absolute position in seq)
+    Returns (page_ids, offsets) with token_positions' shape.
+    """
+    page_idx = token_positions // page_size
+    offsets = token_positions % page_size
+    if token_positions.ndim == 1:
+        page_ids = jnp.take_along_axis(block_tables, page_idx[:, None], axis=1)[:, 0]
+    else:
+        page_ids = jnp.take_along_axis(block_tables, page_idx, axis=1)
+    return page_ids, offsets
+
+
+# ---------------------------------------------------------------------------
+# Decode: paged attention over block tables (jnp reference)
+# ---------------------------------------------------------------------------
+
+
+def paged_decode_attention_ref(q: jnp.ndarray, k_pages: jnp.ndarray,
+                               v_pages: jnp.ndarray,
+                               block_tables: jnp.ndarray,
+                               seq_lens: jnp.ndarray,
+                               scale: float) -> jnp.ndarray:
+    """Single-token decode attention reading the paged KV cache.
+
+    q:            ``[B, num_heads, head_dim]``
+    k/v_pages:    ``[num_pages, kv_heads, page_size, head_dim]``
+    block_tables: ``[B, max_pages_per_seq]``
+    seq_lens:     ``[B]`` — number of valid tokens (AFTER the current token's
+                  KV was appended).
+    Returns ``[B, num_heads, head_dim]`` in q.dtype.
+    """
+    B, num_heads, head_dim = q.shape
+    _, kv_heads, page_size, _ = k_pages.shape
+    max_pages = block_tables.shape[1]
+    group = num_heads // kv_heads
+
+    # Gather this batch's pages: [B, P, kv, ps, d] -> [B, kv, P*ps, d]
+    k = k_pages[block_tables]
+    v = v_pages[block_tables]
+    k = k.transpose(0, 2, 1, 3, 4).reshape(B, kv_heads, max_pages * page_size, head_dim)
+    v = v.transpose(0, 2, 1, 3, 4).reshape(B, kv_heads, max_pages * page_size, head_dim)
+
+    qg = q.reshape(B, kv_heads, group, head_dim).astype(jnp.float32)
+    scores = jnp.einsum("bkgd,bksd->bkgs", qg, k.astype(jnp.float32)) * scale
+
+    positions = jnp.arange(max_pages * page_size, dtype=jnp.int32)
+    valid = positions[None, :] < seq_lens[:, None]          # [B, S_max]
+    scores = jnp.where(valid[:, None, None, :], scores, NEG_INF)
+
+    probs = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum("bkgs,bksd->bkgd", probs, v.astype(jnp.float32))
+    return out.reshape(B, num_heads, head_dim).astype(q.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Prefill: rectangular causal attention (jnp reference)
+# ---------------------------------------------------------------------------
+
+
+def prefill_attention_ref(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                          scale: float) -> jnp.ndarray:
+    """Causal self-attention over a rectangular ``[B, S]`` batch with GQA.
+
+    q: ``[B, S, num_heads, head_dim]``; k/v: ``[B, S, kv_heads, head_dim]``.
+    Padding beyond each row's true prompt length needs no key mask here:
+    logits are only read at positions < prompt_len, and causal masking keeps
+    later (padded) keys out of those positions.
+    """
+    B, S, num_heads, head_dim = q.shape
+    kv_heads = k.shape[2]
+    group = num_heads // kv_heads
+
+    qg = q.reshape(B, S, kv_heads, group, head_dim).astype(jnp.float32)
+    scores = jnp.einsum("bqkgd,bskd->bkgqs", qg, k.astype(jnp.float32)) * scale
+
+    causal = jnp.tril(jnp.ones((S, S), dtype=bool))
+    scores = jnp.where(causal[None, None, None, :, :], scores, NEG_INF)
+
+    probs = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum("bkgqs,bskd->bqkgd", probs, v.astype(jnp.float32))
+    return out.reshape(B, S, num_heads, head_dim).astype(q.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Chunked prefill: causal attention against cache history + current chunk
+# ---------------------------------------------------------------------------
+
+
+def chunked_prefill_attention_ref(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                                  k_pages: jnp.ndarray, v_pages: jnp.ndarray,
+                                  block_tables: jnp.ndarray,
+                                  history_lens: jnp.ndarray,
+                                  scale: float) -> jnp.ndarray:
+    """Attention for a prefill chunk: queries attend to all cached history
+    tokens plus causally to the current chunk.
+
+    q/k/v: ``[B, S, heads, d]`` (current chunk, post-RoPE).
+    history_lens: ``[B]`` — tokens already in cache before this chunk.
+    """
+    B, S, num_heads, head_dim = q.shape
+    _, kv_heads, page_size, _ = k_pages.shape
+    max_pages = block_tables.shape[1]
+    group = num_heads // kv_heads
+
+    # History from pages.
+    hk = k_pages[block_tables].transpose(0, 2, 1, 3, 4).reshape(
+        B, kv_heads, max_pages * page_size, head_dim)
+    hv = v_pages[block_tables].transpose(0, 2, 1, 3, 4).reshape(
+        B, kv_heads, max_pages * page_size, head_dim)
+
+    qg = q.reshape(B, S, kv_heads, group, head_dim).astype(jnp.float32)
+
+    # Scores vs history.
+    h_scores = jnp.einsum("bqkgd,bksd->bkgqs", qg, hk.astype(jnp.float32)) * scale
+    hpos = jnp.arange(max_pages * page_size, dtype=jnp.int32)
+    h_valid = hpos[None, :] < history_lens[:, None]
+    h_scores = jnp.where(h_valid[:, None, None, None, :], h_scores, NEG_INF)
+
+    # Scores vs current chunk (causal).
+    c_scores = jnp.einsum("bqkgd,bskd->bkgqs", qg, k.astype(jnp.float32)) * scale
+    causal = jnp.tril(jnp.ones((S, S), dtype=bool))
+    c_scores = jnp.where(causal[None, None, None, :, :], c_scores, NEG_INF)
+
+    scores = jnp.concatenate([h_scores, c_scores], axis=-1)
+    probs = jax.nn.softmax(scores, axis=-1)
+    h_probs = probs[..., : max_pages * page_size]
+    c_probs = probs[..., max_pages * page_size:]
+    out = (jnp.einsum("bkgqs,bksd->bqkgd", h_probs, hv.astype(jnp.float32)) +
+           jnp.einsum("bkgqs,bskd->bqkgd", c_probs, v.astype(jnp.float32)))
+    return out.reshape(B, S, num_heads, head_dim).astype(q.dtype)

@@ -1,0 +1,93 @@
+"""Weight-only quantization: symmetric group-wise INT8 / INT4.
+
+New first-class capability vs the reference (which is bf16-only). Scales are
+per (contraction-group, output-column); dequantization is expressed so XLA
+fuses the int→bf16 convert + scale multiply into the consuming matmul's
+operand read (on-the-fly dequant at HBM-roofline bandwidth). A fully fused
+Pallas dequant-matmul lives in `microvllm_tpu/ops/pallas/quant_matmul.py`.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+
+# jnp.int4 is natively supported by XLA:TPU; fall back to int8 storage if the
+# installed jax lacks it.
+_HAS_INT4 = hasattr(jnp, "int4")
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class QuantizedTensor:
+    """Group-wise symmetric quantized 2D weight ``[in_dim, out_dim]``."""
+
+    q: jnp.ndarray          # [in_dim, out_dim] int8 or int4
+    scales: jnp.ndarray     # [in_dim // group_size, out_dim] float32
+    bits: int
+    group_size: int
+
+    def tree_flatten(self):
+        return (self.q, self.scales), (self.bits, self.group_size)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        q, scales = children
+        bits, group_size = aux
+        return cls(q=q, scales=scales, bits=bits, group_size=group_size)
+
+    @property
+    def shape(self):
+        return self.q.shape
+
+    def dequant(self, dtype=jnp.bfloat16) -> jnp.ndarray:
+        in_dim, out_dim = self.q.shape
+        g = self.group_size
+        w = self.q.astype(jnp.float32).reshape(in_dim // g, g, out_dim)
+        w = w * self.scales[:, None, :]
+        return w.reshape(in_dim, out_dim).astype(dtype)
+
+
+def quantize(w: jnp.ndarray, bits: int, group_size: int = 128) -> QuantizedTensor:
+    """Quantize a ``[in_dim, out_dim]`` weight symmetrically per group/column."""
+    assert bits in (4, 8), bits
+    in_dim, out_dim = w.shape
+    if in_dim % group_size != 0:
+        # shrink group size to a divisor (keeps tiny test models working)
+        while in_dim % group_size != 0:
+            group_size //= 2
+    qmax = (1 << (bits - 1)) - 1  # 127 or 7
+    wf = w.astype(jnp.float32).reshape(in_dim // group_size, group_size, out_dim)
+    absmax = jnp.max(jnp.abs(wf), axis=1)                       # [G, out]
+    scales = jnp.maximum(absmax / qmax, 1e-8)
+    q = jnp.clip(jnp.round(wf / scales[:, None, :]), -qmax - 1, qmax)
+    storage = jnp.int4 if (bits == 4 and _HAS_INT4) else jnp.int8
+    q = q.reshape(in_dim, out_dim).astype(storage)
+    return QuantizedTensor(q=q, scales=scales, bits=bits, group_size=group_size)
+
+
+def quantize_params(params, bits: int, group_size: int = 128):
+    """Quantize every 2D projection weight in a model param tree.
+
+    Embedding, norms, and biases stay in their original dtype; only matmul
+    weights (ndim==2, both dims >= group threshold, excluding the embedding)
+    are quantized.
+    """
+
+    def _quant_layer_stack(w):
+        # layer-stacked weights are [L, in, out]; lax.map processes one layer
+        # at a time so the fp32 intermediate stays per-layer sized (vmap
+        # would materialize the whole stack in fp32 — OOM at 7B scale).
+        return jax.lax.map(lambda x: quantize(x, bits, group_size), w)
+
+    out = dict(params)
+    layers = dict(params["layers"])
+    for name in ("wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down"):
+        if name in layers and isinstance(layers[name], jnp.ndarray):
+            layers[name] = _quant_layer_stack(layers[name])
+    out["layers"] = layers
+    if isinstance(out.get("lm_head"), jnp.ndarray) and out["lm_head"] is not None:
+        out["lm_head"] = quantize(out["lm_head"], bits, group_size)
+    return out

@@ -1,0 +1,46 @@
+"""Fused on-device sampling: temperature → top-k → top-p → categorical.
+
+Equivalent of the reference's torch.compile'd `Sampler`
+(`core/layer/sampler.py:4-43`), expressed as one jit-able function that runs
+inside the decode step so only the sampled ``[B]`` int32 tokens ever leave
+the device (the reference ships full logits to its sampler on rank 0,
+`core/engine.py:276-281`).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF = -2.0e38
+
+
+def sample_tokens(logits: jnp.ndarray, rng: jax.Array,
+                  temperature: jnp.ndarray, top_p: jnp.ndarray,
+                  top_k: int = 64) -> jnp.ndarray:
+    """Sample next tokens.
+
+    logits:      ``[B, V]`` float
+    temperature: ``[B]`` — ``<= 0`` selects greedy for that row
+    top_p:       ``[B]`` — nucleus threshold in (0, 1]
+    top_k:       static int — candidate pool size (reference uses 50 for
+                 decode, `core/engine.py:281`; larger k only changes the tail)
+    Returns ``[B]`` int32 token ids.
+    """
+    logits = logits.astype(jnp.float32)
+    greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
+    vals, idxs = jax.lax.top_k(logits, top_k)              # [B, K], descending
+    t = jnp.maximum(temperature, 1e-5)[:, None]
+    scaled = vals / t
+
+    probs = jax.nn.softmax(scaled, axis=-1)
+    cumulative = jnp.cumsum(probs, axis=-1)
+    # Keep tokens whose cumulative mass *before* them is < top_p; the first
+    # candidate always survives.
+    keep = (cumulative - probs) < top_p[:, None]
+    masked = jnp.where(keep, scaled, NEG_INF)
+
+    choice = jax.random.categorical(rng, masked, axis=-1)  # [B]
+    sampled = jnp.take_along_axis(idxs, choice[:, None], axis=-1)[:, 0]
+    return jnp.where(temperature <= 0.0, greedy, sampled.astype(jnp.int32))

@@ -1,0 +1,101 @@
+"""Sharding specs for params, KV cache, and batch arrays.
+
+Megatron-style TP expressed as GSPMD annotations (the TPU-native equivalent
+of the reference's explicit per-rank weight chunking + NCCL all_reduce,
+`core/layer/model_graph.py:97-116,211,219`):
+
+* column-parallel (out-dim sharded on ``model``): wq/wk/wv, w_gate/w_up —
+  activations after them are head/intermediate-sharded, no comm;
+* row-parallel (in-dim sharded on ``model``): wo, w_down — XLA inserts the
+  psum (the reference's two all_reduce calls per layer) automatically from
+  the sharding constraints;
+* KV cache sharded over kv_heads on ``model`` (each TP rank attends its own
+  heads, like the reference's per-rank head split, `engine.py:108-114`);
+* batch dimension sharded on ``data``.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..config import ModelConfig
+from .mesh import DATA_AXIS, MODEL_AXIS
+
+# Per-leaf PartitionSpec for the layer-stacked param tree ([L, ...] leaves).
+_LAYER_SPECS: dict[str, P] = {
+    "attn_norm": P(),
+    "mlp_norm": P(),
+    "wq": P(None, None, MODEL_AXIS),       # column parallel
+    "wk": P(None, None, MODEL_AXIS),
+    "wv": P(None, None, MODEL_AXIS),
+    "bq": P(None, MODEL_AXIS),
+    "bk": P(None, MODEL_AXIS),
+    "bv": P(None, MODEL_AXIS),
+    "wo": P(None, MODEL_AXIS, None),       # row parallel
+    "w_gate": P(None, None, MODEL_AXIS),
+    "w_up": P(None, None, MODEL_AXIS),
+    "w_down": P(None, MODEL_AXIS, None),
+}
+
+
+def _quant_specs(spec: P) -> dict:
+    """QuantizedTensor children (q, scales) share the weight's spec (scales
+    are [groups, out]; the group dim follows the in dim)."""
+    return spec
+
+
+def param_specs(params: Any) -> Any:
+    """PartitionSpec pytree matching a model param tree."""
+
+    def layer_spec(name, leaf):
+        spec = _LAYER_SPECS.get(name, P())
+        # QuantizedTensor pytree: q is [L, in, out] like the fp weight;
+        # scales are [L, groups, out] — same trailing-axis sharding.
+        return jax.tree_util.tree_map(lambda _: spec, leaf)
+
+    specs = {
+        "embed": P(),                       # replicated (tied lm_head reads it)
+        "final_norm": P(),
+        "lm_head": (None if params.get("lm_head") is None
+                    else jax.tree_util.tree_map(
+                        lambda _: P(None, MODEL_AXIS), params["lm_head"])),
+        "layers": {k: layer_spec(k, v) for k, v in params["layers"].items()},
+    }
+    return specs
+
+
+def cache_spec(cfg: ModelConfig, tp_size: int) -> P:
+    """KV cache [L, pages, kv_heads, page_size, head_dim]: shard kv heads on
+    ``model`` when they divide evenly, otherwise replicate (GQA models with
+    fewer kv heads than TP ranks)."""
+    if tp_size > 1 and cfg.num_kv_heads % tp_size == 0:
+        return P(None, None, MODEL_AXIS, None, None)
+    return P()
+
+
+def batch_specs() -> dict[str, P]:
+    return {
+        "tokens": P(DATA_AXIS),
+        "tokens_2d": P(DATA_AXIS, None),
+        "block_tables": P(DATA_AXIS, None),
+        "lens": P(DATA_AXIS),
+        "sampling": P(DATA_AXIS),
+    }
+
+
+def shard_engine_arrays(mesh: Mesh, cfg: ModelConfig, params, k_cache, v_cache,
+                        tp_size: int):
+    """device_put params and KV cache with their shardings."""
+    pspecs = param_specs(params)
+    params = jax.tree_util.tree_map(
+        lambda x, s: None if x is None
+        else jax.device_put(x, NamedSharding(mesh, s)),
+        params, pspecs,
+        is_leaf=lambda x: x is None)
+    cspec = NamedSharding(mesh, cache_spec(cfg, tp_size))
+    k_cache = jax.device_put(k_cache, cspec)
+    v_cache = jax.device_put(v_cache, cspec)
+    return params, k_cache, v_cache

@@ -1,0 +1,455 @@
+"""Inference engine: orchestrates scheduler, paged cache, and jitted steps.
+
+TPU re-design of the reference's `InferenceEngine` (`core/engine.py:35-309`).
+CUDA-graph capture/replay (`model_graph.py:225-260`) becomes ahead-of-time
+jit compilation of fixed-shape step functions, one per (batch-bucket,
+chunk-bucket); the XLA compilation cache plays the role of the graph pool.
+Sampling runs inside the jitted step so only ``[B]`` int32 tokens return to
+host. The KV cache buffers are donated through every step for in-place
+updates (the `store_kvcache` path of the reference).
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Callable, Optional, Sequence as Seq
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import EngineConfig
+from ..models import transformer as model_lib
+from ..ops.quant import quantize_params
+from ..ops.sampling import sample_tokens
+from .kv_cache import OutOfPagesError, PageAllocator
+from .scheduler import ScheduledBatch, Scheduler
+from .sequence import FinishReason, SamplingParams, SeqState, Sequence
+
+logger = logging.getLogger("microvllm_tpu.engine")
+
+StreamCallback = Callable[[int, int, bool], None]  # (seq_id, token_id, finished)
+
+
+# Module-level jitted steps with the (hashable, frozen) ModelConfig as a
+# static argument: the XLA compilation cache is then shared across engine
+# instances and shape buckets within a process.
+@partial(jax.jit, static_argnums=0, donate_argnums=(2, 3))
+def _decode_jit(cfg, params, k_cache, v_cache, tokens, block_tables,
+                context_lens, temperature, top_p, rng):
+    logits, k_cache, v_cache = model_lib.decode_step(
+        cfg, params, k_cache, v_cache, tokens, block_tables, context_lens)
+    next_tokens = sample_tokens(logits, rng, temperature, top_p)
+    return next_tokens, k_cache, v_cache
+
+
+@partial(jax.jit, static_argnums=0, donate_argnums=(2, 3))
+def _prefill_jit(cfg, params, k_cache, v_cache, tokens, block_tables,
+                 chunk_lens, history_lens, temperature, top_p, rng):
+    logits, k_cache, v_cache = model_lib.prefill_step(
+        cfg, params, k_cache, v_cache, tokens, block_tables,
+        chunk_lens, history_lens)
+    next_tokens = sample_tokens(logits, rng, temperature, top_p)
+    return next_tokens, k_cache, v_cache
+
+
+@dataclass
+class StepStats:
+    """Per-step timing, the reference's `InferenceStats` (`engine.py:28-33`)."""
+    kind: str = ""
+    batch_size: int = 0
+    real_seqs: int = 0
+    prep_ms: float = 0.0
+    device_ms: float = 0.0
+    total_ms: float = 0.0
+
+
+@dataclass
+class EngineMetrics:
+    steps: int = 0
+    prefill_steps: int = 0
+    decode_steps: int = 0
+    tokens_generated: int = 0
+    tokens_prefilled: int = 0
+    preemptions: int = 0
+    last_step: StepStats = field(default_factory=StepStats)
+
+
+class InferenceEngine:
+    """Single-controller continuous-batching engine."""
+
+    def __init__(self, config: EngineConfig, params=None, tokenizer=None,
+                 mesh=None):
+        config.validate()
+        self.config = config
+        self.mcfg = config.model
+        self.tokenizer = tokenizer
+        self.eos_token_id: Optional[int] = None
+        if tokenizer is not None:
+            self.eos_token_id = getattr(tokenizer, "eos_token_id", None)
+
+        self._rng = jax.random.PRNGKey(config.seed)
+        if params is None:
+            logger.info("initializing random params (no checkpoint given)")
+            params = model_lib.init_params(self.mcfg, jax.random.PRNGKey(1))
+        if config.quant.quantize_weights:
+            params = quantize_params(params, config.quant.weight_bits,
+                                     config.quant.weight_group_size)
+        self.params = params
+
+        kv_dtype = jnp.int8 if config.quant.quantize_kv else self.mcfg.jax_dtype
+        if config.quant.quantize_kv:
+            # INT8 KV arrives in round 1 as config plumbing; the quantized
+            # attention path lands with the Pallas kernels.
+            kv_dtype = self.mcfg.jax_dtype
+        self.k_cache, self.v_cache = model_lib.init_kv_cache(
+            self.mcfg, config.cache, dtype=kv_dtype)
+
+        self.allocator = PageAllocator(config.cache)
+        self.scheduler = Scheduler(config.scheduler, config.max_model_len,
+                                   allocator=self.allocator)
+        self.metrics = EngineMetrics()
+        self._stream_callbacks: dict[int, StreamCallback] = {}
+        self._mesh = mesh
+
+        self._decode_fn = self._build_decode_fn()
+        self._prefill_fn = self._build_prefill_fn()
+
+    # ------------------------------------------------------------------
+    # Compiled step functions
+    # ------------------------------------------------------------------
+
+    def _build_decode_fn(self):
+        return partial(_decode_jit, self.mcfg)
+
+    def _build_prefill_fn(self):
+        return partial(_prefill_jit, self.mcfg)
+
+    def warmup(self, decode_buckets: Optional[Seq[int]] = None,
+               prefill_shapes: Optional[Seq[tuple[int, int]]] = None) -> None:
+        """Pre-compile the step functions for the shape buckets.
+
+        Replaces the reference's CUDA-graph `capture()` warm-up
+        (`core/engine.py:80-83`, `model_graph.py:225-253`).
+        """
+        scfg = self.config.scheduler
+        t0 = time.monotonic()
+        for bs in (decode_buckets or scfg.decode_buckets):
+            self._run_decode_shapes(bs)
+        shapes = prefill_shapes
+        if shapes is None:
+            shapes = [(bs, cl) for bs in scfg.prefill_batch_buckets[:1]
+                      for cl in scfg.prefill_len_buckets]
+        for bs, cl in shapes:
+            self._run_prefill_shapes(bs, cl)
+        logger.info("warmup compiled %d decode + %d prefill shapes in %.1fs",
+                    len(decode_buckets or scfg.decode_buckets), len(shapes),
+                    time.monotonic() - t0)
+
+    def _run_decode_shapes(self, bs: int) -> None:
+        z = np.zeros(bs, dtype=np.int32)
+        tables = np.zeros((bs, self.config.cache.max_pages_per_seq), np.int32)
+        f = np.ones(bs, dtype=np.float32)
+        tok, self.k_cache, self.v_cache = self._decode_fn(
+            self.params, self.k_cache, self.v_cache, jnp.asarray(z),
+            jnp.asarray(tables), jnp.asarray(z), jnp.asarray(f),
+            jnp.asarray(f), self._step_rng())
+        tok.block_until_ready()
+
+    def _run_prefill_shapes(self, bs: int, chunk: int) -> None:
+        tokens = np.zeros((bs, chunk), dtype=np.int32)
+        tables = np.zeros((bs, self.config.cache.max_pages_per_seq), np.int32)
+        z = np.zeros(bs, dtype=np.int32)
+        f = np.ones(bs, dtype=np.float32)
+        tok, self.k_cache, self.v_cache = self._prefill_fn(
+            self.params, self.k_cache, self.v_cache, jnp.asarray(tokens),
+            jnp.asarray(tables), jnp.asarray(z), jnp.asarray(z),
+            jnp.asarray(f), jnp.asarray(f), self._step_rng())
+        tok.block_until_ready()
+
+    def _step_rng(self) -> jax.Array:
+        self._rng, sub = jax.random.split(self._rng)
+        return sub
+
+    # ------------------------------------------------------------------
+    # Request API (reference: `engine.py:139-152`)
+    # ------------------------------------------------------------------
+
+    def add_request(self, prompt: Optional[str] = None,
+                    prompt_token_ids: Optional[list[int]] = None,
+                    sampling: Optional[SamplingParams] = None) -> int:
+        if prompt_token_ids is None:
+            if prompt is None:
+                raise ValueError("need prompt or prompt_token_ids")
+            if self.tokenizer is None:
+                raise ValueError("no tokenizer configured; pass prompt_token_ids")
+            prompt_token_ids = list(self.tokenizer.encode(prompt))
+        seq = Sequence(prompt_token_ids=prompt_token_ids,
+                       sampling=sampling or SamplingParams(
+                           max_new_tokens=self.config.default_max_new_tokens),
+                       prompt_text=prompt)
+        self.scheduler.add_request(seq)
+        return seq.seq_id
+
+    def abort_request(self, seq_id: int) -> bool:
+        ok = self.scheduler.abort(seq_id)
+        if ok and self.allocator.has_seq(seq_id):
+            self.allocator.free(seq_id)
+        return ok
+
+    def register_stream_callback(self, seq_id: int, cb: StreamCallback) -> None:
+        self._stream_callbacks[seq_id] = cb
+
+    def unregister_stream_callback(self, seq_id: int) -> None:
+        self._stream_callbacks.pop(seq_id, None)
+
+    # ------------------------------------------------------------------
+    # Step loop (reference: `engine.py:154-176`)
+    # ------------------------------------------------------------------
+
+    def step(self) -> int:
+        """Run one engine step. Returns number of tokens produced."""
+        batch = self.scheduler.get_next_batch()
+        if batch is None:
+            # Nothing schedulable. If requests are waiting but the cache is
+            # idle (nothing running to eventually free pages), they can never
+            # fit: fail them instead of spinning forever.
+            if (self.scheduler.waiting and not self.scheduler.running
+                    and not self.scheduler.prefilling):
+                seq = self.scheduler.waiting.popleft()
+                logger.error("request %d cannot fit in KV cache; aborting",
+                             seq.seq_id)
+                seq.finish(FinishReason.ABORTED)
+                self.scheduler.finished[seq.seq_id] = seq
+            return 0
+        t0 = time.monotonic()
+        if batch.kind == "prefill":
+            produced = self._prefill(batch)
+            self.metrics.prefill_steps += 1
+        else:
+            produced = self._decode(batch)
+            self.metrics.decode_steps += 1
+        self.metrics.steps += 1
+        self.metrics.last_step.total_ms = (time.monotonic() - t0) * 1e3
+        self.metrics.last_step.kind = batch.kind
+        self.metrics.last_step.batch_size = batch.batch_size
+        self.metrics.last_step.real_seqs = batch.num_real
+        return produced
+
+    # -- prefill -----------------------------------------------------------
+
+    def _prefill(self, batch: ScheduledBatch) -> int:
+        B, S = batch.batch_size, batch.chunk_len
+        seqs = batch.seqs
+
+        # Commit pages for this chunk (allocate on first chunk, extend after).
+        # Sequences that cannot get pages (even after preempting decoders) go
+        # back to the waiting queue instead of erroring the engine (the
+        # reference raises RuntimeError("OOM"), `engine.py:220`).
+        admitted: list[Sequence] = []
+        for seq in seqs:
+            target = self.scheduler._prefill_target(seq)
+            if (self.allocator.pages_needed(target)
+                    > self.config.cache.num_usable_pages):
+                # Can never fit even with an empty cache: fail fast instead
+                # of oscillating between admission and self-preemption.
+                logger.error("seq %d needs more pages than exist; aborting",
+                             seq.seq_id)
+                if self.allocator.has_seq(seq.seq_id):
+                    self.allocator.free(seq.seq_id)
+                seq.finish(FinishReason.ABORTED)
+                self.scheduler.mark_finished(seq)
+                continue
+            chunk = min(S, target - seq.num_prefilled)
+
+            def _commit() -> None:
+                if not self.allocator.has_seq(seq.seq_id):
+                    self.allocator.allocate(seq.seq_id, chunk)
+                else:
+                    self.allocator.extend(seq.seq_id, chunk)
+
+            try:
+                _commit()
+            except OutOfPagesError:
+                if self._preempt_for(chunk, seq):
+                    _commit()
+                else:
+                    self._do_preempt(seq)
+                    continue
+            admitted.append(seq)
+        if not admitted:
+            return 0
+        if len(admitted) != len(seqs):
+            batch.sample_mask = [m for s, m in zip(seqs, batch.sample_mask)
+                                 if s in admitted]
+            batch.seqs = admitted
+            seqs = admitted
+
+        tokens = np.zeros((B, S), dtype=np.int32)
+        chunk_lens = np.zeros(B, dtype=np.int32)
+        history = np.zeros(B, dtype=np.int32)
+        temperature = np.ones(B, dtype=np.float32)
+        top_p = np.ones(B, dtype=np.float32)
+        tables = np.zeros((B, self.config.cache.max_pages_per_seq), np.int32)
+
+        for i, seq in enumerate(seqs):
+            target = self.scheduler._prefill_target(seq)
+            chunk = min(S, target - seq.num_prefilled)
+            ids = (seq.prompt_token_ids + seq.output_token_ids)[
+                seq.num_prefilled: seq.num_prefilled + chunk]
+            tokens[i, : len(ids)] = ids
+            chunk_lens[i] = chunk
+            history[i] = seq.num_prefilled
+            temperature[i] = seq.sampling.temperature
+            top_p[i] = seq.sampling.top_p
+            tables[i] = self.allocator.block_table_row(seq.seq_id)
+
+        next_tokens, self.k_cache, self.v_cache = self._prefill_fn(
+            self.params, self.k_cache, self.v_cache, jnp.asarray(tokens),
+            jnp.asarray(tables), jnp.asarray(chunk_lens),
+            jnp.asarray(history), jnp.asarray(temperature),
+            jnp.asarray(top_p), self._step_rng())
+        next_tokens = np.asarray(next_tokens)
+
+        self.scheduler.on_prefill_done(batch)
+        produced = 0
+        for i, seq in enumerate(seqs):
+            self.metrics.tokens_prefilled += int(chunk_lens[i])
+            if i < len(batch.sample_mask) and batch.sample_mask[i]:
+                self._apply_token(seq, int(next_tokens[i]))
+                produced += 1
+        return produced
+
+    # -- decode ------------------------------------------------------------
+
+    def _decode(self, batch: ScheduledBatch) -> int:
+        B = batch.batch_size
+        seqs = list(batch.seqs)
+
+        # Grow each sequence's page table for the incoming token; preempt the
+        # youngest running sequences on page exhaustion (reference: hard
+        # RuntimeError, `engine.py:220`; real vLLM preempts, we do too).
+        ready: list[Sequence] = []
+        for seq in seqs:
+            if not self.allocator.has_seq(seq.seq_id):
+                continue  # preempted as a victim earlier in this loop
+            while True:
+                try:
+                    self.allocator.append_token(seq.seq_id)
+                    ready.append(seq)
+                    break
+                except OutOfPagesError:
+                    # Strict age priority: always preempt the globally
+                    # youngest running sequence (possibly this one) — the
+                    # oldest request can then never be preempted and always
+                    # completes, guaranteeing forward progress.
+                    victim = self._pick_preemption_victim()
+                    if victim is None or victim is seq:
+                        self._do_preempt(seq)
+                        break
+                    self._do_preempt(victim)
+                    if victim in ready:
+                        ready.remove(victim)
+        seqs = [s for s in ready if not s.is_finished]
+        if not seqs:
+            return 0
+
+        tokens = np.zeros(B, dtype=np.int32)
+        context = np.zeros(B, dtype=np.int32)
+        temperature = np.ones(B, dtype=np.float32)
+        top_p = np.ones(B, dtype=np.float32)
+        tables = np.zeros((B, self.config.cache.max_pages_per_seq), np.int32)
+
+        for i, seq in enumerate(seqs):
+            tokens[i] = seq.last_token_id
+            # allocator.seq_len was already bumped for the incoming token, so
+            # the write position / context length is one less.
+            context[i] = self.allocator.seq_len(seq.seq_id) - 1
+            temperature[i] = seq.sampling.temperature
+            top_p[i] = seq.sampling.top_p
+            tables[i] = self.allocator.block_table_row(seq.seq_id)
+
+        next_tokens, self.k_cache, self.v_cache = self._decode_fn(
+            self.params, self.k_cache, self.v_cache, jnp.asarray(tokens),
+            jnp.asarray(tables), jnp.asarray(context),
+            jnp.asarray(temperature), jnp.asarray(top_p), self._step_rng())
+        next_tokens = np.asarray(next_tokens)
+
+        for i, seq in enumerate(seqs):
+            self._apply_token(seq, int(next_tokens[i]))
+        return len(seqs)
+
+    # -- helpers -----------------------------------------------------------
+
+    def _apply_token(self, seq: Sequence, token_id: int) -> None:
+        finished = seq.append_output(token_id, self.eos_token_id)
+        if seq.num_tokens >= self.config.max_model_len and not finished:
+            seq.finish(FinishReason.LENGTH)
+            finished = True
+        cb = self._stream_callbacks.get(seq.seq_id)
+        if cb is not None:
+            try:
+                cb(seq.seq_id, token_id, finished)
+            except Exception:   # callbacks must not kill the engine
+                logger.exception("stream callback failed for seq %d", seq.seq_id)
+        self.metrics.tokens_generated += 1
+        if finished:
+            self.allocator.free(seq.seq_id)
+            self.scheduler.mark_finished(seq)
+            self.unregister_stream_callback(seq.seq_id)
+
+    def _pick_preemption_victim(self) -> Optional[Sequence]:
+        candidates = [s for s in self.scheduler.running
+                      if self.allocator.has_seq(s.seq_id)]
+        if not candidates:
+            return None
+        return max(candidates, key=lambda s: s.arrival_time)  # youngest
+
+    def _do_preempt(self, seq: Sequence) -> None:
+        logger.warning("preempting seq %d (recompute)", seq.seq_id)
+        self.allocator.free(seq.seq_id)
+        self.scheduler.preempt(seq)
+        self.metrics.preemptions += 1
+
+    def _preempt_for(self, num_tokens: int, requester: Sequence) -> bool:
+        """Free pages for a mid-prefill extension by preempting strictly
+        YOUNGER running sequences (age priority; never steal from elders)."""
+        need = self.allocator.pages_needed(num_tokens)
+        while self.allocator.num_free < need:
+            victim = self._pick_preemption_victim()
+            if victim is None or victim.arrival_time <= requester.arrival_time:
+                return False
+            self._do_preempt(victim)
+        return True
+
+    # ------------------------------------------------------------------
+    # Offline batch API (reference: `engine.py:178-199`)
+    # ------------------------------------------------------------------
+
+    def generate(self, prompts: list[str] | list[list[int]],
+                 sampling: Optional[SamplingParams] = None,
+                 ) -> list[Sequence]:
+        ids = []
+        for p in prompts:
+            if isinstance(p, str):
+                ids.append(self.add_request(prompt=p, sampling=sampling))
+            else:
+                ids.append(self.add_request(prompt_token_ids=list(p),
+                                            sampling=sampling))
+        while not self.scheduler.is_finished():
+            self.step()
+        done = {s.seq_id: s for s in self.scheduler.pop_finished()}
+        return [done[i] for i in ids]
+
+    def decode_text(self, seq: Sequence) -> str:
+        if self.tokenizer is None:
+            raise ValueError("no tokenizer configured")
+        return self.tokenizer.decode(seq.output_token_ids,
+                                     skip_special_tokens=True)
+
+    @property
+    def cache_stats(self):
+        return self.allocator.stats

@@ -1,0 +1,234 @@
+"""Continuous-batching scheduler.
+
+TPU re-design of the reference's `core/scheduler.py:11-206`:
+
+* FIFO admission with prefill length-bucketing (reference buckets by
+  ``len // 50``, `scheduler.py:31-39`; we bucket to the engine's compiled
+  shape buckets, since on TPU the bucket IS the compiled program shape).
+* A batch-forming wait (reference: 20 ms, `scheduler.py:13,155`) so bursts
+  coalesce into one prefill launch.
+* Decode batches are simply "all running sequences, padded up to the next
+  compiled batch bucket" — the paged-attention kernel handles ragged lengths
+  natively, so the reference's same-length SJF grouping + duplicate-sequence
+  padding (`scheduler.py:67-94`) is unnecessary; padding rows are inert
+  (trash page, context_len 0).
+* Chunked prefill (absent in the reference, SURVEY.md §5): prompts longer
+  than the largest prefill bucket run as successive chunks with
+  ``history_lens`` carrying the cache offset.
+* Recompute preemption (absent in the reference, which hard-errors on OOM,
+  `engine.py:220`): the engine may push a RUNNING sequence back to WAITING;
+  its generated tokens are re-prefilled as part of the prompt.
+"""
+
+from __future__ import annotations
+
+import time
+from collections import deque
+from dataclasses import dataclass, field
+from typing import Literal, Optional
+
+from ..config import SchedulerConfig, pick_bucket
+from .kv_cache import PageAllocator
+from .sequence import FinishReason, SeqState, Sequence
+
+
+@dataclass
+class ScheduledBatch:
+    kind: Literal["prefill", "decode"]
+    seqs: list[Sequence]
+    batch_size: int                  # padded (compiled) batch bucket
+    chunk_len: int = 0               # prefill only: padded token-chunk bucket
+    sample_mask: list[bool] = field(default_factory=list)  # prefill only
+
+    @property
+    def num_real(self) -> int:
+        return len(self.seqs)
+
+
+class Scheduler:
+    def __init__(self, cfg: SchedulerConfig, max_model_len: int,
+                 allocator: Optional[PageAllocator] = None):
+        self.cfg = cfg
+        self.max_model_len = max_model_len
+        self.allocator = allocator   # admission control; None = always admit
+        self.waiting: deque[Sequence] = deque()
+        self.prefilling: list[Sequence] = []
+        self.running: list[Sequence] = []
+        self.finished: dict[int, Sequence] = {}
+
+    # -- admission --------------------------------------------------------
+
+    def add_request(self, seq: Sequence) -> None:
+        if seq.prompt_len >= self.max_model_len:
+            del seq.prompt_token_ids[self.max_model_len - 1:]
+        self.waiting.append(seq)
+
+    def abort(self, seq_id: int) -> bool:
+        for pool in (self.waiting, self.prefilling, self.running):
+            for seq in list(pool):
+                if seq.seq_id == seq_id:
+                    pool.remove(seq)
+                    seq.finish(FinishReason.ABORTED)
+                    self.finished[seq_id] = seq
+                    return True
+        return False
+
+    def preempt(self, seq: Sequence) -> None:
+        """Recompute-preempt a running sequence back to the waiting queue."""
+        if seq in self.running:
+            self.running.remove(seq)
+        if seq in self.prefilling:
+            self.prefilling.remove(seq)
+        seq.num_prefilled = 0
+        seq.state = SeqState.WAITING
+        self.waiting.appendleft(seq)
+
+    # -- queries ----------------------------------------------------------
+
+    @property
+    def num_pending(self) -> int:
+        return len(self.waiting) + len(self.prefilling) + len(self.running)
+
+    def is_finished(self) -> bool:
+        return self.num_pending == 0
+
+    def mark_finished(self, seq: Sequence) -> None:
+        if seq in self.running:
+            self.running.remove(seq)
+        if seq in self.prefilling:
+            self.prefilling.remove(seq)
+        self.finished[seq.seq_id] = seq
+
+    def pop_finished(self) -> list[Sequence]:
+        out = list(self.finished.values())
+        self.finished.clear()
+        return out
+
+    # -- batch formation --------------------------------------------------
+
+    def _prefill_target(self, seq: Sequence) -> int:
+        """Tokens that must be in cache before decode can run."""
+        if seq.output_token_ids:          # recompute after preemption
+            return seq.num_tokens - 1
+        return seq.prompt_len
+
+    def get_next_batch(self, now: Optional[float] = None) -> Optional[ScheduledBatch]:
+        now = time.monotonic() if now is None else now
+
+        # 1. Sequences mid-chunked-prefill always continue first (their pages
+        #    are already committed; finishing them frees scheduler pressure).
+        if self.prefilling:
+            return self._continue_prefill()
+
+        # 2. Admit waiting sequences if the batch-forming window expired or
+        #    there is nothing else to do or a full batch is available.
+        if self.waiting:
+            oldest_wait = now - self.waiting[0].arrival_time
+            enough = len(self.waiting) >= self.cfg.prefill_batch_buckets[-1]
+            if enough or oldest_wait >= self.cfg.prefill_wait_s or not self.running:
+                batch = self._form_prefill_batch()
+                if batch is not None:
+                    return batch
+
+        # 3. Decode everything running.
+        if self.running:
+            return self._form_decode_batch()
+        return None
+
+    def _chunk_len_for(self, seq: Sequence) -> int:
+        remaining = self._prefill_target(seq) - seq.num_prefilled
+        return min(remaining, self.cfg.prefill_len_buckets[-1])
+
+    def _continue_prefill(self) -> ScheduledBatch:
+        # Batch prefilling sequences that share a chunk bucket.
+        lead = self.prefilling[0]
+        bucket = pick_bucket(self._chunk_len_for(lead), self.cfg.prefill_len_buckets)
+        seqs = [lead]
+        budget = self.cfg.max_prefill_tokens - bucket
+        for seq in self.prefilling[1:]:
+            if budget < bucket or len(seqs) >= self.cfg.prefill_batch_buckets[-1]:
+                break
+            if pick_bucket(self._chunk_len_for(seq), self.cfg.prefill_len_buckets) == bucket:
+                seqs.append(seq)
+                budget -= bucket
+        bs = pick_bucket(len(seqs), self.cfg.prefill_batch_buckets)
+        sample_mask = [
+            seq.num_prefilled + self._chunk_len_for(seq) >= self._prefill_target(seq)
+            and not seq.output_token_ids
+            for seq in seqs
+        ]
+        return ScheduledBatch("prefill", seqs, bs, bucket, sample_mask)
+
+    def _form_prefill_batch(self) -> Optional[ScheduledBatch]:
+        """Group waiting sequences by prompt-length bucket, shortest-job-first
+        among the candidates at the head of the queue (reference behavior:
+        shortest bucket first, `scheduler.py:127-143`).
+
+        Admission control: a sequence is only admitted if its first chunk fits
+        in the currently FREE pages (no preemption to admit new work — only
+        decode of older sequences may preempt younger ones; this ordering is
+        what guarantees forward progress under page pressure).
+        """
+        if not self.waiting:
+            return None
+        window = list(self.waiting)[: self.cfg.prefill_batch_buckets[-1] * 2]
+        page_budget = self.allocator.num_free if self.allocator else 1 << 30
+
+        def pages_for(seq: Sequence) -> int:
+            if self.allocator is None:
+                return 0
+            return self.allocator.pages_needed(self._chunk_len_for(seq))
+
+        admissible = [s for s in window if pages_for(s) <= page_budget]
+        if not admissible:
+            return None
+        lead = min(admissible, key=lambda s: self._chunk_len_for(s))
+        bucket = pick_bucket(self._chunk_len_for(lead), self.cfg.prefill_len_buckets)
+
+        seqs: list[Sequence] = []
+        budget = self.cfg.max_prefill_tokens
+        for seq in admissible:
+            if len(seqs) >= self.cfg.prefill_batch_buckets[-1] or budget < bucket:
+                break
+            need = pages_for(seq)
+            if need > page_budget:
+                continue
+            if pick_bucket(self._chunk_len_for(seq), self.cfg.prefill_len_buckets) == bucket:
+                seqs.append(seq)
+                budget -= bucket
+                page_budget -= need
+        if not seqs:
+            return None
+        for seq in seqs:
+            self.waiting.remove(seq)
+            seq.state = SeqState.PREFILLING
+            self.prefilling.append(seq)
+        bs = pick_bucket(len(seqs), self.cfg.prefill_batch_buckets)
+        sample_mask = [
+            self._chunk_len_for(seq) + seq.num_prefilled >= self._prefill_target(seq)
+            and not seq.output_token_ids
+            for seq in seqs
+        ]
+        return ScheduledBatch("prefill", seqs, bs, bucket, sample_mask)
+
+    def _form_decode_batch(self) -> ScheduledBatch:
+        cap = min(self.cfg.max_batch_size, self.cfg.decode_buckets[-1])
+        seqs = self.running[:cap]
+        bs = pick_bucket(len(seqs), self.cfg.decode_buckets)
+        return ScheduledBatch("decode", seqs, bs)
+
+    # -- post-step bookkeeping -------------------------------------------
+
+    def on_prefill_done(self, batch: ScheduledBatch) -> None:
+        """Advance num_prefilled; move completed sequences to RUNNING."""
+        for seq in batch.seqs:
+            if seq.state != SeqState.PREFILLING:
+                continue  # preempted or aborted mid-batch
+            chunk = min(self._prefill_target(seq) - seq.num_prefilled,
+                        batch.chunk_len)
+            seq.num_prefilled += chunk
+            if seq.num_prefilled >= self._prefill_target(seq):
+                self.prefilling.remove(seq)
+                if not seq.is_finished:
+                    seq.state = SeqState.RUNNING
+                    self.running.append(seq)

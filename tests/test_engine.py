@@ -1,0 +1,120 @@
+"""End-to-end engine tests on the tiny model (CPU)."""
+
+import jax
+import numpy as np
+import pytest
+
+from microvllm_tpu.config import (CacheConfig, EngineConfig, ModelConfig,
+                                  SchedulerConfig)
+from microvllm_tpu.runtime.engine import InferenceEngine
+from microvllm_tpu.runtime.sequence import FinishReason, SamplingParams
+
+
+def tiny_engine(**overrides) -> InferenceEngine:
+    cfg = EngineConfig(
+        model=ModelConfig.tiny(),
+        cache=CacheConfig(num_pages=64, page_size=16, max_pages_per_seq=8),
+        scheduler=SchedulerConfig(
+            max_batch_size=8, max_prefill_tokens=256, prefill_wait_s=0.0,
+            decode_buckets=(1, 2, 4, 8), prefill_len_buckets=(16, 32, 64),
+            prefill_batch_buckets=(1, 2, 4)),
+        max_model_len=128,
+        default_max_new_tokens=8,
+    )
+    if overrides:
+        cfg = cfg.replace(**overrides)
+    return InferenceEngine(cfg)
+
+
+@pytest.fixture(scope="module")
+def engine():
+    return tiny_engine()
+
+
+def greedy(n=8):
+    return SamplingParams(temperature=0.0, max_new_tokens=n)
+
+
+def test_generate_single(engine):
+    [seq] = engine.generate([[1, 2, 3, 4, 5]], sampling=greedy())
+    assert len(seq.output_token_ids) == 8
+    assert seq.finish_reason == FinishReason.LENGTH
+    assert engine.cache_stats.num_seqs == 0        # pages freed
+
+
+def test_generate_batch_mixed_lengths(engine):
+    prompts = [list(range(1, 6)), list(range(10, 40)), list(range(3, 10))]
+    seqs = engine.generate(prompts, sampling=greedy(5))
+    assert all(len(s.output_token_ids) == 5 for s in seqs)
+    assert engine.scheduler.is_finished()
+
+
+def test_generation_deterministic_greedy(engine):
+    [a] = engine.generate([[7, 8, 9]], sampling=greedy())
+    [b] = engine.generate([[7, 8, 9]], sampling=greedy())
+    assert a.output_token_ids == b.output_token_ids
+
+
+def test_batch_matches_single(engine):
+    """Continuous batching must not change greedy outputs."""
+    prompts = [[1, 2, 3], [9, 8, 7, 6], [11, 12]]
+    batched = engine.generate(prompts, sampling=greedy(6))
+    singles = [engine.generate([p], sampling=greedy(6))[0] for p in prompts]
+    for bs, ss in zip(batched, singles):
+        assert bs.output_token_ids == ss.output_token_ids
+
+
+def test_streaming_callbacks(engine):
+    events = []
+    sid = engine.add_request(prompt_token_ids=[4, 5, 6], sampling=greedy(4))
+    engine.register_stream_callback(sid, lambda s, t, f: events.append((s, t, f)))
+    while not engine.scheduler.is_finished():
+        engine.step()
+    engine.scheduler.pop_finished()
+    assert len(events) == 4
+    assert events[-1][2] is True                   # finished flag on last
+    assert all(e[0] == sid for e in events)
+
+
+def test_eos_stops_generation():
+    eng = tiny_engine()
+    # run greedy once to find the first generated token, then make it EOS
+    [probe] = eng.generate([[1, 2, 3]], sampling=greedy(4))
+    eos = probe.output_token_ids[0]
+    eng2 = tiny_engine()
+    eng2.eos_token_id = eos
+    [seq] = eng2.generate([[1, 2, 3]], sampling=greedy(4))
+    assert seq.output_token_ids == [eos]
+    assert seq.finish_reason == FinishReason.STOP
+
+
+def test_long_prompt_chunked_prefill():
+    eng = tiny_engine()
+    prompt = list(np.arange(100) % 50 + 1)
+    [seq] = eng.generate([prompt], sampling=greedy(3))
+    assert len(seq.output_token_ids) == 3
+    # chunked: prompt 100 > largest prefill bucket 64
+    assert eng.metrics.prefill_steps >= 2
+
+
+def test_preemption_under_page_pressure():
+    eng = tiny_engine(cache=CacheConfig(num_pages=10, page_size=16,
+                                        max_pages_per_seq=8))
+    prompts = [list(range(1, 30)) for _ in range(4)]  # 4 x 2 pages min
+    seqs = eng.generate(prompts, sampling=greedy(40))
+    assert all(len(s.output_token_ids) == 40 for s in seqs)
+    # with only 9 usable pages this cannot run without preempting
+    assert eng.metrics.preemptions > 0
+
+
+def test_sampled_generation_respects_max_tokens(engine):
+    [seq] = engine.generate([[5, 6]], sampling=SamplingParams(
+        temperature=0.8, top_p=0.9, max_new_tokens=6))
+    assert len(seq.output_token_ids) == 6
+
+
+def test_abort_request(engine):
+    sid = engine.add_request(prompt_token_ids=[1, 2, 3], sampling=greedy())
+    assert engine.abort_request(sid)
+    assert engine.scheduler.is_finished()
+    engine.scheduler.pop_finished()

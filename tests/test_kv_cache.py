@@ -1,0 +1,96 @@
+"""PageAllocator unit tests (reference behavior: `core/cache_manager.py`
+alloc/append/free/reset lifecycle, exercised there only via a __main__ smoke
+test at `cache_manager.py:698-749`)."""
+
+import numpy as np
+import pytest
+
+from microvllm_tpu.config import CacheConfig
+from microvllm_tpu.runtime.kv_cache import OutOfPagesError, PageAllocator, TRASH_PAGE
+
+
+def make(num_pages=9, page_size=16, max_pages=4):
+    return PageAllocator(CacheConfig(num_pages=num_pages, page_size=page_size,
+                                     max_pages_per_seq=max_pages))
+
+
+def test_trash_page_reserved():
+    a = make()
+    assert a.num_free == 8
+    pages = a.allocate(1, 16)
+    assert TRASH_PAGE not in pages
+
+
+def test_allocate_rounding():
+    a = make()
+    assert a.allocate(1, 1) == [1]
+    assert a.allocate(2, 17) == [2, 3]   # 17 tokens -> 2 pages
+    assert a.seq_len(1) == 1
+    assert a.seq_len(2) == 17
+
+
+def test_append_token_page_boundary():
+    a = make()
+    a.allocate(1, 16)                     # exactly one full page
+    assert len(a.block_table_row(1)[a.block_table_row(1) != TRASH_PAGE]) == 1
+    a.append_token(1)                     # crosses into a second page
+    row = a.block_table_row(1)
+    assert (row != TRASH_PAGE).sum() == 2
+    assert a.seq_len(1) == 17
+
+
+def test_free_returns_pages():
+    a = make()
+    a.allocate(1, 64)
+    before = a.num_free
+    a.free(1)
+    assert a.num_free == before + 4
+    assert not a.has_seq(1)
+
+
+def test_out_of_pages():
+    a = make(num_pages=3)                 # 2 usable
+    a.allocate(1, 32)
+    with pytest.raises(OutOfPagesError):
+        a.allocate(2, 1)
+
+
+def test_max_pages_per_seq_enforced():
+    a = make(num_pages=20, max_pages=2)
+    with pytest.raises(OutOfPagesError):
+        a.allocate(1, 33)                 # needs 3 pages > max 2
+
+
+def test_extend_chunked():
+    a = make(num_pages=9)
+    a.allocate(1, 10)
+    a.extend(1, 10)                       # 20 tokens -> 2 pages
+    assert a.seq_len(1) == 20
+    row = a.block_table_row(1)
+    assert (row != TRASH_PAGE).sum() == 2
+
+
+def test_batch_views_padding():
+    a = make()
+    a.allocate(7, 20)
+    tables, lens = a.batch_views([7], batch_size=4)
+    assert tables.shape == (4, 4)
+    assert lens.tolist() == [20, 0, 0, 0]
+    assert (tables[1:] == TRASH_PAGE).all()
+
+
+def test_stats_fragmentation():
+    a = make()
+    a.allocate(1, 17)                     # 2 pages, 17/32 slots used
+    s = a.stats
+    assert s.used_pages == 2
+    assert s.num_seqs == 1
+    assert s.fragmentation == pytest.approx(1 - 17 / 32)
+
+
+def test_reset():
+    a = make()
+    a.allocate(1, 50)
+    a.reset()
+    assert a.num_free == 8
+    assert not a.has_seq(1)

@@ -1,0 +1,123 @@
+"""Model-core numerics: paged prefill/decode vs the no-cache oracle."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from microvllm_tpu.config import CacheConfig, ModelConfig
+from microvllm_tpu.models import transformer as T
+from microvllm_tpu.ops.quant import quantize_params
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = ModelConfig.tiny()
+    cache = CacheConfig(num_pages=32, page_size=16, max_pages_per_seq=4)
+    params = T.init_params(cfg, jax.random.PRNGKey(0))
+    return cfg, cache, params
+
+
+def fresh_cache(cfg, cache):
+    return T.init_kv_cache(cfg, cache)
+
+
+def test_paged_prefill_matches_oracle(setup):
+    cfg, cache, params = setup
+    k, v = fresh_cache(cfg, cache)
+    B, S = 2, 10
+    tokens = jax.random.randint(jax.random.PRNGKey(1), (B, S), 0, cfg.vocab_size)
+    ref = T.forward_logits(cfg, params, tokens)
+
+    bt = jnp.array([[1, 2, 3, 4], [5, 6, 7, 8]], dtype=jnp.int32)
+    lens = jnp.array([S, S], dtype=jnp.int32)
+    hist = jnp.zeros(B, jnp.int32)
+    logits, k, v = T.prefill_step(cfg, params, k, v, tokens, bt, lens, hist)
+    np.testing.assert_allclose(logits, ref[:, -1], rtol=2e-4, atol=2e-4)
+
+
+def test_paged_decode_matches_oracle(setup):
+    cfg, cache, params = setup
+    k, v = fresh_cache(cfg, cache)
+    B, S = 2, 9
+    tokens = jax.random.randint(jax.random.PRNGKey(2), (B, S), 0, cfg.vocab_size)
+    ref = T.forward_logits(cfg, params, tokens)
+
+    bt = jnp.array([[1, 2, 3, 4], [5, 6, 7, 8]], dtype=jnp.int32)
+    hist = jnp.zeros(B, jnp.int32)
+    prompt_lens = jnp.full((B,), S - 1, jnp.int32)
+    _, k, v = T.prefill_step(cfg, params, k, v, tokens[:, :-1], bt,
+                             prompt_lens, hist)
+    logits, k, v = T.decode_step(cfg, params, k, v, tokens[:, -1], bt,
+                                 prompt_lens)
+    np.testing.assert_allclose(logits, ref[:, -1], rtol=2e-4, atol=2e-4)
+
+
+def test_ragged_prefill_lengths(setup):
+    """Rows with different true lengths in one padded rectangle."""
+    cfg, cache, params = setup
+    k, v = fresh_cache(cfg, cache)
+    B, S = 2, 12
+    tokens = jax.random.randint(jax.random.PRNGKey(3), (B, S), 0, cfg.vocab_size)
+    true_lens = [12, 5]
+    ref = T.forward_logits(cfg, params, tokens)
+
+    bt = jnp.array([[1, 2, 3, 4], [5, 6, 7, 8]], dtype=jnp.int32)
+    lens = jnp.asarray(true_lens, dtype=jnp.int32)
+    hist = jnp.zeros(B, jnp.int32)
+    logits, k, v = T.prefill_step(cfg, params, k, v, tokens, bt, lens, hist)
+    for b, L in enumerate(true_lens):
+        np.testing.assert_allclose(logits[b], ref[b, L - 1], rtol=2e-4, atol=2e-4)
+
+
+def test_chunked_prefill_matches_single_shot(setup):
+    cfg, cache, params = setup
+    B, S, C = 1, 16, 8
+    tokens = jax.random.randint(jax.random.PRNGKey(4), (B, S), 0, cfg.vocab_size)
+    bt = jnp.array([[1, 2, 3, 4]], dtype=jnp.int32)
+
+    k1, v1 = fresh_cache(cfg, cache)
+    full_logits, k1, v1 = T.prefill_step(
+        cfg, params, k1, v1, tokens, bt, jnp.array([S], jnp.int32),
+        jnp.zeros(B, jnp.int32))
+
+    k2, v2 = fresh_cache(cfg, cache)
+    _, k2, v2 = T.prefill_step(
+        cfg, params, k2, v2, tokens[:, :C], bt, jnp.array([C], jnp.int32),
+        jnp.zeros(B, jnp.int32))
+    chunk_logits, k2, v2 = T.prefill_step(
+        cfg, params, k2, v2, tokens[:, C:], bt, jnp.array([S - C], jnp.int32),
+        jnp.array([C], jnp.int32))
+
+    np.testing.assert_allclose(chunk_logits, full_logits, rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(k1), np.asarray(k2), rtol=1e-5, atol=1e-5)
+
+
+def test_padding_rows_do_not_corrupt_cache(setup):
+    """A padded (inert) row writes only to the trash page."""
+    cfg, cache, params = setup
+    k, v = fresh_cache(cfg, cache)
+    B, S = 2, 8
+    tokens = jnp.concatenate([
+        jax.random.randint(jax.random.PRNGKey(5), (1, S), 0, cfg.vocab_size),
+        jnp.zeros((1, S), jnp.int32)])
+    bt = jnp.array([[1, 2, 3, 4], [0, 0, 0, 0]], dtype=jnp.int32)  # row1 trash
+    lens = jnp.array([S, 0], dtype=jnp.int32)
+    hist = jnp.zeros(B, jnp.int32)
+    _, k, v = T.prefill_step(cfg, params, k, v, tokens, bt, lens, hist)
+    # pages 5.. untouched
+    assert float(jnp.abs(k[:, 5:]).sum()) == 0.0
+    # trash page may contain garbage; real pages 1-4 contain seq0's kv
+    assert float(jnp.abs(k[:, 1]).sum()) > 0.0
+
+
+def test_quantized_model_close(setup):
+    cfg, cache, params = setup
+    B, S = 1, 8
+    tokens = jax.random.randint(jax.random.PRNGKey(6), (B, S), 0, cfg.vocab_size)
+    ref = T.forward_logits(cfg, params, tokens)
+    qparams = quantize_params(params, bits=8, group_size=64)
+    got = T.forward_logits(cfg, qparams, tokens)
+    # int8 logits should track fp32 logits closely
+    rel = np.linalg.norm(np.asarray(got - ref)) / np.linalg.norm(np.asarray(ref))
+    assert rel < 0.05

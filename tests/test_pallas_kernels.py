@@ -1,0 +1,70 @@
+"""Pallas kernels vs jnp reference oracles (interpret mode on CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from microvllm_tpu.ops.attention import (append_kv,
+                                         paged_decode_attention_ref,
+                                         slot_coords)
+from microvllm_tpu.ops.pallas.decode_attention import paged_decode_attention
+
+
+def build_cache(lens, KV=2, D=128, PS=16, NP=16, MP=4, dtype=jnp.float32):
+    B = len(lens)
+    kp = jnp.zeros((NP, KV, PS, D), dtype)
+    vp = jnp.zeros((NP, KV, PS, D), dtype)
+    bt = np.zeros((B, MP), np.int32)
+    pg = 1
+    for b, L in enumerate(lens):
+        n = -(-L // PS) if L else 0
+        bt[b, :n] = range(pg, pg + n)
+        pg += n
+    bt = jnp.asarray(bt)
+    for b, L in enumerate(lens):
+        if L == 0:
+            continue
+        kk = jax.random.normal(jax.random.PRNGKey(b + 1), (L, KV, D), dtype)
+        vv = jax.random.normal(jax.random.PRNGKey(b + 9), (L, KV, D), dtype)
+        pos = jnp.arange(L, dtype=jnp.int32)
+        pages, offs = slot_coords(bt[b][None].repeat(L, 0), pos, PS)
+        kp, vp = append_kv(kp, vp, kk, vv, pages, offs)
+    return kp, vp, bt
+
+
+@pytest.mark.parametrize("lens,ppc", [
+    ([50, 20], 2),
+    ([64, 1, 33], 1),
+    ([16], 4),
+])
+def test_decode_kernel_matches_ref(lens, ppc):
+    B, H, KV, D = len(lens), 4, 2, 128
+    kp, vp, bt = build_cache(lens, KV=KV, D=D)
+    q = jax.random.normal(jax.random.PRNGKey(0), (B, H, D))
+    ref = paged_decode_attention_ref(q, kp, vp, bt, jnp.asarray(lens), D ** -0.5)
+    got = paged_decode_attention(q, kp, vp, bt, jnp.asarray(lens),
+                                 scale=D ** -0.5, pages_per_chunk=ppc,
+                                 interpret=True)
+    np.testing.assert_allclose(got, ref, rtol=2e-5, atol=2e-5)
+
+
+def test_decode_kernel_padding_row_inert():
+    kp, vp, bt = build_cache([50, 0])
+    q = jax.random.normal(jax.random.PRNGKey(0), (2, 4, 128))
+    got = paged_decode_attention(q, kp, vp, bt, jnp.array([50, 0], jnp.int32),
+                                 scale=128 ** -0.5, pages_per_chunk=2,
+                                 interpret=True)
+    assert float(jnp.abs(got[1]).max()) == 0.0
+    assert bool(jnp.all(jnp.isfinite(got)))
+
+
+def test_decode_kernel_gqa_group_of_one():
+    """num_heads == kv_heads (MHA)."""
+    kp, vp, bt = build_cache([40], KV=2)
+    q = jax.random.normal(jax.random.PRNGKey(0), (1, 2, 128))
+    ref = paged_decode_attention_ref(q, kp, vp, bt, jnp.array([40], jnp.int32),
+                                     128 ** -0.5)
+    got = paged_decode_attention(q, kp, vp, bt, jnp.array([40], jnp.int32),
+                                 scale=128 ** -0.5, interpret=True)
+    np.testing.assert_allclose(got, ref, rtol=2e-5, atol=2e-5)
