@@ -32,7 +32,7 @@ def log(*a):
 
 
 def build_engine(model: str, bits: int, batch: int, kv_pages: int,
-                 page_size: int, max_pages_per_seq: int):
+                 page_size: int, max_pages_per_seq: int, span: int):
     from microvllm_tpu.config import (CacheConfig, EngineConfig, PRESETS,
                                       QuantConfig, SchedulerConfig)
     from microvllm_tpu.runtime.engine import InferenceEngine
@@ -47,7 +47,8 @@ def build_engine(model: str, bits: int, batch: int, kv_pages: int,
             decode_buckets=(batch,),
             prefill_len_buckets=(128, 512),
             prefill_batch_buckets=(1, batch) if batch > 1 else (1,),
-            prefill_wait_s=0.0),
+            prefill_wait_s=0.0,
+            decode_spans=(span,)),
         quant=QuantConfig(weight_bits=bits),
         max_model_len=page_size * max_pages_per_seq,
         seed=0,
@@ -64,7 +65,9 @@ def bench_decode(eng, batch: int, steps: int, context: int) -> float:
     from microvllm_tpu.runtime.sequence import SamplingParams
 
     # Enqueue `batch` sequences with `context`-token prompts, prefill them.
-    sp = SamplingParams(temperature=0.0, max_new_tokens=steps + 8,
+    # max_new_tokens is effectively unbounded: the timed loop decides how
+    # long to run and the sequences are drained afterwards.
+    sp = SamplingParams(temperature=0.0, max_new_tokens=1 << 30,
                         ignore_eos=True)
     for i in range(batch):
         eng.add_request(prompt_token_ids=list(np.random.randint(
@@ -113,11 +116,13 @@ def main():
     ap.add_argument("--page-size", type=int, default=64)
     ap.add_argument("--kv-pages", type=int, default=512)
     ap.add_argument("--max-pages-per-seq", type=int, default=16)
+    ap.add_argument("--span", type=int, default=32,
+                    help="decode tokens per jitted multi-step span")
     args = ap.parse_args()
 
     log(f"devices: {jax.devices()}")
     eng = build_engine(args.model, args.bits, args.batch, args.kv_pages,
-                       args.page_size, args.max_pages_per_seq)
+                       args.page_size, args.max_pages_per_seq, args.span)
 
     # Single-stream first (the headline), then aggregate at --batch.
     single = bench_decode(eng, 1, args.steps, args.context)

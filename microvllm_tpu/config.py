@@ -230,6 +230,12 @@ class SchedulerConfig:
     decode_buckets: tuple[int, ...] = field(default_factory=_default_decode_buckets)
     prefill_len_buckets: tuple[int, ...] = field(default_factory=_default_prefill_buckets)
     prefill_batch_buckets: tuple[int, ...] = (1, 2, 4, 8)
+    # Multi-step decode: how many tokens to generate per jitted span with
+    # on-device token feedback (amortizes host round-trips; streaming
+    # callbacks then fire in bursts of the chosen span). The scheduler picks
+    # the largest bucket all batch members have page capacity for; (1,) gives
+    # per-token latency.
+    decode_spans: tuple[int, ...] = (1, 2, 4, 8, 16)
 
 
 @dataclass(frozen=True)

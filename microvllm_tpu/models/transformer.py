@@ -28,7 +28,7 @@ from ..ops.attention import (
     chunked_prefill_attention_ref,
     pad_head,
     padded_head_dim,
-    paged_decode_attention_auto,
+    paged_decode_append_auto,
     prefill_attention_ref,
     slot_coords,
 )
@@ -132,7 +132,6 @@ def decode_step(cfg: ModelConfig, params: Params,
 
     h = jnp.take(params["embed"], tokens, axis=0)          # [B, H]
     cos, sin = rope_cos_sin(context_lens, cfg.head_dim, cfg.rope_theta)
-    page_ids, offsets = slot_coords(block_tables, context_lens, page_size)
 
     def body(carry, xs):
         hid, kc, vc = carry
@@ -148,14 +147,10 @@ def decode_step(cfg: ModelConfig, params: Params,
         k = apply_rope(k, cos, sin)
 
         d_pad = kc.shape[-1]
-        kc = kc.at[l, page_ids, :, offsets].set(
-            pad_head(k, d_pad).astype(kc.dtype))
-        vc = vc.at[l, page_ids, :, offsets].set(
-            pad_head(v, d_pad).astype(vc.dtype))
-
-        attn = paged_decode_attention_auto(
-            pad_head(q, d_pad), kc[l], vc[l], block_tables,
-            context_lens + 1, scale)[..., : cfg.head_dim]
+        attn, kc, vc = paged_decode_append_auto(
+            pad_head(q, d_pad), pad_head(k, d_pad), pad_head(v, d_pad),
+            kc, vc, block_tables, context_lens, l, scale)
+        attn = attn[..., : cfg.head_dim]
         attn_out = linear(attn.reshape(B, cfg.q_dim), lp["wo"])
 
         normed2, resid = rmsnorm_residual(attn_out, hid, lp["mlp_norm"],
@@ -169,6 +164,42 @@ def decode_step(cfg: ModelConfig, params: Params,
 
     h = rmsnorm(h, params["final_norm"], cfg.rms_norm_eps)
     return _lm_logits(params, h), k_cache, v_cache
+
+
+# ---------------------------------------------------------------------------
+# Multi-step decode: span of steps with on-device token feedback
+# ---------------------------------------------------------------------------
+
+
+def decode_span(cfg: ModelConfig, params: Params,
+                k_cache: jnp.ndarray, v_cache: jnp.ndarray,
+                tokens: jnp.ndarray, block_tables: jnp.ndarray,
+                context_lens: jnp.ndarray,
+                temperature: jnp.ndarray, top_p: jnp.ndarray,
+                rng: jax.Array, num_steps: int,
+                ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Run ``num_steps`` decode steps entirely on device, feeding each
+    sampled token into the next step (no host round-trips — the TPU
+    equivalent of replaying a captured CUDA graph N times, but with
+    sampling fused in).
+
+    Returns (tokens ``[B, num_steps]`` int32, new_k, new_v). Sequences that
+    hit EOS mid-span keep generating; the host discards the tail.
+    """
+    from ..ops.sampling import sample_tokens
+
+    def body(carry, _):
+        toks, ctx, kc, vc, key = carry
+        logits, kc, vc = decode_step(cfg, params, kc, vc, toks,
+                                     block_tables, ctx)
+        key, sub = jax.random.split(key)
+        nxt = sample_tokens(logits, sub, temperature, top_p)
+        return (nxt, ctx + 1, kc, vc, key), nxt
+
+    (_, _, k_cache, v_cache, _), out = jax.lax.scan(
+        body, (tokens, context_lens, k_cache, v_cache, rng), None,
+        length=num_steps)
+    return out.T, k_cache, v_cache                    # [B, num_steps]
 
 
 # ---------------------------------------------------------------------------

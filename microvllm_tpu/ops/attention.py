@@ -68,6 +68,35 @@ def paged_decode_attention_auto(q, k_pages, v_pages, block_tables,
                                       context_lens, scale)
 
 
+def paged_decode_append_auto(q, k_new, v_new, k_cache, v_cache,
+                             block_tables, context_lens, layer, scale):
+    """Fused KV-append + decode attention on the layer-stacked cache.
+
+    On TPU this is one Pallas kernel with the cache aliased in/out (no
+    copy); the jnp path scatters then attends (XLA copies the cache — only
+    acceptable on CPU tests).
+
+    q/k_new/v_new have the cache's padded head_dim. context_lens is the
+    number of tokens in cache BEFORE this token. Returns
+    (attn_out, k_cache, v_cache).
+    """
+    if use_pallas():
+        from .pallas.decode_attention import paged_decode_attention_append
+        return paged_decode_attention_append(
+            q, k_new, v_new, k_cache, v_cache, block_tables, context_lens,
+            layer, scale=scale)
+    page_size = k_cache.shape[3]
+    page_ids, offsets = slot_coords(block_tables, context_lens, page_size)
+    k_cache = k_cache.at[layer, page_ids, :, offsets].set(
+        k_new.astype(k_cache.dtype))
+    v_cache = v_cache.at[layer, page_ids, :, offsets].set(
+        v_new.astype(v_cache.dtype))
+    attn = paged_decode_attention_ref(
+        q, k_cache[layer], v_cache[layer], block_tables, context_lens + 1,
+        scale)
+    return attn, k_cache, v_cache
+
+
 # ---------------------------------------------------------------------------
 # KV append (the store_kvcache equivalent)
 # ---------------------------------------------------------------------------

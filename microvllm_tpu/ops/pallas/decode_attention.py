@@ -55,6 +55,20 @@ def _decode_kernel(
     b = pl.program_id(0)
     h = pl.program_id(1)
     ctx = context_lens_ref[b]
+    _decode_attention_body(
+        block_tables_ref, ctx, q_ref, k_hbm, v_hbm, o_ref,
+        k_buf, v_buf, k_sems, v_sems,
+        page_size=page_size, max_pages=max_pages,
+        pages_per_chunk=pages_per_chunk, scale=scale)
+
+
+def _decode_attention_body(
+    block_tables_ref, ctx, q_ref, k_hbm, v_hbm, o_ref,
+    k_buf, v_buf, k_sems, v_sems,
+    *, page_size, max_pages, pages_per_chunk, scale,
+):
+    b = pl.program_id(0)
+    h = pl.program_id(1)
     chunk_tokens = page_size * pages_per_chunk
     num_chunks = pl.cdiv(ctx, chunk_tokens)
 
@@ -187,3 +201,240 @@ def paged_decode_attention(
     )(block_tables.reshape(-1), context_lens, qg, k_pages, v_pages)
 
     return out.reshape(B, num_heads, head_dim)
+
+
+# ---------------------------------------------------------------------------
+# Fused KV-append + paged attention (the flash_attn_with_kvcache equivalent)
+# ---------------------------------------------------------------------------
+
+
+def _decode_append_kernel(
+    # scalar-prefetch refs
+    layer_ref,          # [1] int32
+    block_tables_ref,   # [B * max_pages] int32
+    context_lens_ref,   # [B] int32
+    # inputs
+    q_ref,              # [1, KV, G, D] VMEM block (this seq's heads)
+    kv_new_ref,         # [1, 2, KV, D] VMEM block (k row + v row)
+    k_hbm,              # [L, num_pages, KV, page_size, D] ANY (aliased out)
+    v_hbm,
+    # outputs
+    o_ref,              # [1, KV, G, D] VMEM block
+    k_out,              # aliased with k_hbm
+    v_out,
+    # scratch
+    k_buf,              # [2, ppc, KV, page_size, D] VMEM
+    v_buf,
+    page_buf,           # [2, KV, page_size, D] VMEM (append staging)
+    k_sems, v_sems,     # [2] DMA sems
+    w_sems,             # [2] DMA sems for the appends
+    *,
+    page_size: int,
+    max_pages: int,
+    pages_per_chunk: int,
+    scale: float,
+):
+    b = pl.program_id(0)
+    layer = layer_ref[0]
+    ctx = context_lens_ref[b]          # position of the incoming token
+    KV, G, D = q_ref.shape[1], q_ref.shape[2], q_ref.shape[3]
+    chunk_tokens = page_size * pages_per_chunk
+    num_chunks = pl.cdiv(ctx + 1, chunk_tokens)
+
+    # ---- append the new token's K/V rows into their page -----------------
+    # DMA slices must be sublane-aligned, so a single-row write is illegal;
+    # instead: read the whole target page, insert the row with a masked
+    # select in VMEM, write the whole page back (32 KB round trip — noise
+    # next to the attention reads).
+    page_idx = ctx // page_size
+    offset = ctx % page_size
+    page = block_tables_ref[b * max_pages + page_idx]
+
+    k_page_in = pltpu.make_async_copy(
+        k_out.at[layer, page], page_buf.at[0], w_sems.at[0])
+    v_page_in = pltpu.make_async_copy(
+        v_out.at[layer, page], page_buf.at[1], w_sems.at[1])
+    k_page_in.start()
+    v_page_in.start()
+    k_page_in.wait()
+    v_page_in.wait()
+
+    slot_mask = (jax.lax.broadcasted_iota(jnp.int32, (page_size, D), 0)
+                 == offset)                                   # [ps, D]
+    for h in range(KV):
+        page_buf[0, h] = jnp.where(
+            slot_mask, kv_new_ref[0, 0, h][None, :].astype(page_buf.dtype),
+            page_buf[0, h])
+        page_buf[1, h] = jnp.where(
+            slot_mask, kv_new_ref[0, 1, h][None, :].astype(page_buf.dtype),
+            page_buf[1, h])
+
+    k_page_out = pltpu.make_async_copy(
+        page_buf.at[0], k_out.at[layer, page], w_sems.at[0])
+    v_page_out = pltpu.make_async_copy(
+        page_buf.at[1], v_out.at[layer, page], w_sems.at[1])
+    k_page_out.start()
+    v_page_out.start()
+    k_page_out.wait()
+    v_page_out.wait()
+
+    # ---- stream pages and accumulate flash-style -------------------------
+    # Read through the (aliased) OUTPUT refs so the just-appended row is
+    # visible in interpret mode too (compiled mode: same buffer either way).
+    def chunk_copies(slot, c):
+        copies = []
+        for i in range(pages_per_chunk):
+            pg = block_tables_ref[b * max_pages + c * pages_per_chunk + i]
+            copies.append(pltpu.make_async_copy(
+                k_out.at[layer, pg], k_buf.at[slot, i], k_sems.at[slot]))
+            copies.append(pltpu.make_async_copy(
+                v_out.at[layer, pg], v_buf.at[slot, i], v_sems.at[slot]))
+        return copies
+
+    @pl.when(num_chunks > 0)
+    def _start_first():
+        for cp in chunk_copies(0, 0):
+            cp.start()
+
+    q = q_ref[0].astype(jnp.float32)                  # [KV, G, D]
+
+    def body(c, carry):
+        m, l, acc = carry                             # [KV*G,1],[KV*G,1],[KV*G,D]
+        slot = jax.lax.rem(c, 2)
+
+        @pl.when(c + 1 < num_chunks)
+        def _start_next():
+            for cp in chunk_copies(jax.lax.rem(c + 1, 2), c + 1):
+                cp.start()
+
+        for cp in chunk_copies(slot, c):
+            cp.wait()
+
+        pos = c * chunk_tokens + jax.lax.broadcasted_iota(
+            jnp.int32, (G, chunk_tokens), 1)
+        valid = pos <= ctx                            # includes the new token
+
+        out_m, out_l, out_acc = [], [], []
+        for h in range(KV):
+            kh = k_buf[slot, :, h].reshape(chunk_tokens, D)
+            vh = v_buf[slot, :, h].reshape(chunk_tokens, D)
+            s = jax.lax.dot_general(
+                q[h], kh, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale
+            s = jnp.where(valid, s, MASK_VALUE)
+            mh2 = jnp.maximum(m[h], jnp.max(s, axis=-1, keepdims=True))
+            p = jnp.exp(s - mh2)
+            alpha = jnp.exp(m[h] - mh2)
+            lh2 = l[h] * alpha + jnp.sum(p, axis=-1, keepdims=True)
+            pv = jax.lax.dot_general(
+                p.astype(vh.dtype), vh, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            out_m.append(mh2)
+            out_l.append(lh2)
+            out_acc.append(acc[h] * alpha + pv)
+        return tuple(out_m), tuple(out_l), tuple(out_acc)
+
+    init = (
+        tuple(jnp.full((G, 1), MASK_VALUE, jnp.float32) for _ in range(KV)),
+        tuple(jnp.zeros((G, 1), jnp.float32) for _ in range(KV)),
+        tuple(jnp.zeros((G, D), jnp.float32) for _ in range(KV)),
+    )
+    m, l, acc = jax.lax.fori_loop(0, num_chunks, body, init)
+    for h in range(KV):
+        o_ref[0, h] = (acc[h] / jnp.maximum(l[h], 1e-30)).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("scale", "pages_per_chunk", "interpret"))
+def paged_decode_attention_append(
+    q: jnp.ndarray,             # [B, num_heads, head_dim(padded)]
+    k_new: jnp.ndarray,         # [B, kv_heads, head_dim(padded)]
+    v_new: jnp.ndarray,
+    k_cache: jnp.ndarray,       # [L, num_pages, kv_heads, page_size, D]
+    v_cache: jnp.ndarray,
+    block_tables: jnp.ndarray,  # [B, max_pages_per_seq] int32
+    context_lens: jnp.ndarray,  # [B] int32 — tokens in cache BEFORE this one
+    layer: jnp.ndarray,         # [] or [1] int32
+    *,
+    scale: float,
+    pages_per_chunk: int = 4,
+    interpret: bool = False,
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Fused in-kernel KV append + paged decode attention.
+
+    Writes k_new/v_new into layer ``layer``'s pages at slot(context_lens),
+    then computes attention over context_lens+1 tokens. The cache buffers
+    are aliased input->output (zero copy). Returns (attn_out, k_cache,
+    v_cache).
+    """
+    B, num_heads, head_dim = q.shape
+    L, num_pages, kv_heads, page_size, _ = k_cache.shape
+    max_pages = block_tables.shape[1]
+    group = num_heads // kv_heads
+
+    pages_per_chunk = min(pages_per_chunk, max_pages)
+    if max_pages % pages_per_chunk:
+        pad = pages_per_chunk - max_pages % pages_per_chunk
+        block_tables = jnp.pad(block_tables, ((0, 0), (0, pad)))
+        max_pages += pad
+
+    qg = q.reshape(B, kv_heads, group, head_dim)
+    kv_new = jnp.stack([k_new, v_new], axis=1)        # [B, 2, KV, D]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, kv_heads, group, head_dim),
+                         lambda b, *_: (b, 0, 0, 0)),
+            pl.BlockSpec((1, 2, kv_heads, head_dim),
+                         lambda b, *_: (b, 0, 0, 0)),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, kv_heads, group, head_dim),
+                         lambda b, *_: (b, 0, 0, 0)),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, pages_per_chunk, kv_heads, page_size, head_dim),
+                       k_cache.dtype),
+            pltpu.VMEM((2, pages_per_chunk, kv_heads, page_size, head_dim),
+                       v_cache.dtype),
+            pltpu.VMEM((2, kv_heads, page_size, head_dim), k_cache.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+
+    kernel = functools.partial(
+        _decode_append_kernel,
+        page_size=page_size,
+        max_pages=max_pages,
+        pages_per_chunk=pages_per_chunk,
+        scale=scale,
+    )
+
+    out, k_cache, v_cache = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((B, kv_heads, group, head_dim), q.dtype),
+            jax.ShapeDtypeStruct(k_cache.shape, k_cache.dtype),
+            jax.ShapeDtypeStruct(v_cache.shape, v_cache.dtype),
+        ],
+        # inputs (after 3 scalar-prefetch args): 3=q, 4=kv_new, 5=k, 6=v
+        input_output_aliases={5: 1, 6: 2},
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            has_side_effects=True,
+        ),
+        interpret=interpret,
+    )(jnp.atleast_1d(layer).astype(jnp.int32), block_tables.reshape(-1),
+      context_lens, qg, kv_new, k_cache, v_cache)
+
+    return out.reshape(B, num_heads, head_dim), k_cache, v_cache

@@ -37,13 +37,12 @@ StreamCallback = Callable[[int, int, bool], None]  # (seq_id, token_id, finished
 # Module-level jitted steps with the (hashable, frozen) ModelConfig as a
 # static argument: the XLA compilation cache is then shared across engine
 # instances and shape buckets within a process.
-@partial(jax.jit, static_argnums=0, donate_argnums=(2, 3))
-def _decode_jit(cfg, params, k_cache, v_cache, tokens, block_tables,
-                context_lens, temperature, top_p, rng):
-    logits, k_cache, v_cache = model_lib.decode_step(
-        cfg, params, k_cache, v_cache, tokens, block_tables, context_lens)
-    next_tokens = sample_tokens(logits, rng, temperature, top_p)
-    return next_tokens, k_cache, v_cache
+@partial(jax.jit, static_argnums=(0, 10), donate_argnums=(2, 3))
+def _decode_span_jit(cfg, params, k_cache, v_cache, tokens, block_tables,
+                     context_lens, temperature, top_p, rng, num_steps):
+    return model_lib.decode_span(
+        cfg, params, k_cache, v_cache, tokens, block_tables, context_lens,
+        temperature, top_p, rng, num_steps)
 
 
 @partial(jax.jit, static_argnums=0, donate_argnums=(2, 3))
@@ -62,6 +61,7 @@ class StepStats:
     kind: str = ""
     batch_size: int = 0
     real_seqs: int = 0
+    span: int = 1
     prep_ms: float = 0.0
     device_ms: float = 0.0
     total_ms: float = 0.0
@@ -123,7 +123,7 @@ class InferenceEngine:
     # ------------------------------------------------------------------
 
     def _build_decode_fn(self):
-        return partial(_decode_jit, self.mcfg)
+        return partial(_decode_span_jit, self.mcfg)
 
     def _build_prefill_fn(self):
         return partial(_prefill_jit, self.mcfg)
@@ -149,15 +149,16 @@ class InferenceEngine:
                     len(decode_buckets or scfg.decode_buckets), len(shapes),
                     time.monotonic() - t0)
 
-    def _run_decode_shapes(self, bs: int) -> None:
+    def _run_decode_shapes(self, bs: int, span: Optional[int] = None) -> None:
+        span = span or max(self.config.scheduler.decode_spans)
         z = np.zeros(bs, dtype=np.int32)
         tables = np.zeros((bs, self.config.cache.max_pages_per_seq), np.int32)
         f = np.ones(bs, dtype=np.float32)
         tok, self.k_cache, self.v_cache = self._decode_fn(
             self.params, self.k_cache, self.v_cache, jnp.asarray(z),
             jnp.asarray(tables), jnp.asarray(z), jnp.asarray(f),
-            jnp.asarray(f), self._step_rng())
-        tok.block_until_ready()
+            jnp.asarray(f), self._step_rng(), span)
+        np.asarray(tok)  # hard sync (block_until_ready is unreliable on axon)
 
     def _run_prefill_shapes(self, bs: int, chunk: int) -> None:
         tokens = np.zeros((bs, chunk), dtype=np.int32)
@@ -325,27 +326,46 @@ class InferenceEngine:
 
     # -- decode ------------------------------------------------------------
 
+    def _pick_span(self, seqs: list[Sequence]) -> int:
+        """Largest decode-span bucket every batch member has page capacity
+        for (the pooled free-page count must cover everyone's growth)."""
+        spans = sorted(self.config.scheduler.decode_spans)
+        max_ctx = self.config.cache.max_context
+        for span in reversed(spans):
+            extra_pages = 0
+            ok = True
+            for seq in seqs:
+                cached = self.allocator.seq_len(seq.seq_id)
+                if cached + span > max_ctx:
+                    ok = False
+                    break
+                extra_pages += (self.allocator.pages_needed(cached + span)
+                                - self.allocator.pages_needed(cached))
+            if ok and extra_pages <= self.allocator.num_free:
+                return span
+        return spans[0]
+
     def _decode(self, batch: ScheduledBatch) -> int:
         B = batch.batch_size
-        seqs = list(batch.seqs)
+        seqs = [s for s in batch.seqs if self.allocator.has_seq(s.seq_id)]
+        if not seqs:
+            return 0
+        span = self._pick_span(seqs)
 
-        # Grow each sequence's page table for the incoming token; preempt the
-        # youngest running sequences on page exhaustion (reference: hard
+        # Reserve `span` token slots per sequence; preempt the globally
+        # youngest running sequence on page exhaustion (reference: hard
         # RuntimeError, `engine.py:220`; real vLLM preempts, we do too).
+        # Strict age priority guarantees the oldest request always completes.
         ready: list[Sequence] = []
         for seq in seqs:
             if not self.allocator.has_seq(seq.seq_id):
                 continue  # preempted as a victim earlier in this loop
             while True:
                 try:
-                    self.allocator.append_token(seq.seq_id)
+                    self.allocator.extend(seq.seq_id, span)
                     ready.append(seq)
                     break
                 except OutOfPagesError:
-                    # Strict age priority: always preempt the globally
-                    # youngest running sequence (possibly this one) — the
-                    # oldest request can then never be preempted and always
-                    # completes, guaranteeing forward progress.
                     victim = self._pick_preemption_victim()
                     if victim is None or victim is seq:
                         self._do_preempt(seq)
@@ -365,22 +385,29 @@ class InferenceEngine:
 
         for i, seq in enumerate(seqs):
             tokens[i] = seq.last_token_id
-            # allocator.seq_len was already bumped for the incoming token, so
-            # the write position / context length is one less.
-            context[i] = self.allocator.seq_len(seq.seq_id) - 1
+            # allocator.seq_len was bumped by `span` for the incoming tokens,
+            # so the first write position is `span` less.
+            context[i] = self.allocator.seq_len(seq.seq_id) - span
             temperature[i] = seq.sampling.temperature
             top_p[i] = seq.sampling.top_p
             tables[i] = self.allocator.block_table_row(seq.seq_id)
 
-        next_tokens, self.k_cache, self.v_cache = self._decode_fn(
+        span_tokens, self.k_cache, self.v_cache = self._decode_fn(
             self.params, self.k_cache, self.v_cache, jnp.asarray(tokens),
             jnp.asarray(tables), jnp.asarray(context),
-            jnp.asarray(temperature), jnp.asarray(top_p), self._step_rng())
-        next_tokens = np.asarray(next_tokens)
+            jnp.asarray(temperature), jnp.asarray(top_p), self._step_rng(),
+            span)
+        span_tokens = np.asarray(span_tokens)          # [B, span]
 
+        produced = 0
         for i, seq in enumerate(seqs):
-            self._apply_token(seq, int(next_tokens[i]))
-        return len(seqs)
+            for j in range(span):
+                self._apply_token(seq, int(span_tokens[i, j]))
+                produced += 1
+                if seq.is_finished:
+                    break                               # discard span tail
+        self.metrics.last_step.span = span
+        return produced
 
     # -- helpers -----------------------------------------------------------
 
@@ -389,6 +416,12 @@ class InferenceEngine:
         if seq.num_tokens >= self.config.max_model_len and not finished:
             seq.finish(FinishReason.LENGTH)
             finished = True
+        # Bookkeeping precedes the callback so a consumer seeing
+        # finished=True can already fetch the sequence from
+        # scheduler.finished (the server relies on this ordering).
+        if finished:
+            self.allocator.free(seq.seq_id)
+            self.scheduler.mark_finished(seq)
         cb = self._stream_callbacks.get(seq.seq_id)
         if cb is not None:
             try:
@@ -397,8 +430,6 @@ class InferenceEngine:
                 logger.exception("stream callback failed for seq %d", seq.seq_id)
         self.metrics.tokens_generated += 1
         if finished:
-            self.allocator.free(seq.seq_id)
-            self.scheduler.mark_finished(seq)
             self.unregister_stream_callback(seq.seq_id)
 
     def _pick_preemption_victim(self) -> Optional[Sequence]:

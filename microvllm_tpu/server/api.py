@@ -1,0 +1,380 @@
+"""HTTP serving front end.
+
+The capability twin of the reference's FastAPI server (`api_server.py:96-184`:
+``/generate``, ``/batch_generate``, ``/generate_stream`` SSE, ``/health``),
+built on aiohttp.web. Single-controller design: one engine thread steps the
+scheduler continuously (the reference's rank-0 asyncio loop,
+`api_server.py:61-76`); there is no per-step cross-rank object broadcast —
+SPMD JAX makes the reference's `BatchInferenceContext` control plane
+(`core/inference_context.py`) unnecessary.
+
+Token streaming: the engine's per-token callback bridges into each request's
+asyncio queue via ``loop.call_soon_threadsafe`` (the reference uses a
+blocking `queue.Queue` bridge, `api_server.py:137-161`).
+"""
+
+from __future__ import annotations
+
+import asyncio
+import json
+import logging
+import threading
+import time
+from dataclasses import dataclass, field
+from typing import Any, Optional
+
+from aiohttp import web
+
+from ..config import EngineConfig
+from ..runtime.engine import InferenceEngine
+from ..runtime.sequence import SamplingParams, Sequence
+
+logger = logging.getLogger("microvllm_tpu.server")
+
+
+@dataclass
+class _PendingRequest:
+    prompt: Optional[str]
+    prompt_token_ids: Optional[list[int]]
+    sampling: SamplingParams
+    stream_queue: Optional[asyncio.Queue] = None   # set for streaming
+    loop: Optional[asyncio.AbstractEventLoop] = None
+    done: Optional[asyncio.Future] = None
+    seq_id: Optional[int] = None
+
+
+class EngineServer:
+    """Engine thread + request plumbing shared by all endpoints."""
+
+    def __init__(self, engine: InferenceEngine):
+        self.engine = engine
+        self._pending: list[_PendingRequest] = []
+        self._lock = threading.Lock()
+        self._wake = threading.Event()
+        self._stop = False
+        self._inflight: dict[int, _PendingRequest] = {}
+        self._thread = threading.Thread(target=self._engine_loop,
+                                        name="engine-loop", daemon=True)
+        self.start_time = time.monotonic()
+
+    def start(self) -> None:
+        self._thread.start()
+
+    def shutdown(self) -> None:
+        self._stop = True
+        self._wake.set()
+        self._thread.join(timeout=10)
+
+    # -- request intake (called from asyncio handlers) --------------------
+
+    def submit(self, req: _PendingRequest) -> None:
+        with self._lock:
+            self._pending.append(req)
+        self._wake.set()
+
+    def abort(self, seq_id: int) -> None:
+        with self._lock:
+            self.engine.abort_request(seq_id)
+
+    # -- engine thread -----------------------------------------------------
+
+    def _admit_pending(self) -> None:
+        with self._lock:
+            pending, self._pending = self._pending, []
+        for req in pending:
+            try:
+                seq_id = self.engine.add_request(
+                    prompt=req.prompt,
+                    prompt_token_ids=req.prompt_token_ids,
+                    sampling=req.sampling)
+            except Exception as e:
+                if req.done is not None and req.loop is not None:
+                    req.loop.call_soon_threadsafe(req.done.set_exception, e)
+                continue
+            req.seq_id = seq_id
+            self._inflight[seq_id] = req
+            self.engine.register_stream_callback(seq_id, self._on_token)
+
+    def _on_token(self, seq_id: int, token_id: int, finished: bool) -> None:
+        req = self._inflight.get(seq_id)
+        if req is None:
+            return
+        if req.stream_queue is not None and req.loop is not None:
+            req.loop.call_soon_threadsafe(
+                req.stream_queue.put_nowait, (token_id, finished))
+        if finished:
+            self._inflight.pop(seq_id, None)
+            seq = self._find_finished(seq_id)
+            if req.done is not None and req.loop is not None and seq is not None:
+                req.loop.call_soon_threadsafe(self._resolve, req.done, seq)
+
+    @staticmethod
+    def _resolve(fut: asyncio.Future, seq: Sequence) -> None:
+        if not fut.done():
+            fut.set_result(seq)
+
+    def _find_finished(self, seq_id: int) -> Optional[Sequence]:
+        seq = self.engine.scheduler.finished.pop(seq_id, None)
+        return seq
+
+    def _engine_loop(self) -> None:
+        logger.info("engine loop started")
+        while not self._stop:
+            self._admit_pending()
+            if self.engine.scheduler.num_pending == 0:
+                # Idle: block until a request arrives (the reference busy-
+                # waits with sleep(0), `api_server.py:68-76` — we don't).
+                self._wake.wait(timeout=0.1)
+                self._wake.clear()
+                continue
+            try:
+                self.engine.step()
+            except Exception:
+                logger.exception("engine step failed")
+                time.sleep(0.01)
+        logger.info("engine loop stopped")
+
+    # -- helpers -----------------------------------------------------------
+
+    def text_or_ids(self, seq: Sequence) -> dict[str, Any]:
+        out: dict[str, Any] = {"token_ids": seq.output_token_ids,
+                               "num_tokens": len(seq.output_token_ids),
+                               "finish_reason": (seq.finish_reason.value
+                                                 if seq.finish_reason else None)}
+        if self.engine.tokenizer is not None:
+            out["text"] = self.engine.decode_text(seq)
+        return out
+
+
+def _parse_sampling(data: dict[str, Any], default_max: int) -> SamplingParams:
+    return SamplingParams(
+        temperature=float(data.get("temperature", 0.7)),
+        top_p=float(data.get("top_p", 0.9)),
+        max_new_tokens=int(data.get("max_tokens", default_max)),
+        ignore_eos=bool(data.get("ignore_eos", False)),
+    )
+
+
+async def _json_body(request: web.Request) -> dict:
+    try:
+        data = await request.json()
+    except Exception:
+        raise web.HTTPBadRequest(
+            text=json.dumps({"error": "invalid JSON body"}),
+            content_type="application/json")
+    if not isinstance(data, dict):
+        raise web.HTTPBadRequest(
+            text=json.dumps({"error": "body must be a JSON object"}),
+            content_type="application/json")
+    return data
+
+
+def build_app(server: EngineServer) -> web.Application:
+    engine = server.engine
+    default_max = engine.config.default_max_new_tokens
+
+    def _request_fields(data: dict[str, Any]) -> tuple[Optional[str], Optional[list[int]]]:
+        prompt = data.get("prompt")
+        ids = data.get("prompt_token_ids")
+        if prompt is None and ids is None:
+            raise web.HTTPBadRequest(
+                text=json.dumps({"error": "need prompt or prompt_token_ids"}),
+                content_type="application/json")
+        if prompt is not None and engine.tokenizer is None:
+            raise web.HTTPBadRequest(
+                text=json.dumps({"error": "server has no tokenizer; "
+                                          "send prompt_token_ids"}),
+                content_type="application/json")
+        return prompt, ids
+
+    async def generate(request: web.Request) -> web.Response:
+        data = await _json_body(request)
+        prompt, ids = _request_fields(data)
+        loop = asyncio.get_running_loop()
+        req = _PendingRequest(prompt=prompt, prompt_token_ids=ids,
+                              sampling=_parse_sampling(data, default_max),
+                              loop=loop, done=loop.create_future())
+        t0 = time.monotonic()
+        server.submit(req)
+        seq = await req.done
+        out = server.text_or_ids(seq)
+        out["latency_s"] = round(time.monotonic() - t0, 4)
+        return web.json_response(out)
+
+    async def batch_generate(request: web.Request) -> web.Response:
+        data = await _json_body(request)
+        prompts = data.get("prompts")
+        ids_list = data.get("prompt_token_ids")
+        items = prompts if prompts is not None else ids_list
+        if not isinstance(items, list):
+            raise web.HTTPBadRequest(
+                text=json.dumps({"error": "need prompts or prompt_token_ids "
+                                          "as a list"}),
+                content_type="application/json")
+        loop = asyncio.get_running_loop()
+        sampling = _parse_sampling(data, default_max)
+        reqs = []
+        for item in items:
+            if prompts is not None:
+                req = _PendingRequest(prompt=item, prompt_token_ids=None,
+                                      sampling=sampling, loop=loop,
+                                      done=loop.create_future())
+            else:
+                req = _PendingRequest(prompt=None, prompt_token_ids=item,
+                                      sampling=sampling, loop=loop,
+                                      done=loop.create_future())
+            server.submit(req)
+            reqs.append(req)
+        seqs = await asyncio.gather(*[r.done for r in reqs])
+        return web.json_response({"results": [server.text_or_ids(s)
+                                              for s in seqs]})
+
+    async def generate_stream(request: web.Request) -> web.StreamResponse:
+        data = await _json_body(request)
+        prompt, ids = _request_fields(data)
+        loop = asyncio.get_running_loop()
+        q: asyncio.Queue = asyncio.Queue()
+        req = _PendingRequest(prompt=prompt, prompt_token_ids=ids,
+                              sampling=_parse_sampling(data, default_max),
+                              stream_queue=q, loop=loop,
+                              done=loop.create_future())
+        server.submit(req)
+
+        resp = web.StreamResponse(headers={
+            "Content-Type": "text/event-stream",
+            "Cache-Control": "no-cache",
+            "Connection": "keep-alive",
+        })
+        await resp.prepare(request)
+        tokenizer = engine.tokenizer
+        n = 0
+        t0 = time.monotonic()
+        try:
+            while True:
+                token_id, finished = await q.get()
+                n += 1
+                payload: dict[str, Any] = {"token_id": token_id,
+                                           "finished": finished}
+                if tokenizer is not None:
+                    payload["token"] = tokenizer.decode([token_id])
+                await resp.write(
+                    f"data: {json.dumps(payload)}\n\n".encode())
+                if finished:
+                    dt = time.monotonic() - t0
+                    await resp.write(
+                        f"data: {json.dumps({'done': True, 'num_tokens': n, 'tok_per_s': round(n / max(dt, 1e-9), 2)})}\n\n".encode())
+                    break
+        except (asyncio.CancelledError, ConnectionResetError):
+            # client went away: abort the sequence to free pages
+            if req.seq_id is not None:
+                server.abort(req.seq_id)
+            raise
+        await resp.write_eof()
+        return resp
+
+    async def health(request: web.Request) -> web.Response:
+        import jax
+        stats = engine.cache_stats
+        return web.json_response({
+            "status": "ok",
+            "device": str(jax.devices()[0]),
+            "uptime_s": round(time.monotonic() - server.start_time, 1),
+            "waiting": len(engine.scheduler.waiting),
+            "prefilling": len(engine.scheduler.prefilling),
+            "running": len(engine.scheduler.running),
+            "kv_pages_free": stats.free_pages,
+            "kv_pages_used": stats.used_pages,
+            "kv_fragmentation": round(stats.fragmentation, 4),
+        })
+
+    async def metrics(request: web.Request) -> web.Response:
+        m = engine.metrics
+        return web.json_response({
+            "steps": m.steps,
+            "prefill_steps": m.prefill_steps,
+            "decode_steps": m.decode_steps,
+            "tokens_generated": m.tokens_generated,
+            "tokens_prefilled": m.tokens_prefilled,
+            "preemptions": m.preemptions,
+            "last_step": {
+                "kind": m.last_step.kind,
+                "batch_size": m.last_step.batch_size,
+                "real_seqs": m.last_step.real_seqs,
+                "span": m.last_step.span,
+                "total_ms": round(m.last_step.total_ms, 2),
+            },
+        })
+
+    app = web.Application()
+    app.router.add_post("/generate", generate)
+    app.router.add_post("/batch_generate", batch_generate)
+    app.router.add_post("/generate_stream", generate_stream)
+    app.router.add_get("/health", health)
+    app.router.add_get("/metrics", metrics)
+
+    async def _cleanup(app):
+        server.shutdown()
+
+    app.on_cleanup.append(_cleanup)
+    return app
+
+
+def serve(config: EngineConfig, host: str = "0.0.0.0", port: int = 8000,
+          tokenizer=None, params=None) -> None:
+    engine = InferenceEngine(config, params=params, tokenizer=tokenizer)
+    server = EngineServer(engine)
+    server.start()
+    app = build_app(server)
+    logger.info("serving on %s:%d", host, port)
+    web.run_app(app, host=host, port=port)
+
+
+def main() -> None:
+    import argparse
+
+    from ..config import (CacheConfig, EngineConfig, PRESETS, QuantConfig,
+                          SchedulerConfig)
+
+    ap = argparse.ArgumentParser(description="microvllm_tpu API server")
+    ap.add_argument("--model", default="qwen2.5-0.5b",
+                    help="preset name or local HF snapshot path")
+    ap.add_argument("--bits", type=int, default=16)
+    ap.add_argument("--host", default="0.0.0.0")
+    ap.add_argument("--port", type=int, default=8000)
+    ap.add_argument("--max-batch", type=int, default=32)
+    ap.add_argument("--kv-pages", type=int, default=512)
+    ap.add_argument("--page-size", type=int, default=64)
+    ap.add_argument("--max-pages-per-seq", type=int, default=32)
+    ap.add_argument("--max-model-len", type=int, default=2048)
+    args = ap.parse_args()
+
+    logging.basicConfig(level=logging.INFO)
+
+    params = None
+    tokenizer = None
+    if args.model in PRESETS:
+        mcfg = PRESETS[args.model]
+    else:
+        from ..config import ModelConfig
+        from ..models.loader import load_params
+        mcfg, params = load_params(args.model)
+        try:
+            from transformers import AutoTokenizer
+            tokenizer = AutoTokenizer.from_pretrained(args.model)
+        except Exception:
+            logger.warning("no tokenizer loaded; token-id API only")
+
+    cfg = EngineConfig(
+        model=mcfg,
+        cache=CacheConfig(num_pages=args.kv_pages, page_size=args.page_size,
+                          max_pages_per_seq=args.max_pages_per_seq),
+        scheduler=SchedulerConfig(max_batch_size=args.max_batch),
+        quant=QuantConfig(weight_bits=args.bits),
+        max_model_len=args.max_model_len,
+    )
+    serve(cfg, host=args.host, port=args.port, tokenizer=tokenizer,
+          params=params)
+
+
+if __name__ == "__main__":
+    main()

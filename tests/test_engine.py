@@ -17,7 +17,7 @@ def tiny_engine(**overrides) -> InferenceEngine:
         scheduler=SchedulerConfig(
             max_batch_size=8, max_prefill_tokens=256, prefill_wait_s=0.0,
             decode_buckets=(1, 2, 4, 8), prefill_len_buckets=(16, 32, 64),
-            prefill_batch_buckets=(1, 2, 4)),
+            prefill_batch_buckets=(1, 2, 4), decode_spans=(1, 4)),
         max_model_len=128,
         default_max_new_tokens=8,
     )

@@ -1,0 +1,151 @@
+"""HTTP API tests on the tiny model (CPU) via aiohttp's test server."""
+
+import asyncio
+import json
+
+import pytest
+from aiohttp.test_utils import TestClient, TestServer
+
+from microvllm_tpu.config import (CacheConfig, EngineConfig, ModelConfig,
+                                  SchedulerConfig)
+from microvllm_tpu.runtime.engine import InferenceEngine
+from microvllm_tpu.server.api import EngineServer, build_app
+
+
+def make_server() -> EngineServer:
+    cfg = EngineConfig(
+        model=ModelConfig.tiny(),
+        cache=CacheConfig(num_pages=64, page_size=16, max_pages_per_seq=8),
+        scheduler=SchedulerConfig(
+            max_batch_size=8, max_prefill_tokens=256, prefill_wait_s=0.0,
+            decode_buckets=(1, 2, 4), prefill_len_buckets=(16, 32),
+            prefill_batch_buckets=(1, 2), decode_spans=(1, 4)),
+        max_model_len=128,
+        default_max_new_tokens=8,
+    )
+    engine = InferenceEngine(cfg)
+    srv = EngineServer(engine)
+    srv.start()
+    return srv
+
+
+@pytest.fixture(scope="module")
+def loop():
+    loop = asyncio.new_event_loop()
+    yield loop
+    loop.close()
+
+
+@pytest.fixture(scope="module")
+def client(loop):
+    srv = make_server()
+    app = build_app(srv)
+    client = TestClient(TestServer(app), loop=loop)
+    loop.run_until_complete(client.start_server())
+    yield client
+    loop.run_until_complete(client.close())
+
+
+def test_health(client, loop):
+    async def go():
+        resp = await client.get("/health")
+        assert resp.status == 200
+        data = await resp.json()
+        assert data["status"] == "ok"
+        assert "kv_pages_free" in data
+    loop.run_until_complete(go())
+
+
+def test_generate(client, loop):
+    async def go():
+        resp = await client.post("/generate", json={
+            "prompt_token_ids": [1, 2, 3, 4],
+            "max_tokens": 5,
+            "temperature": 0.0,
+        })
+        assert resp.status == 200
+        data = await resp.json()
+        assert len(data["token_ids"]) == 5
+        assert data["finish_reason"] == "length"
+        assert data["latency_s"] > 0
+    loop.run_until_complete(go())
+
+
+def test_generate_missing_prompt_400(client, loop):
+    async def go():
+        resp = await client.post("/generate", json={"max_tokens": 5})
+        assert resp.status == 400
+        data = await resp.json()
+        assert "error" in data
+    loop.run_until_complete(go())
+
+
+def test_generate_prompt_without_tokenizer_400(client, loop):
+    async def go():
+        resp = await client.post("/generate", json={"prompt": "hello"})
+        assert resp.status == 400
+    loop.run_until_complete(go())
+
+
+def test_batch_generate(client, loop):
+    async def go():
+        resp = await client.post("/batch_generate", json={
+            "prompt_token_ids": [[1, 2, 3], [7, 8], [4, 5, 6, 9]],
+            "max_tokens": 4,
+            "temperature": 0.0,
+        })
+        assert resp.status == 200
+        data = await resp.json()
+        assert len(data["results"]) == 3
+        assert all(len(r["token_ids"]) == 4 for r in data["results"])
+    loop.run_until_complete(go())
+
+
+def test_generate_stream_sse(client, loop):
+    async def go():
+        resp = await client.post("/generate_stream", json={
+            "prompt_token_ids": [5, 6, 7],
+            "max_tokens": 6,
+            "temperature": 0.0,
+        })
+        assert resp.status == 200
+        assert resp.headers["Content-Type"].startswith("text/event-stream")
+        tokens = []
+        done = None
+        async for line in resp.content:
+            line = line.strip()
+            if not line.startswith(b"data: "):
+                continue
+            payload = json.loads(line[6:])
+            if payload.get("done"):
+                done = payload
+                break
+            tokens.append(payload["token_id"])
+            assert isinstance(payload["finished"], bool)
+        assert len(tokens) == 6
+        assert done["num_tokens"] == 6
+    loop.run_until_complete(go())
+
+
+def test_concurrent_requests(client, loop):
+    async def go():
+        resps = await asyncio.gather(*[
+            client.post("/generate", json={
+                "prompt_token_ids": [i + 1, i + 2, i + 3],
+                "max_tokens": 4,
+                "temperature": 0.0,
+            }) for i in range(6)])
+        for r in resps:
+            assert r.status == 200
+            data = await r.json()
+            assert len(data["token_ids"]) == 4
+    loop.run_until_complete(go())
+
+
+def test_metrics_endpoint(client, loop):
+    async def go():
+        resp = await client.get("/metrics")
+        data = await resp.json()
+        assert data["tokens_generated"] > 0
+        assert data["decode_steps"] > 0
+    loop.run_until_complete(go())
