@@ -44,9 +44,17 @@ Params = dict[str, Any]
 # ---------------------------------------------------------------------------
 
 
-def init_params(cfg: ModelConfig, key: jax.Array) -> Params:
+def init_params(cfg: ModelConfig, key: jax.Array,
+                quant_bits: int | None = None,
+                quant_group_size: int = 128) -> Params:
     """Random-init parameters (deterministic; used for tests and benches —
-    the zero-egress environment has no weight downloads)."""
+    the zero-egress environment has no weight downloads).
+
+    With ``quant_bits`` set, each projection weight is quantized immediately
+    after generation and its fp source freed (synchronously), so peak HBM
+    stays near the final footprint — a 7B model in int8 never materializes
+    the 14 GB bf16 transient.
+    """
     dtype = cfg.jax_dtype
     h, q_dim, kv_dim, inter = (cfg.hidden_size, cfg.q_dim, cfg.kv_dim,
                                cfg.intermediate_size)
@@ -58,16 +66,31 @@ def init_params(cfg: ModelConfig, key: jax.Array) -> Params:
         return jax.random.normal(key, shape, dtype) * jnp.asarray(
             1.0 / fan_in ** 0.5, dtype)
 
+    def wq_(key, shape, fan_in):
+        """Projection weight, optionally quantized eagerly."""
+        full = w(key, shape, fan_in)
+        if quant_bits is None:
+            return full
+        from ..ops.quant import quantize
+        if len(shape) == 3:
+            qt = jax.lax.map(
+                lambda x: quantize(x, quant_bits, quant_group_size), full)
+        else:
+            qt = quantize(full, quant_bits, quant_group_size)
+        jax.block_until_ready(qt.q)
+        del full
+        return qt
+
     layers: Params = {
         "attn_norm": jnp.ones((L, h), dtype),
-        "wq": w(keys[0], (L, h, q_dim), h),
-        "wk": w(keys[1], (L, h, kv_dim), h),
-        "wv": w(keys[2], (L, h, kv_dim), h),
-        "wo": w(keys[3], (L, q_dim, h), q_dim),
+        "wq": wq_(keys[0], (L, h, q_dim), h),
+        "wk": wq_(keys[1], (L, h, kv_dim), h),
+        "wv": wq_(keys[2], (L, h, kv_dim), h),
+        "wo": wq_(keys[3], (L, q_dim, h), q_dim),
         "mlp_norm": jnp.ones((L, h), dtype),
-        "w_gate": w(keys[4], (L, h, inter), h),
-        "w_up": w(keys[5], (L, h, inter), h),
-        "w_down": w(keys[6], (L, inter, h), inter),
+        "w_gate": wq_(keys[4], (L, h, inter), h),
+        "w_up": wq_(keys[5], (L, h, inter), h),
+        "w_down": wq_(keys[6], (L, inter, h), inter),
     }
     if cfg.qkv_bias:
         layers["bq"] = jnp.zeros((L, q_dim), dtype)
@@ -78,7 +101,8 @@ def init_params(cfg: ModelConfig, key: jax.Array) -> Params:
         "embed": w(keys[7], (cfg.vocab_size, h), h),
         "layers": layers,
         "final_norm": jnp.ones((h,), dtype),
-        "lm_head": None if cfg.tie_word_embeddings else w(keys[8], (h, cfg.vocab_size), h),
+        "lm_head": (None if cfg.tie_word_embeddings
+                    else wq_(keys[8], (h, cfg.vocab_size), h)),
     }
     return params
 
@@ -96,11 +120,29 @@ def init_kv_cache(cfg: ModelConfig, cache: CacheConfig,
     return jnp.zeros(shape, dtype), jnp.zeros(shape, dtype)
 
 
-def _lm_logits(params: Params, h: jnp.ndarray) -> jnp.ndarray:
-    """Project final hidden states to vocab logits (handles tied embeddings)."""
+def _lm_logits(params: Params, h: jnp.ndarray,
+               tp_axis: str | None = None) -> jnp.ndarray:
+    """Project final hidden states to vocab logits (handles tied embeddings).
+
+    Under tensor parallelism (inside shard_map), lm_head is vocab-sharded on
+    ``tp_axis``; local partial logits are all-gathered so every rank samples
+    identically (the reference instead ships logits to rank 0,
+    `core/engine.py:231,276`)."""
     if params.get("lm_head") is None:
+        # embed is replicated; logits are complete on every rank
         return jnp.einsum("...h,vh->...v", h, params["embed"]).astype(jnp.float32)
-    return linear(h, params["lm_head"]).astype(jnp.float32)
+    logits = linear(h, params["lm_head"]).astype(jnp.float32)
+    if tp_axis is not None:
+        logits = jax.lax.all_gather(logits, tp_axis, axis=-1, tiled=True)
+    return logits
+
+
+def _maybe_psum(x: jnp.ndarray, tp_axis: str | None) -> jnp.ndarray:
+    """Row-parallel reduction (the reference's NCCL all_reduce after o-proj
+    and down-proj, `model_graph.py:211,219`)."""
+    if tp_axis is None:
+        return x
+    return jax.lax.psum(x, tp_axis)
 
 
 def _layer_xs(params: Params, cfg: ModelConfig):
@@ -116,6 +158,7 @@ def decode_step(cfg: ModelConfig, params: Params,
                 k_cache: jnp.ndarray, v_cache: jnp.ndarray,
                 tokens: jnp.ndarray, block_tables: jnp.ndarray,
                 context_lens: jnp.ndarray,
+                tp_axis: str | None = None, tp_size: int = 1,
                 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """One decode step for a fixed-size batch.
 
@@ -124,11 +167,16 @@ def decode_step(cfg: ModelConfig, params: Params,
     context_lens:  ``[B]`` int32 — tokens already in cache (== position of
                    the new token). Padding rows use context_len 0 and an
                    all-trash block table.
+    tp_axis/tp_size: set when called inside shard_map — params/caches are
+                   then per-rank shards (heads divided by tp_size) and the
+                   row-parallel projections psum over ``tp_axis``.
     Returns (logits ``[B, V]`` fp32, new_k_cache, new_v_cache).
     """
-    page_size = k_cache.shape[3]
     scale = cfg.head_dim ** -0.5
     B = tokens.shape[0]
+    n_heads = cfg.num_heads // tp_size
+    n_kv = cfg.num_kv_heads // tp_size
+    q_dim = n_heads * cfg.head_dim
 
     h = jnp.take(params["embed"], tokens, axis=0)          # [B, H]
     cos, sin = rope_cos_sin(context_lens, cfg.head_dim, cfg.rope_theta)
@@ -140,9 +188,9 @@ def decode_step(cfg: ModelConfig, params: Params,
         q = linear(normed, lp["wq"], lp.get("bq"))
         k = linear(normed, lp["wk"], lp.get("bk"))
         v = linear(normed, lp["wv"], lp.get("bv"))
-        q = q.reshape(B, cfg.num_heads, cfg.head_dim)
-        k = k.reshape(B, cfg.num_kv_heads, cfg.head_dim)
-        v = v.reshape(B, cfg.num_kv_heads, cfg.head_dim)
+        q = q.reshape(B, n_heads, cfg.head_dim)
+        k = k.reshape(B, n_kv, cfg.head_dim)
+        v = v.reshape(B, n_kv, cfg.head_dim)
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
 
@@ -151,19 +199,22 @@ def decode_step(cfg: ModelConfig, params: Params,
             pad_head(q, d_pad), pad_head(k, d_pad), pad_head(v, d_pad),
             kc, vc, block_tables, context_lens, l, scale)
         attn = attn[..., : cfg.head_dim]
-        attn_out = linear(attn.reshape(B, cfg.q_dim), lp["wo"])
+        attn_out = _maybe_psum(
+            linear(attn.reshape(B, q_dim), lp["wo"]), tp_axis)
 
         normed2, resid = rmsnorm_residual(attn_out, hid, lp["mlp_norm"],
                                           cfg.rms_norm_eps)
-        mlp = linear(swiglu(linear(normed2, lp["w_gate"]),
-                            linear(normed2, lp["w_up"])), lp["w_down"])
+        mlp = _maybe_psum(
+            linear(swiglu(linear(normed2, lp["w_gate"]),
+                          linear(normed2, lp["w_up"])), lp["w_down"]),
+            tp_axis)
         return (resid + mlp, kc, vc), None
 
     (h, k_cache, v_cache), _ = jax.lax.scan(
         body, (h, k_cache, v_cache), _layer_xs(params, cfg))
 
     h = rmsnorm(h, params["final_norm"], cfg.rms_norm_eps)
-    return _lm_logits(params, h), k_cache, v_cache
+    return _lm_logits(params, h, tp_axis), k_cache, v_cache
 
 
 # ---------------------------------------------------------------------------
@@ -177,6 +228,7 @@ def decode_span(cfg: ModelConfig, params: Params,
                 context_lens: jnp.ndarray,
                 temperature: jnp.ndarray, top_p: jnp.ndarray,
                 rng: jax.Array, num_steps: int,
+                tp_axis: str | None = None, tp_size: int = 1,
                 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Run ``num_steps`` decode steps entirely on device, feeding each
     sampled token into the next step (no host round-trips — the TPU
@@ -191,7 +243,7 @@ def decode_span(cfg: ModelConfig, params: Params,
     def body(carry, _):
         toks, ctx, kc, vc, key = carry
         logits, kc, vc = decode_step(cfg, params, kc, vc, toks,
-                                     block_tables, ctx)
+                                     block_tables, ctx, tp_axis, tp_size)
         key, sub = jax.random.split(key)
         nxt = sample_tokens(logits, sub, temperature, top_p)
         return (nxt, ctx + 1, kc, vc, key), nxt
@@ -211,6 +263,8 @@ def prefill_step(cfg: ModelConfig, params: Params,
                  k_cache: jnp.ndarray, v_cache: jnp.ndarray,
                  tokens: jnp.ndarray, block_tables: jnp.ndarray,
                  chunk_lens: jnp.ndarray, history_lens: jnp.ndarray,
+                 has_history: bool = True,
+                 tp_axis: str | None = None, tp_size: int = 1,
                  ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Prefill a ``[B, S]`` chunk, writing all KV into the paged cache.
 
@@ -218,23 +272,49 @@ def prefill_step(cfg: ModelConfig, params: Params,
     history_lens: ``[B]`` — tokens already in cache before this chunk
                   (0 for plain prefill; >0 enables chunked prefill, which the
                   reference lacks — SURVEY.md §5 "long-context: absent").
+    has_history:  static — False skips the attend-to-cache path entirely
+                  (the common single-chunk prefill; saves a [B,H,S,max_ctx]
+                  score tensor).
     Returns (last-token logits ``[B, V]`` fp32, new_k, new_v).
     """
+    from ..ops.attention import use_pallas
+
     B, S = tokens.shape
     page_size = k_cache.shape[3]
     scale = cfg.head_dim ** -0.5
+    n_heads = cfg.num_heads // tp_size
+    n_kv = cfg.num_kv_heads // tp_size
+    q_dim = n_heads * cfg.head_dim
 
     h = jnp.take(params["embed"], tokens, axis=0)          # [B, S, H]
     positions = history_lens[:, None] + jnp.arange(S, dtype=jnp.int32)[None, :]
     cos, sin = rope_cos_sin(positions, cfg.head_dim, cfg.rope_theta)
 
-    valid = jnp.arange(S, dtype=jnp.int32)[None, :] < chunk_lens[:, None]
-    page_ids, offsets = slot_coords(block_tables, positions, page_size)
-    # Route padding-token writes to the reserved trash page 0, slot 0.
-    page_ids = jnp.where(valid, page_ids, 0)
-    offsets = jnp.where(valid, offsets, 0)
-    flat_pages = page_ids.reshape(B * S)
-    flat_offsets = offsets.reshape(B * S)
+    pallas_store = use_pallas() and S % page_size == 0
+    if not pallas_store:
+        valid = jnp.arange(S, dtype=jnp.int32)[None, :] < chunk_lens[:, None]
+        page_ids, offsets = slot_coords(block_tables, positions, page_size)
+        # Route padding-token writes to the reserved trash page 0, slot 0.
+        page_ids = jnp.where(valid, page_ids, 0)
+        offsets = jnp.where(valid, offsets, 0)
+        flat_pages = page_ids.reshape(B * S)
+        flat_offsets = offsets.reshape(B * S)
+
+    def store_chunk(kc, vc, l, k, v):
+        d_pad = kc.shape[-1]
+        if pallas_store:
+            from ..ops.pallas.kv_store import store_kv_pages
+            kt = pad_head(k, d_pad).transpose(0, 2, 1, 3)   # [B, KV, S, D]
+            vt = pad_head(v, d_pad).transpose(0, 2, 1, 3)
+            return store_kv_pages(kt, vt, kc, vc, block_tables,
+                                  history_lens, chunk_lens, l)
+        kc = kc.at[l, flat_pages, :, flat_offsets].set(
+            pad_head(k, d_pad).reshape(
+                B * S, n_kv, d_pad).astype(kc.dtype))
+        vc = vc.at[l, flat_pages, :, flat_offsets].set(
+            pad_head(v, d_pad).reshape(
+                B * S, n_kv, d_pad).astype(vc.dtype))
+        return kc, vc
 
     def body(carry, xs):
         hid, kc, vc = carry
@@ -243,30 +323,31 @@ def prefill_step(cfg: ModelConfig, params: Params,
         q = linear(normed, lp["wq"], lp.get("bq"))
         k = linear(normed, lp["wk"], lp.get("bk"))
         v = linear(normed, lp["wv"], lp.get("bv"))
-        q = q.reshape(B, S, cfg.num_heads, cfg.head_dim)
-        k = k.reshape(B, S, cfg.num_kv_heads, cfg.head_dim)
-        v = v.reshape(B, S, cfg.num_kv_heads, cfg.head_dim)
+        q = q.reshape(B, S, n_heads, cfg.head_dim)
+        k = k.reshape(B, S, n_kv, cfg.head_dim)
+        v = v.reshape(B, S, n_kv, cfg.head_dim)
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
 
-        d_pad = kc.shape[-1]
-        attn = chunked_prefill_attention_ref(
-            pad_head(q, d_pad), pad_head(k, d_pad), pad_head(v, d_pad),
-            kc[l], vc[l], block_tables, history_lens,
-            scale)[..., : cfg.head_dim]
+        if has_history:
+            d_pad = kc.shape[-1]
+            attn = chunked_prefill_attention_ref(
+                pad_head(q, d_pad), pad_head(k, d_pad), pad_head(v, d_pad),
+                kc[l], vc[l], block_tables, history_lens,
+                scale)[..., : cfg.head_dim]
+        else:
+            attn = prefill_attention_ref(q, k, v, scale)
 
-        kc = kc.at[l, flat_pages, :, flat_offsets].set(
-            pad_head(k, d_pad).reshape(
-                B * S, cfg.num_kv_heads, d_pad).astype(kc.dtype))
-        vc = vc.at[l, flat_pages, :, flat_offsets].set(
-            pad_head(v, d_pad).reshape(
-                B * S, cfg.num_kv_heads, d_pad).astype(vc.dtype))
+        kc, vc = store_chunk(kc, vc, l, k, v)
 
-        attn_out = linear(attn.reshape(B, S, cfg.q_dim), lp["wo"])
+        attn_out = _maybe_psum(
+            linear(attn.reshape(B, S, q_dim), lp["wo"]), tp_axis)
         normed2, resid = rmsnorm_residual(attn_out, hid, lp["mlp_norm"],
                                           cfg.rms_norm_eps)
-        mlp = linear(swiglu(linear(normed2, lp["w_gate"]),
-                            linear(normed2, lp["w_up"])), lp["w_down"])
+        mlp = _maybe_psum(
+            linear(swiglu(linear(normed2, lp["w_gate"]),
+                          linear(normed2, lp["w_up"])), lp["w_down"]),
+            tp_axis)
         return (resid + mlp, kc, vc), None
 
     (h, k_cache, v_cache), _ = jax.lax.scan(
@@ -276,7 +357,7 @@ def prefill_step(cfg: ModelConfig, params: Params,
     # Only the last valid token's logits are needed (next-token prediction).
     last_idx = jnp.clip(chunk_lens - 1, 0, S - 1)
     h_last = jnp.take_along_axis(h, last_idx[:, None, None], axis=1)[:, 0]
-    return _lm_logits(params, h_last), k_cache, v_cache
+    return _lm_logits(params, h_last, tp_axis), k_cache, v_cache
 
 
 # ---------------------------------------------------------------------------

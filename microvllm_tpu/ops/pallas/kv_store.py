@@ -1,0 +1,122 @@
+"""Pallas kernel: bulk-store a prefill chunk's K/V into cache pages.
+
+TPU-native equivalent of the reference's Triton `store_kvcache_kernel`
+(`core/cache_manager.py:74-140`) for the prefill path: page-granular DMA
+writes from VMEM into the paged HBM cache, with the cache aliased
+input->output — no XLA scatter, no cache copy.
+
+Requirements (enforced by the caller): chunk start (history_len) is
+page-aligned — guaranteed because prefill chunk buckets are multiples of
+page_size. Slots past chunk_len inside a page receive garbage; they are
+always masked by context length and later overwritten slot-exact by the
+decode append RMW, so this is safe.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _store_kernel(
+    # scalar prefetch
+    layer_ref,          # [1] int32
+    block_tables_ref,   # [B * max_pages] int32
+    history_ref,        # [B] int32 (page-aligned)
+    chunk_lens_ref,     # [B] int32
+    # inputs
+    k_new_ref,          # [1, KV, ps, D] VMEM block for (b, j)
+    v_new_ref,
+    k_hbm,              # [L, P, KV, ps, D] ANY (aliased)
+    v_hbm,
+    # outputs (aliased)
+    k_out,
+    v_out,
+    # scratch
+    sems,               # [2] DMA
+    *,
+    page_size: int,
+    max_pages: int,
+):
+    b = pl.program_id(0)
+    j = pl.program_id(1)
+    layer = layer_ref[0]
+    chunk_len = chunk_lens_ref[b]
+
+    @pl.when(j * page_size < chunk_len)
+    def _():
+        start_page = history_ref[b] // page_size
+        page = block_tables_ref[b * max_pages + start_page + j]
+        k_cp = pltpu.make_async_copy(
+            k_new_ref.at[0], k_out.at[layer, page], sems.at[0])
+        v_cp = pltpu.make_async_copy(
+            v_new_ref.at[0], v_out.at[layer, page], sems.at[1])
+        k_cp.start()
+        v_cp.start()
+        k_cp.wait()
+        v_cp.wait()
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def store_kv_pages(
+    k_new: jnp.ndarray,         # [B, KV, S, D] (transposed chunk, padded D)
+    v_new: jnp.ndarray,
+    k_cache: jnp.ndarray,       # [L, P, KV, page_size, D]
+    v_cache: jnp.ndarray,
+    block_tables: jnp.ndarray,  # [B, max_pages] int32
+    history_lens: jnp.ndarray,  # [B] int32, page-aligned
+    chunk_lens: jnp.ndarray,    # [B] int32
+    layer: jnp.ndarray,
+    *,
+    interpret: bool = False,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    B, KV, S, D = k_new.shape
+    L, P, _, page_size, _ = k_cache.shape
+    max_pages = block_tables.shape[1]
+    assert S % page_size == 0, (S, page_size)
+    pages_per_chunk = S // page_size
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(B, pages_per_chunk),
+        in_specs=[
+            pl.BlockSpec((1, KV, page_size, D),
+                         lambda b, j, *_: (b, 0, j, 0)),
+            pl.BlockSpec((1, KV, page_size, D),
+                         lambda b, j, *_: (b, 0, j, 0)),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        scratch_shapes=[pltpu.SemaphoreType.DMA((2,))],
+    )
+
+    kernel = functools.partial(_store_kernel, page_size=page_size,
+                               max_pages=max_pages)
+
+    k_cache, v_cache = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct(k_cache.shape, k_cache.dtype),
+            jax.ShapeDtypeStruct(v_cache.shape, v_cache.dtype),
+        ],
+        # flattened inputs: 0-3 scalars, 4=k_new, 5=v_new, 6=k_cache, 7=v_cache
+        input_output_aliases={6: 0, 7: 1},
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            has_side_effects=True,
+        ),
+        interpret=interpret,
+    )(jnp.atleast_1d(layer).astype(jnp.int32), block_tables.reshape(-1),
+      history_lens, chunk_lens,
+      k_new.astype(k_cache.dtype), v_new.astype(v_cache.dtype),
+      k_cache, v_cache)
+    return k_cache, v_cache

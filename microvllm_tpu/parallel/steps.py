@@ -1,0 +1,105 @@
+"""shard_map-wrapped engine step functions for TP×DP meshes.
+
+GSPMD auto-partitioning cannot split a Pallas kernel, so the sharded engine
+runs the WHOLE step inside `jax.shard_map`: every rank executes the same
+program on its (head-sharded) weight/cache shards and (batch-sharded) batch
+slice, with `lax.psum` after the row-parallel projections and an all-gather
+of vocab-sharded logits before sampling (see
+`microvllm_tpu/models/transformer.py` tp_axis plumbing). This replaces the
+reference's per-rank weight chunking + NCCL all_reduce + rank-0 sampling +
+pickled broadcast control plane (`core/parallel_config.py`,
+`core/inference_context.py`) with a single SPMD program.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..config import EngineConfig
+from ..models import transformer as model_lib
+from ..ops.sampling import sample_tokens
+from .mesh import DATA_AXIS, MODEL_AXIS
+from .sharding import cache_spec, param_specs
+
+
+def _shard_map(fn, mesh, in_specs, out_specs):
+    return jax.shard_map(fn, mesh=mesh, in_specs=in_specs,
+                         out_specs=out_specs, check_vma=False)
+
+
+class ShardedStepFns:
+    """Builds jitted shard_map step functions matching the engine's calling
+    convention (`InferenceEngine._decode_fn` / `_prefill_fn`)."""
+
+    def __init__(self, mesh: Mesh, config: EngineConfig, params: Any):
+        self.mesh = mesh
+        self.config = config
+        self.mcfg = config.model
+        self.tp = config.parallel.tp_size
+        self._pspecs = param_specs(params)
+        self._cspec = cache_spec(self.mcfg, self.tp)
+        self._decode_cache: dict[int, Any] = {}
+        self._prefill_cache: dict[bool, Any] = {}
+
+    # -- decode ------------------------------------------------------------
+
+    def decode_fn(self, params, k, v, tokens, tables, ctx, temp, top_p, rng,
+                  span: int):
+        return self._decode_for(span)(params, k, v, tokens, tables, ctx,
+                                      temp, top_p, rng)
+
+    def _decode_for(self, span: int):
+        if span in self._decode_cache:
+            return self._decode_cache[span]
+        cfg, tp = self.mcfg, self.tp
+
+        def local_step(params, k, v, tokens, tables, ctx, temp, top_p, rng):
+            return model_lib.decode_span(
+                cfg, params, k, v, tokens, tables, ctx, temp, top_p, rng,
+                span, tp_axis=MODEL_AXIS if tp > 1 else None, tp_size=tp)
+
+        b = P(DATA_AXIS)
+        sm = _shard_map(
+            local_step, self.mesh,
+            in_specs=(self._pspecs, self._cspec, self._cspec, b,
+                      P(DATA_AXIS, None), b, b, b, P()),
+            out_specs=(P(DATA_AXIS, None), self._cspec, self._cspec))
+        fn = jax.jit(sm, donate_argnums=(1, 2))
+        self._decode_cache[span] = fn
+        return fn
+
+    # -- prefill -----------------------------------------------------------
+
+    def prefill_fn(self, params, k, v, tokens, tables, chunk_lens, history,
+                   temp, top_p, rng, has_history: bool):
+        return self._prefill_for(bool(has_history))(
+            params, k, v, tokens, tables, chunk_lens, history, temp, top_p,
+            rng)
+
+    def _prefill_for(self, has_history: bool):
+        if has_history in self._prefill_cache:
+            return self._prefill_cache[has_history]
+        cfg, tp = self.mcfg, self.tp
+
+        def local_step(params, k, v, tokens, tables, chunk_lens, history,
+                       temp, top_p, rng):
+            logits, k, v = model_lib.prefill_step(
+                cfg, params, k, v, tokens, tables, chunk_lens, history,
+                has_history, tp_axis=MODEL_AXIS if tp > 1 else None,
+                tp_size=tp)
+            return sample_tokens(logits, rng, temp, top_p), k, v
+
+        b = P(DATA_AXIS)
+        sm = _shard_map(
+            local_step, self.mesh,
+            in_specs=(self._pspecs, self._cspec, self._cspec,
+                      P(DATA_AXIS, None), P(DATA_AXIS, None), b, b, b, b,
+                      P()),
+            out_specs=(b, self._cspec, self._cspec))
+        fn = jax.jit(sm, donate_argnums=(1, 2))
+        self._prefill_cache[has_history] = fn
+        return fn

@@ -45,12 +45,13 @@ def _decode_span_jit(cfg, params, k_cache, v_cache, tokens, block_tables,
         temperature, top_p, rng, num_steps)
 
 
-@partial(jax.jit, static_argnums=0, donate_argnums=(2, 3))
+@partial(jax.jit, static_argnums=(0, 11), donate_argnums=(2, 3))
 def _prefill_jit(cfg, params, k_cache, v_cache, tokens, block_tables,
-                 chunk_lens, history_lens, temperature, top_p, rng):
+                 chunk_lens, history_lens, temperature, top_p, rng,
+                 has_history):
     logits, k_cache, v_cache = model_lib.prefill_step(
         cfg, params, k_cache, v_cache, tokens, block_tables,
-        chunk_lens, history_lens)
+        chunk_lens, history_lens, has_history)
     next_tokens = sample_tokens(logits, rng, temperature, top_p)
     return next_tokens, k_cache, v_cache
 
@@ -94,8 +95,12 @@ class InferenceEngine:
         self._rng = jax.random.PRNGKey(config.seed)
         if params is None:
             logger.info("initializing random params (no checkpoint given)")
-            params = model_lib.init_params(self.mcfg, jax.random.PRNGKey(1))
-        if config.quant.quantize_weights:
+            params = model_lib.init_params(
+                self.mcfg, jax.random.PRNGKey(1),
+                quant_bits=(config.quant.weight_bits
+                            if config.quant.quantize_weights else None),
+                quant_group_size=config.quant.weight_group_size)
+        elif config.quant.quantize_weights:
             params = quantize_params(params, config.quant.weight_bits,
                                      config.quant.weight_group_size)
         self.params = params
@@ -115,8 +120,21 @@ class InferenceEngine:
         self._stream_callbacks: dict[int, StreamCallback] = {}
         self._mesh = mesh
 
-        self._decode_fn = self._build_decode_fn()
-        self._prefill_fn = self._build_prefill_fn()
+        if config.parallel.world_size > 1:
+            from ..parallel.mesh import make_mesh
+            from ..parallel.sharding import shard_engine_arrays
+            from ..parallel.steps import ShardedStepFns
+            if self._mesh is None:
+                self._mesh = make_mesh(config.parallel)
+            self.params, self.k_cache, self.v_cache = shard_engine_arrays(
+                self._mesh, self.mcfg, self.params, self.k_cache,
+                self.v_cache, config.parallel.tp_size)
+            fns = ShardedStepFns(self._mesh, config, self.params)
+            self._decode_fn = fns.decode_fn
+            self._prefill_fn = fns.prefill_fn
+        else:
+            self._decode_fn = self._build_decode_fn()
+            self._prefill_fn = self._build_prefill_fn()
 
     # ------------------------------------------------------------------
     # Compiled step functions
@@ -168,8 +186,8 @@ class InferenceEngine:
         tok, self.k_cache, self.v_cache = self._prefill_fn(
             self.params, self.k_cache, self.v_cache, jnp.asarray(tokens),
             jnp.asarray(tables), jnp.asarray(z), jnp.asarray(z),
-            jnp.asarray(f), jnp.asarray(f), self._step_rng())
-        tok.block_until_ready()
+            jnp.asarray(f), jnp.asarray(f), self._step_rng(), False)
+        np.asarray(tok)
 
     def _step_rng(self) -> jax.Array:
         self._rng, sub = jax.random.split(self._rng)
@@ -312,7 +330,8 @@ class InferenceEngine:
             self.params, self.k_cache, self.v_cache, jnp.asarray(tokens),
             jnp.asarray(tables), jnp.asarray(chunk_lens),
             jnp.asarray(history), jnp.asarray(temperature),
-            jnp.asarray(top_p), self._step_rng())
+            jnp.asarray(top_p), self._step_rng(),
+            bool(history.any()))
         next_tokens = np.asarray(next_tokens)
 
         self.scheduler.on_prefill_done(batch)

@@ -68,3 +68,43 @@ def test_decode_kernel_gqa_group_of_one():
     got = paged_decode_attention(q, kp, vp, bt, jnp.array([40], jnp.int32),
                                  scale=128 ** -0.5, interpret=True)
     np.testing.assert_allclose(got, ref, rtol=2e-5, atol=2e-5)
+
+
+def test_store_kv_pages_matches_scatter():
+    from microvllm_tpu.ops.pallas.kv_store import store_kv_pages
+
+    L, B, KV, D, PS, NP, MP = 2, 2, 2, 128, 16, 16, 4
+    S = 32  # chunk of 2 pages
+    kc = jnp.zeros((L, NP, KV, PS, D))
+    vc = jnp.zeros((L, NP, KV, PS, D))
+    bt = jnp.array([[1, 2, 3, 0], [5, 6, 0, 0]], dtype=jnp.int32)
+    history = jnp.array([16, 0], jnp.int32)     # row0 page-aligned history
+    chunk_lens = jnp.array([32, 20], jnp.int32)  # row1 ragged tail
+    k_new = jax.random.normal(jax.random.PRNGKey(0), (B, KV, S, D))
+    v_new = jax.random.normal(jax.random.PRNGKey(1), (B, KV, S, D))
+
+    kc2, vc2 = store_kv_pages(k_new, v_new, kc, vc, bt, history, chunk_lens,
+                              jnp.int32(1), interpret=True)
+
+    # oracle: scatter valid tokens only
+    ko, vo = kc[1], vc[1]
+    for b in range(B):
+        for t in range(int(chunk_lens[b])):
+            pos = int(history[b]) + t
+            page = int(bt[b, pos // PS])
+            ko = ko.at[page, :, pos % PS].set(k_new[b, :, t])
+            vo = vo.at[page, :, pos % PS].set(v_new[b, :, t])
+
+    # all validly-addressed slots match the oracle
+    for b in range(B):
+        for t in range(int(chunk_lens[b])):
+            pos = int(history[b]) + t
+            page = int(bt[b, pos // PS])
+            np.testing.assert_allclose(kc2[1, page, :, pos % PS],
+                                       ko[page, :, pos % PS], rtol=1e-6)
+            np.testing.assert_allclose(vc2[1, page, :, pos % PS],
+                                       vo[page, :, pos % PS], rtol=1e-6)
+    # layer 0 untouched
+    assert float(jnp.abs(kc2[0]).max()) == 0.0
+    # pages not referenced by any block table remain zero
+    assert float(jnp.abs(kc2[1, 8:]).max()) == 0.0
