@@ -1,4 +1,9 @@
-"""Linear projection with transparent quantized-weight dispatch."""
+"""Linear projection with transparent quantized-weight dispatch.
+
+Plain weights go straight to the MXU. Quantized weights dispatch to the
+Pallas fused dequant-matmul on TPU (no bf16 weight materialization); the
+jnp fallback dequantizes grouped so XLA can fuse the scale multiply.
+"""
 
 from __future__ import annotations
 
@@ -7,12 +12,37 @@ import jax.numpy as jnp
 from .quant import QuantizedTensor
 
 
+def _pallas_block_k(K: int, group_size: int) -> int:
+    best = group_size
+    for mult in range(min(512 // group_size, K // group_size), 0, -1):
+        if K % (mult * group_size) == 0:
+            best = mult * group_size
+            break
+    return best
+
+
+def _quant_linear(x: jnp.ndarray, w: QuantizedTensor) -> jnp.ndarray:
+    from .attention import use_pallas
+
+    K, N = w.q.shape
+    if use_pallas() and w.q.dtype == jnp.int8:
+        from .pallas.quant_matmul import quant_matmul
+
+        lead = x.shape[:-1]
+        y = quant_matmul(x.reshape(-1, K), w.q, w.scales,
+                         group_size=w.group_size,
+                         block_k=_pallas_block_k(K, w.group_size))
+        return y.reshape(*lead, N)
+    return jnp.einsum("...i,io->...o", x, w.dequant(x.dtype))
+
+
 def linear(x: jnp.ndarray, w, bias=None) -> jnp.ndarray:
     """``x @ w (+ bias)`` where ``w`` is a plain ``[in, out]`` array or a
     :class:`QuantizedTensor`. Contraction over the last axis of ``x``."""
     if isinstance(w, QuantizedTensor):
-        w = w.dequant(x.dtype)
-    y = jnp.einsum("...i,io->...o", x, w)
+        y = _quant_linear(x, w)
+    else:
+        y = jnp.einsum("...i,io->...o", x, w)
     if bias is not None:
         y = y + bias.astype(y.dtype)
     return y

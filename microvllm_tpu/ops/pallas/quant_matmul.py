@@ -1,0 +1,102 @@
+"""Pallas fused dequant-matmul: ``x @ dequant(q, scales)`` at int8/int4 HBM
+bandwidth.
+
+The quantized-weights equivalent of the reference's fused Triton
+`swiglu_gemm` path (`kernel/swiglu.py`), and the speed-of-light piece of the
+INT8/INT4 weight-only story: the quantized weight tile is DMA'd once,
+converted + scaled in VMEM, and fed straight to the MXU — no bf16 weight
+materialization in HBM (XLA's dequant path writes and re-reads the full
+bf16 weight, ~3x the traffic).
+
+Weight layout ``[in_dim, out_dim]``, scales ``[in_dim // group, out_dim]``
+(group-wise symmetric, matching `microvllm_tpu/ops/quant.py`).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _qmm_kernel(x_ref, q_ref, s_ref, o_ref, acc_ref, *,
+                group_size: int, groups_per_tile: int, n_k: int):
+    i = pl.program_id(2)                      # contraction tile index
+
+    @pl.when(i == 0)
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    w = q_ref[...].astype(jnp.bfloat16)       # [TK, TN]
+    # s_ref block is this k-tile's row-padded scales [8m, TN]; expand the
+    # used rows to per-weight-row: [gpt, TN] -> [TK, TN]
+    s = s_ref[0, :groups_per_tile, :].astype(jnp.bfloat16)
+    tn = s.shape[-1]
+    s = jnp.broadcast_to(s[:, None, :], (groups_per_tile, group_size, tn))
+    s = s.reshape(groups_per_tile * group_size, tn)
+    acc_ref[...] += jax.lax.dot_general(
+        x_ref[...], w * s, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    @pl.when(i == n_k - 1)
+    def _():
+        o_ref[...] = acc_ref[...].astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("group_size", "block_m", "block_n", "block_k",
+                     "interpret"))
+def quant_matmul(
+    x: jnp.ndarray,          # [M, K] bf16/f32
+    q: jnp.ndarray,          # [K, N] int8 (int4 values stored as int8)
+    scales: jnp.ndarray,     # [K // group_size, N] f32
+    *,
+    group_size: int,
+    block_m: int = 256,
+    block_n: int = 512,
+    block_k: int = 512,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    M, K = x.shape
+    _, N = q.shape
+    block_m = min(block_m, max(8, M))
+    block_k = min(block_k, K)
+    block_n = min(block_n, N)
+    assert K % block_k == 0 and block_k % group_size == 0, (K, block_k)
+    n_k = K // block_k
+
+    grid = (pl.cdiv(M, block_m), pl.cdiv(N, block_n), n_k)
+
+    # Retile scales to [n_k, srows(=8 multiple), N] so each k-tile's block
+    # is sublane-legal (scales are tiny; this copy is noise).
+    gpt = block_k // group_size
+    srows = -(-gpt // 8) * 8
+    s_tiled = jnp.zeros((n_k, srows, N), scales.dtype)
+    s_tiled = s_tiled.at[:, :gpt].set(scales.reshape(n_k, gpt, N))
+
+    kernel = functools.partial(_qmm_kernel, group_size=group_size,
+                               groups_per_tile=gpt, n_k=n_k)
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((block_m, block_k), lambda m, n, k: (m, k)),
+            pl.BlockSpec((block_k, block_n), lambda m, n, k: (k, n)),
+            pl.BlockSpec((1, srows, block_n), lambda m, n, k: (k, 0, n)),
+        ],
+        out_specs=pl.BlockSpec((block_m, block_n), lambda m, n, k: (m, n)),
+        out_shape=jax.ShapeDtypeStruct((M, N), x.dtype),
+        scratch_shapes=[pltpu.VMEM((block_m, block_n), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * M * K * N,
+            bytes_accessed=M * K * 2 + K * N + M * N * 2,
+            transcendentals=0),
+        interpret=interpret,
+    )(x, q, s_tiled)
+    return out

@@ -45,9 +45,12 @@ class QuantizedTensor:
     def dequant(self, dtype=jnp.bfloat16) -> jnp.ndarray:
         in_dim, out_dim = self.q.shape
         g = self.group_size
-        w = self.q.astype(jnp.float32).reshape(in_dim // g, g, out_dim)
-        w = w * self.scales[:, None, :]
-        return w.reshape(in_dim, out_dim).astype(dtype)
+        # compute in the requested dtype so XLA can fuse the convert+scale
+        # into the consuming matmul's operand read (an fp32 intermediate
+        # would force a full-weight materialization)
+        w = self.q.astype(dtype).reshape(in_dim // g, g, out_dim)
+        w = w * self.scales[:, None, :].astype(dtype)
+        return w.reshape(in_dim, out_dim)
 
 
 def quantize(w: jnp.ndarray, bits: int, group_size: int = 128) -> QuantizedTensor:

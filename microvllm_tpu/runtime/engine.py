@@ -113,7 +113,8 @@ class InferenceEngine:
         self.k_cache, self.v_cache = model_lib.init_kv_cache(
             self.mcfg, config.cache, dtype=kv_dtype)
 
-        self.allocator = PageAllocator(config.cache)
+        from .native_alloc import make_allocator
+        self.allocator = make_allocator(config.cache)  # C++ when buildable
         self.scheduler = Scheduler(config.scheduler, config.max_model_len,
                                    allocator=self.allocator)
         self.metrics = EngineMetrics()

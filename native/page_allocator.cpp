@@ -1,0 +1,159 @@
+// Native page allocator for the paged KV cache.
+//
+// C++ implementation of the host-side bookkeeping that backs
+// microvllm_tpu/runtime/kv_cache.py (the reference keeps this in Python,
+// core/cache_manager.py:262-691; at high request rates the per-step
+// table-building becomes host-bound, so the engine loads this via ctypes
+// when built — python fallback otherwise).
+//
+// Build: native/build.sh  (g++ -O2 -shared -fPIC)
+
+#include <cstdint>
+#include <cstring>
+#include <deque>
+#include <unordered_map>
+#include <vector>
+
+namespace {
+
+struct Allocator {
+  int32_t num_pages;        // includes trash page 0
+  int32_t page_size;
+  int32_t max_pages_per_seq;
+  std::deque<int32_t> free_pages;
+  std::unordered_map<int64_t, std::vector<int32_t>> tables;
+  std::unordered_map<int64_t, int64_t> lens;
+
+  explicit Allocator(int32_t np, int32_t ps, int32_t mpps)
+      : num_pages(np), page_size(ps), max_pages_per_seq(mpps) {
+    for (int32_t p = 1; p < np; ++p) free_pages.push_back(p);
+  }
+
+  int64_t pages_needed(int64_t tokens) const {
+    return (tokens + page_size - 1) / page_size;
+  }
+};
+
+}  // namespace
+
+extern "C" {
+
+void* mvt_alloc_create(int32_t num_pages, int32_t page_size,
+                       int32_t max_pages_per_seq) {
+  return new Allocator(num_pages, page_size, max_pages_per_seq);
+}
+
+void mvt_alloc_destroy(void* h) { delete static_cast<Allocator*>(h); }
+
+int64_t mvt_alloc_num_free(void* h) {
+  return static_cast<Allocator*>(h)->free_pages.size();
+}
+
+int64_t mvt_alloc_seq_len(void* h, int64_t seq_id) {
+  auto* a = static_cast<Allocator*>(h);
+  auto it = a->lens.find(seq_id);
+  return it == a->lens.end() ? 0 : it->second;
+}
+
+int32_t mvt_alloc_has_seq(void* h, int64_t seq_id) {
+  auto* a = static_cast<Allocator*>(h);
+  return a->tables.count(seq_id) ? 1 : 0;
+}
+
+// Returns 0 on success, -1 out of pages, -2 exceeds max_pages_per_seq,
+// -3 already allocated.
+int32_t mvt_alloc_allocate(void* h, int64_t seq_id, int64_t num_tokens) {
+  auto* a = static_cast<Allocator*>(h);
+  if (a->tables.count(seq_id)) return -3;
+  int64_t need = a->pages_needed(num_tokens);
+  if (need > static_cast<int64_t>(a->free_pages.size())) return -1;
+  if (need > a->max_pages_per_seq) return -2;
+  auto& table = a->tables[seq_id];
+  table.reserve(need);
+  for (int64_t i = 0; i < need; ++i) {
+    table.push_back(a->free_pages.front());
+    a->free_pages.pop_front();
+  }
+  a->lens[seq_id] = num_tokens;
+  return 0;
+}
+
+int32_t mvt_alloc_extend(void* h, int64_t seq_id, int64_t num_tokens) {
+  auto* a = static_cast<Allocator*>(h);
+  auto it = a->tables.find(seq_id);
+  if (it == a->tables.end()) return -3;
+  int64_t new_len = a->lens[seq_id] + num_tokens;
+  int64_t total = a->pages_needed(new_len);
+  int64_t need = total - static_cast<int64_t>(it->second.size());
+  if (total > a->max_pages_per_seq) return -2;
+  if (need > static_cast<int64_t>(a->free_pages.size())) return -1;
+  for (int64_t i = 0; i < need; ++i) {
+    it->second.push_back(a->free_pages.front());
+    a->free_pages.pop_front();
+  }
+  a->lens[seq_id] = new_len;
+  return 0;
+}
+
+int32_t mvt_alloc_append_token(void* h, int64_t seq_id) {
+  return mvt_alloc_extend(h, seq_id, 1);
+}
+
+void mvt_alloc_free(void* h, int64_t seq_id) {
+  auto* a = static_cast<Allocator*>(h);
+  auto it = a->tables.find(seq_id);
+  if (it == a->tables.end()) return;
+  for (int32_t p : it->second) a->free_pages.push_back(p);
+  a->tables.erase(it);
+  a->lens.erase(seq_id);
+}
+
+void mvt_alloc_reset(void* h) {
+  auto* a = static_cast<Allocator*>(h);
+  a->tables.clear();
+  a->lens.clear();
+  a->free_pages.clear();
+  for (int32_t p = 1; p < a->num_pages; ++p) a->free_pages.push_back(p);
+}
+
+// Fill a fixed-width int32 row (width == max_pages_per_seq); unused entries
+// get the trash page 0.
+void mvt_alloc_block_table_row(void* h, int64_t seq_id, int32_t* out) {
+  auto* a = static_cast<Allocator*>(h);
+  std::memset(out, 0, sizeof(int32_t) * a->max_pages_per_seq);
+  auto it = a->tables.find(seq_id);
+  if (it == a->tables.end()) return;
+  std::memcpy(out, it->second.data(), sizeof(int32_t) * it->second.size());
+}
+
+// Fill [batch, max_pages] tables and [batch] lens for a batch of seq ids
+// (n <= batch); padding rows are all-trash / zero.
+void mvt_alloc_batch_views(void* h, const int64_t* seq_ids, int32_t n,
+                           int32_t batch, int32_t* tables_out,
+                           int32_t* lens_out) {
+  auto* a = static_cast<Allocator*>(h);
+  std::memset(tables_out, 0,
+              sizeof(int32_t) * batch * a->max_pages_per_seq);
+  std::memset(lens_out, 0, sizeof(int32_t) * batch);
+  for (int32_t i = 0; i < n; ++i) {
+    mvt_alloc_block_table_row(h, seq_ids[i],
+                              tables_out + i * a->max_pages_per_seq);
+    lens_out[i] = static_cast<int32_t>(mvt_alloc_seq_len(h, seq_ids[i]));
+  }
+}
+
+// Stats: [total_usable, free, used, num_seqs, used_slots]
+void mvt_alloc_stats(void* h, int64_t* out) {
+  auto* a = static_cast<Allocator*>(h);
+  int64_t usable = a->num_pages - 1;
+  int64_t free_p = a->free_pages.size();
+  int64_t used_slots = 0;
+  for (auto& kv : a->lens) used_slots += kv.second;
+  out[0] = usable;
+  out[1] = free_p;
+  out[2] = usable - free_p;
+  out[3] = static_cast<int64_t>(a->tables.size());
+  out[4] = used_slots;
+}
+
+}  // extern "C"

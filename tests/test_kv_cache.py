@@ -94,3 +94,90 @@ def test_reset():
     a.reset()
     assert a.num_free == 8
     assert not a.has_seq(1)
+
+
+# ---------------------------------------------------------------------------
+# Native (C++) allocator: same contract, exercised through the same paths
+# ---------------------------------------------------------------------------
+
+native = pytest.importorskip("microvllm_tpu.runtime.native_alloc")
+
+
+@pytest.fixture
+def native_alloc():
+    if not native.native_available():
+        pytest.skip("native allocator not buildable here")
+    return native.NativePageAllocator(
+        CacheConfig(num_pages=9, page_size=16, max_pages_per_seq=4))
+
+
+def test_native_lifecycle(native_alloc):
+    a = native_alloc
+    a.allocate(1, 17)
+    assert a.seq_len(1) == 17
+    assert a.num_free == 6
+    a.append_token(1)
+    assert a.seq_len(1) == 18
+    row = a.block_table_row(1)
+    assert (row != TRASH_PAGE).sum() == 2
+    a.free(1)
+    assert a.num_free == 8
+    assert not a.has_seq(1)
+
+
+def test_native_oom_and_max_pages(native_alloc):
+    a = native_alloc
+    with pytest.raises(OutOfPagesError):
+        a.allocate(1, 1000)
+    a.allocate(2, 16)
+    with pytest.raises(OutOfPagesError):
+        a.extend(2, 64)   # > max_pages_per_seq
+
+
+def test_native_matches_python_behavior():
+    if not native.native_available():
+        pytest.skip("native allocator not buildable here")
+    cfg = CacheConfig(num_pages=17, page_size=8, max_pages_per_seq=6)
+    py, nat = PageAllocator(cfg), native.NativePageAllocator(cfg)
+    import random
+    rng = random.Random(0)
+    live = []
+    for step in range(300):
+        op = rng.random()
+        if op < 0.4 or not live:
+            sid = step
+            n = rng.randint(1, 30)
+            try:
+                py.allocate(sid, n)
+                ok_py = True
+            except OutOfPagesError:
+                ok_py = False
+            try:
+                nat.allocate(sid, n)
+                ok_nat = True
+            except OutOfPagesError:
+                ok_nat = False
+            assert ok_py == ok_nat
+            if ok_py:
+                live.append(sid)
+        elif op < 0.7:
+            sid = rng.choice(live)
+            try:
+                py.append_token(sid)
+                ok_py = True
+            except OutOfPagesError:
+                ok_py = False
+            try:
+                nat.append_token(sid)
+                ok_nat = True
+            except OutOfPagesError:
+                ok_nat = False
+            assert ok_py == ok_nat
+        else:
+            sid = live.pop(rng.randrange(len(live)))
+            py.free(sid)
+            nat.free(sid)
+        assert py.num_free == nat.num_free
+        for sid in live:
+            assert py.seq_len(sid) == nat.seq_len(sid)
+            assert (py.block_table_row(sid) == nat.block_table_row(sid)).all()

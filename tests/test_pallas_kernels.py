@@ -108,3 +108,23 @@ def test_store_kv_pages_matches_scatter():
     assert float(jnp.abs(kc2[0]).max()) == 0.0
     # pages not referenced by any block table remain zero
     assert float(jnp.abs(kc2[1, 8:]).max()) == 0.0
+
+
+@pytest.mark.parametrize("K,N,M,gs", [(512, 768, 20, 128), (384, 256, 4, 128),
+                                      (1024, 512, 64, 64)])
+def test_quant_matmul_matches_dequant(K, N, M, gs):
+    from microvllm_tpu.ops.pallas.quant_matmul import quant_matmul
+    from microvllm_tpu.ops.quant import quantize
+
+    key = jax.random.PRNGKey(0)
+    w = jax.random.normal(key, (K, N), jnp.float32) * 0.05
+    qt = quantize(w, 8, gs)
+    x = jax.random.normal(jax.random.PRNGKey(1), (M, K), jnp.float32)
+    ref = x @ qt.dequant(jnp.float32)
+    got = quant_matmul(x, qt.q, qt.scales, group_size=qt.group_size,
+                       block_m=8, block_n=256, block_k=min(K, 256)
+                       if K % 256 == 0 else qt.group_size * 2
+                       if K % (qt.group_size * 2) == 0 else qt.group_size,
+                       interpret=True)
+    rel = float(jnp.linalg.norm(got - ref) / jnp.linalg.norm(ref))
+    assert rel < 2e-2
