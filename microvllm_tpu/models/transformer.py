@@ -291,6 +291,7 @@ def prefill_step(cfg: ModelConfig, params: Params,
     cos, sin = rope_cos_sin(positions, cfg.head_dim, cfg.rope_theta)
 
     pallas_store = use_pallas() and S % page_size == 0
+    pallas_attn = use_pallas() and S % min(128, S) == 0 and S % min(256, S) == 0
     if not pallas_store:
         valid = jnp.arange(S, dtype=jnp.int32)[None, :] < chunk_lens[:, None]
         page_ids, offsets = slot_coords(block_tables, positions, page_size)
@@ -329,8 +330,19 @@ def prefill_step(cfg: ModelConfig, params: Params,
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
 
-        if has_history:
-            d_pad = kc.shape[-1]
+        d_pad = kc.shape[-1]
+        if pallas_attn:
+            from ..ops.pallas.prefill_attention import flash_prefill_attention
+            qt = pad_head(q, d_pad).reshape(
+                B, S, n_kv, n_heads // n_kv, d_pad).transpose(0, 2, 3, 1, 4)
+            attn = flash_prefill_attention(
+                qt, pad_head(k, d_pad).transpose(0, 2, 1, 3),
+                pad_head(v, d_pad).transpose(0, 2, 1, 3),
+                kc, vc, block_tables, history_lens, chunk_lens, l,
+                scale=scale, with_history=has_history)
+            attn = attn.transpose(0, 3, 1, 2, 4).reshape(
+                B, S, n_heads, d_pad)[..., : cfg.head_dim]
+        elif has_history:
             attn = chunked_prefill_attention_ref(
                 pad_head(q, d_pad), pad_head(k, d_pad), pad_head(v, d_pad),
                 kc[l], vc[l], block_tables, history_lens,

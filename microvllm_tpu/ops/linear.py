@@ -24,13 +24,13 @@ def _pallas_block_k(K: int, group_size: int) -> int:
 def _quant_linear(x: jnp.ndarray, w: QuantizedTensor) -> jnp.ndarray:
     from .attention import use_pallas
 
-    K, N = w.q.shape
-    if use_pallas() and w.q.dtype == jnp.int8:
+    K, N = w.in_dim, w.out_dim
+    if use_pallas():
         from .pallas.quant_matmul import quant_matmul
 
         lead = x.shape[:-1]
         y = quant_matmul(x.reshape(-1, K), w.q, w.scales,
-                         group_size=w.group_size,
+                         group_size=w.group_size, bits=w.bits,
                          block_k=_pallas_block_k(K, w.group_size))
         return y.reshape(*lead, N)
     return jnp.einsum("...i,io->...o", x, w.dequant(x.dtype))

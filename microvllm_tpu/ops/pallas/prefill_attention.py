@@ -1,0 +1,224 @@
+"""Pallas TPU flash-attention prefill kernel with paged-history support.
+
+Covers the reference's prefill use of `flash_attn_with_kvcache`
+(`core/layer/model_prefill.py:49-52`) plus chunked prefill (which the
+reference lacks): queries of the current ``[B, S]`` chunk attend to
+
+  1. the sequence's cached history (block-table pages streamed HBM->VMEM,
+     like the decode kernel), then
+  2. the current chunk's keys/values causally (flash-style online softmax
+     over key blocks — no [S, S] score materialization).
+
+Grid: (batch, kv_head, q_block). Layouts chosen so DMA slices are
+tile-aligned: q/k/v arrive as ``[B, KV, S, D]`` (heads leading), the KV
+cache as ``[L, P, KV, page_size, D]``.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+MASK_VALUE = -2.0e38
+
+
+def _prefill_kernel(
+    # scalar prefetch
+    layer_ref,            # [1]
+    block_tables_ref,     # [B * max_pages]
+    history_ref,          # [B]
+    chunk_lens_ref,       # [B]
+    # inputs
+    q_ref,                # [1, 1, G, BQ, D]
+    k_ref,                # [1, 1, S, D] current chunk keys (this kv head)
+    v_ref,
+    k_hbm,                # [L, P, KV, ps, D] (ANY) or None-like when no hist
+    v_hbm,
+    # outputs
+    o_ref,                # [1, 1, G, BQ, D]
+    # scratch
+    k_buf,                # [2, ppc, ps, D] history staging
+    v_buf,
+    k_sems, v_sems,
+    *,
+    page_size: int,
+    max_pages: int,
+    pages_per_chunk: int,
+    block_q: int,
+    block_k: int,
+    scale: float,
+    with_history: bool,
+):
+    b = pl.program_id(0)
+    h = pl.program_id(1)
+    qb = pl.program_id(2)
+    hist = history_ref[b]
+    chunk_len = chunk_lens_ref[b]
+
+    G, BQ, D = q_ref.shape[2], q_ref.shape[3], q_ref.shape[4]
+    q = q_ref[0, 0].reshape(G * BQ, D).astype(jnp.float32) * scale
+
+    # local q positions within the chunk, replicated per head-group row
+    q_pos = jax.lax.broadcasted_iota(jnp.int32, (G, BQ), 1).reshape(G * BQ, 1)
+    q_pos = q_pos + qb * block_q
+
+    m = jnp.full((G * BQ, 1), MASK_VALUE, jnp.float32)
+    l = jnp.zeros((G * BQ, 1), jnp.float32)
+    acc = jnp.zeros((G * BQ, D), jnp.float32)
+
+    # ---- phase 1: attend to cached history pages -------------------------
+    if with_history:
+        chunk_tokens = page_size * pages_per_chunk
+        num_hchunks = pl.cdiv(hist, chunk_tokens)
+
+        def hist_copies(slot, c):
+            copies = []
+            for i in range(pages_per_chunk):
+                pg = block_tables_ref[b * max_pages + c * pages_per_chunk + i]
+                copies.append(pltpu.make_async_copy(
+                    k_hbm.at[layer_ref[0], pg, h], k_buf.at[slot, i],
+                    k_sems.at[slot]))
+                copies.append(pltpu.make_async_copy(
+                    v_hbm.at[layer_ref[0], pg, h], v_buf.at[slot, i],
+                    v_sems.at[slot]))
+            return copies
+
+        @pl.when(num_hchunks > 0)
+        def _():
+            for cp in hist_copies(0, 0):
+                cp.start()
+
+        def hist_body(c, carry):
+            m, l, acc = carry
+            slot = jax.lax.rem(c, 2)
+
+            @pl.when(c + 1 < num_hchunks)
+            def _():
+                for cp in hist_copies(jax.lax.rem(c + 1, 2), c + 1):
+                    cp.start()
+
+            for cp in hist_copies(slot, c):
+                cp.wait()
+
+            kh = k_buf[slot].reshape(chunk_tokens, D)
+            vh = v_buf[slot].reshape(chunk_tokens, D)
+            s = jax.lax.dot_general(q, kh, (((1,), (1,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+            kpos = c * chunk_tokens + jax.lax.broadcasted_iota(
+                jnp.int32, (G * BQ, chunk_tokens), 1)
+            s = jnp.where(kpos < hist, s, MASK_VALUE)
+            m2 = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+            p = jnp.exp(s - m2)
+            alpha = jnp.exp(m - m2)
+            l2 = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
+            pv = jax.lax.dot_general(p.astype(vh.dtype), vh,
+                                     (((1,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+            return m2, l2, acc * alpha + pv
+
+        m, l, acc = jax.lax.fori_loop(0, num_hchunks, hist_body, (m, l, acc))
+
+    # ---- phase 2: causal attention over the current chunk ----------------
+    num_kblocks = pl.cdiv(
+        jnp.minimum((qb + 1) * block_q, chunk_len), block_k)
+
+    def cur_body(j, carry):
+        m, l, acc = carry
+        kh = k_ref[0, 0, pl.ds(j * block_k, block_k), :].astype(jnp.float32)
+        vh = v_ref[0, 0, pl.ds(j * block_k, block_k), :]
+        s = jax.lax.dot_general(q, kh, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        kpos = j * block_k + jax.lax.broadcasted_iota(
+            jnp.int32, (G * BQ, block_k), 1)
+        valid = (kpos <= q_pos) & (kpos < chunk_len)
+        s = jnp.where(valid, s, MASK_VALUE)
+        m2 = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+        p = jnp.exp(s - m2)
+        alpha = jnp.exp(m - m2)
+        l2 = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        pv = jax.lax.dot_general(p.astype(vh.dtype), vh,
+                                 (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        return m2, l2, acc * alpha + pv
+
+    m, l, acc = jax.lax.fori_loop(0, num_kblocks, cur_body, (m, l, acc))
+
+    out = acc / jnp.maximum(l, 1e-30)
+    o_ref[0, 0] = out.reshape(G, BQ, D).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("scale", "block_q", "block_k", "pages_per_chunk",
+                     "with_history", "interpret"))
+def flash_prefill_attention(
+    q: jnp.ndarray,             # [B, KV, G, S, D]
+    k: jnp.ndarray,             # [B, KV, S, D] current chunk (post-RoPE)
+    v: jnp.ndarray,
+    k_cache: jnp.ndarray,       # [L, P, KV, ps, D]
+    v_cache: jnp.ndarray,
+    block_tables: jnp.ndarray,  # [B, max_pages]
+    history_lens: jnp.ndarray,  # [B]
+    chunk_lens: jnp.ndarray,    # [B]
+    layer: jnp.ndarray,
+    *,
+    scale: float,
+    block_q: int = 128,
+    block_k: int = 256,
+    pages_per_chunk: int = 4,
+    with_history: bool = True,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Returns attention output ``[B, KV, G, S, D]`` in q.dtype."""
+    B, KV, G, S, D = q.shape
+    _, _, _, page_size, _ = k_cache.shape
+    max_pages = block_tables.shape[1]
+    block_q = min(block_q, S)
+    block_k = min(block_k, S)
+    assert S % block_q == 0 and S % block_k == 0, (S, block_q, block_k)
+
+    pages_per_chunk = min(pages_per_chunk, max_pages)
+    if max_pages % pages_per_chunk:
+        pad = pages_per_chunk - max_pages % pages_per_chunk
+        block_tables = jnp.pad(block_tables, ((0, 0), (0, pad)))
+        max_pages += pad
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(B, KV, S // block_q),
+        in_specs=[
+            pl.BlockSpec((1, 1, G, block_q, D),
+                         lambda b, h, qb, *_: (b, h, 0, qb, 0)),
+            pl.BlockSpec((1, 1, S, D), lambda b, h, qb, *_: (b, h, 0, 0)),
+            pl.BlockSpec((1, 1, S, D), lambda b, h, qb, *_: (b, h, 0, 0)),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec((1, 1, G, block_q, D),
+                               lambda b, h, qb, *_: (b, h, 0, qb, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((2, pages_per_chunk, page_size, D), k_cache.dtype),
+            pltpu.VMEM((2, pages_per_chunk, page_size, D), v_cache.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+
+    kernel = functools.partial(
+        _prefill_kernel, page_size=page_size, max_pages=max_pages,
+        pages_per_chunk=pages_per_chunk, block_q=block_q, block_k=block_k,
+        scale=scale, with_history=with_history)
+
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, KV, G, S, D), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary", "arbitrary")),
+        interpret=interpret,
+    )(jnp.atleast_1d(layer).astype(jnp.int32), block_tables.reshape(-1),
+      history_lens, chunk_lens, q, k, v, k_cache, v_cache)

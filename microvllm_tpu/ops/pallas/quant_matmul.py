@@ -23,14 +23,26 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _qmm_kernel(x_ref, q_ref, s_ref, o_ref, acc_ref, *,
-                group_size: int, groups_per_tile: int, n_k: int):
+                group_size: int, groups_per_tile: int, n_k: int, bits: int):
     i = pl.program_id(2)                      # contraction tile index
 
     @pl.when(i == 0)
     def _():
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
-    w = q_ref[...].astype(jnp.bfloat16)       # [TK, TN]
+    if bits == 4:
+        # unpack nibble-packed rows: [TK/2, TN] int8 -> [TK, TN]
+        # (group-local split: low nibbles are each group's first gs/2 rows)
+        p = q_ref[...].astype(jnp.int32)
+        half_g = group_size // 2
+        tn_ = p.shape[-1]
+        p = p.reshape(groups_per_tile, half_g, tn_)
+        lo = (p << 28) >> 28                  # sign-extended low nibble
+        hi = p >> 4                           # arithmetic shift: high nibble
+        w = jnp.concatenate([lo, hi], axis=1).reshape(
+            groups_per_tile * group_size, tn_).astype(jnp.bfloat16)
+    else:
+        w = q_ref[...].astype(jnp.bfloat16)   # [TK, TN]
     # s_ref block is this k-tile's row-padded scales [8m, TN]; expand the
     # used rows to per-weight-row: [gpt, TN] -> [TK, TN]
     s = s_ref[0, :groups_per_tile, :].astype(jnp.bfloat16)
@@ -48,21 +60,23 @@ def _qmm_kernel(x_ref, q_ref, s_ref, o_ref, acc_ref, *,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("group_size", "block_m", "block_n", "block_k",
+    static_argnames=("group_size", "bits", "block_m", "block_n", "block_k",
                      "interpret"))
 def quant_matmul(
     x: jnp.ndarray,          # [M, K] bf16/f32
-    q: jnp.ndarray,          # [K, N] int8 (int4 values stored as int8)
+    q: jnp.ndarray,          # [K, N] int8, or [K/2, N] nibble-packed int4
     scales: jnp.ndarray,     # [K // group_size, N] f32
     *,
     group_size: int,
+    bits: int = 8,
     block_m: int = 256,
     block_n: int = 512,
     block_k: int = 512,
     interpret: bool = False,
 ) -> jnp.ndarray:
     M, K = x.shape
-    _, N = q.shape
+    N = q.shape[1]
+    pack = 2 if bits == 4 else 1
     block_m = min(block_m, max(8, M))
     block_k = min(block_k, K)
     block_n = min(block_n, N)
@@ -79,13 +93,13 @@ def quant_matmul(
     s_tiled = s_tiled.at[:, :gpt].set(scales.reshape(n_k, gpt, N))
 
     kernel = functools.partial(_qmm_kernel, group_size=group_size,
-                               groups_per_tile=gpt, n_k=n_k)
+                               groups_per_tile=gpt, n_k=n_k, bits=bits)
     out = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec((block_m, block_k), lambda m, n, k: (m, k)),
-            pl.BlockSpec((block_k, block_n), lambda m, n, k: (k, n)),
+            pl.BlockSpec((block_k // pack, block_n), lambda m, n, k: (k, n)),
             pl.BlockSpec((1, srows, block_n), lambda m, n, k: (k, 0, n)),
         ],
         out_specs=pl.BlockSpec((block_m, block_n), lambda m, n, k: (m, n)),

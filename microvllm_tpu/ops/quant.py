@@ -14,17 +14,45 @@ from dataclasses import dataclass
 import jax
 import jax.numpy as jnp
 
-# jnp.int4 is natively supported by XLA:TPU; fall back to int8 storage if the
-# installed jax lacks it.
-_HAS_INT4 = hasattr(jnp, "int4")
+def pack_int4_rows(q: jnp.ndarray, group_size: int) -> jnp.ndarray:
+    """Pack int4 values (stored in int8, range [-8, 7]) two-per-byte along
+    the contraction dim, nibble-split WITHIN each scale group.
+
+    Group g's byte row r holds w[g*gs + r] in the low nibble and
+    w[g*gs + gs/2 + r] in the high nibble (r < gs/2), so a kernel tile
+    unpacks with two shifts + a sublane-adjacent concat — no row shuffle.
+    """
+    in_dim, out_dim = q.shape
+    gs = group_size
+    assert gs % 2 == 0 and in_dim % gs == 0
+    g = q.reshape(in_dim // gs, 2, gs // 2, out_dim)   # [G, lo/hi, gs/2, N]
+    lo = g[:, 0].astype(jnp.int8) & 0x0F
+    hi = (g[:, 1].astype(jnp.int8) & 0x0F) << 4
+    return (lo | hi).reshape(in_dim // 2, out_dim).astype(jnp.int8)
+
+
+def unpack_int4_rows(packed: jnp.ndarray, group_size: int) -> jnp.ndarray:
+    """Inverse of :func:`pack_int4_rows` (sign-extended int8 output)."""
+    half, out_dim = packed.shape
+    gs = group_size
+    p = packed.reshape(half * 2 // gs, gs // 2, out_dim)
+    lo = (p << 4).astype(jnp.int8) >> 4                 # arithmetic: sign ext
+    hi = p >> 4                                         # arithmetic on int8
+    w = jnp.concatenate([lo, hi], axis=1)               # [G, gs, N]
+    return w.reshape(half * 2, out_dim)
 
 
 @jax.tree_util.register_pytree_node_class
 @dataclass
 class QuantizedTensor:
-    """Group-wise symmetric quantized 2D weight ``[in_dim, out_dim]``."""
+    """Group-wise symmetric quantized 2D weight ``[in_dim, out_dim]``.
 
-    q: jnp.ndarray          # [in_dim, out_dim] int8 or int4
+    bits=8: ``q`` is ``[in_dim, out_dim]`` int8.
+    bits=4: ``q`` is ``[in_dim // 2, out_dim]`` int8, nibble-packed per
+    group (see :func:`pack_int4_rows`) — half the HBM traffic of int8.
+    """
+
+    q: jnp.ndarray
     scales: jnp.ndarray     # [in_dim // group_size, out_dim] float32
     bits: int
     group_size: int
@@ -39,16 +67,29 @@ class QuantizedTensor:
         return cls(q=q, scales=scales, bits=bits, group_size=group_size)
 
     @property
+    def in_dim(self) -> int:
+        return self.q.shape[0] * (2 if self.bits == 4 else 1)
+
+    @property
+    def out_dim(self) -> int:
+        return self.q.shape[1]
+
+    @property
     def shape(self):
-        return self.q.shape
+        return (self.in_dim, self.out_dim)
+
+    def unpacked(self) -> jnp.ndarray:
+        if self.bits == 4:
+            return unpack_int4_rows(self.q, self.group_size)
+        return self.q
 
     def dequant(self, dtype=jnp.bfloat16) -> jnp.ndarray:
-        in_dim, out_dim = self.q.shape
+        in_dim, out_dim = self.in_dim, self.out_dim
         g = self.group_size
         # compute in the requested dtype so XLA can fuse the convert+scale
         # into the consuming matmul's operand read (an fp32 intermediate
         # would force a full-weight materialization)
-        w = self.q.astype(dtype).reshape(in_dim // g, g, out_dim)
+        w = self.unpacked().astype(dtype).reshape(in_dim // g, g, out_dim)
         w = w * self.scales[:, None, :].astype(dtype)
         return w.reshape(in_dim, out_dim)
 
@@ -66,8 +107,9 @@ def quantize(w: jnp.ndarray, bits: int, group_size: int = 128) -> QuantizedTenso
     absmax = jnp.max(jnp.abs(wf), axis=1)                       # [G, out]
     scales = jnp.maximum(absmax / qmax, 1e-8)
     q = jnp.clip(jnp.round(wf / scales[:, None, :]), -qmax - 1, qmax)
-    storage = jnp.int4 if (bits == 4 and _HAS_INT4) else jnp.int8
-    q = q.reshape(in_dim, out_dim).astype(storage)
+    q = q.reshape(in_dim, out_dim).astype(jnp.int8)
+    if bits == 4:
+        q = pack_int4_rows(q, group_size)
     return QuantizedTensor(q=q, scales=scales, bits=bits, group_size=group_size)
 
 

@@ -88,14 +88,25 @@ def batch_specs() -> dict[str, P]:
 
 def shard_engine_arrays(mesh: Mesh, cfg: ModelConfig, params, k_cache, v_cache,
                         tp_size: int):
-    """device_put params and KV cache with their shardings."""
+    """Place params and KV cache on the mesh with their shardings
+    (multi-process safe: every host holds the same full values)."""
+    import numpy as np
+
+    from .distributed import put_global
+
+    multiproc = jax.process_count() > 1
+
+    def place(x, s):
+        if x is None:
+            return None
+        if multiproc:
+            return put_global(np.asarray(x), mesh, s)
+        return jax.device_put(x, NamedSharding(mesh, s))
+
     pspecs = param_specs(params)
-    params = jax.tree_util.tree_map(
-        lambda x, s: None if x is None
-        else jax.device_put(x, NamedSharding(mesh, s)),
-        params, pspecs,
-        is_leaf=lambda x: x is None)
-    cspec = NamedSharding(mesh, cache_spec(cfg, tp_size))
-    k_cache = jax.device_put(k_cache, cspec)
-    v_cache = jax.device_put(v_cache, cspec)
+    params = jax.tree_util.tree_map(place, params, pspecs,
+                                    is_leaf=lambda x: x is None)
+    cspec = cache_spec(cfg, tp_size)
+    k_cache = place(k_cache, cspec)
+    v_cache = place(v_cache, cspec)
     return params, k_cache, v_cache

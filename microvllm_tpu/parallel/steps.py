@@ -45,12 +45,24 @@ class ShardedStepFns:
         self._decode_cache: dict[int, Any] = {}
         self._prefill_cache: dict[bool, Any] = {}
 
+    # -- input conversion --------------------------------------------------
+
+    def _put(self, x, spec: P):
+        """Host value -> global array on the mesh (multi-process safe)."""
+        import numpy as np
+
+        from .distributed import put_global
+        return put_global(np.asarray(x), self.mesh, spec)
+
     # -- decode ------------------------------------------------------------
 
     def decode_fn(self, params, k, v, tokens, tables, ctx, temp, top_p, rng,
                   span: int):
-        return self._decode_for(span)(params, k, v, tokens, tables, ctx,
-                                      temp, top_p, rng)
+        b = P(DATA_AXIS)
+        return self._decode_for(span)(
+            params, k, v, self._put(tokens, b),
+            self._put(tables, P(DATA_AXIS, None)), self._put(ctx, b),
+            self._put(temp, b), self._put(top_p, b), rng)
 
     def _decode_for(self, span: int):
         if span in self._decode_cache:
@@ -58,16 +70,19 @@ class ShardedStepFns:
         cfg, tp = self.mcfg, self.tp
 
         def local_step(params, k, v, tokens, tables, ctx, temp, top_p, rng):
-            return model_lib.decode_span(
+            toks, k, v = model_lib.decode_span(
                 cfg, params, k, v, tokens, tables, ctx, temp, top_p, rng,
                 span, tp_axis=MODEL_AXIS if tp > 1 else None, tp_size=tp)
+            # replicate sampled tokens so every host reads them locally
+            toks = jax.lax.all_gather(toks, DATA_AXIS, axis=0, tiled=True)
+            return toks, k, v
 
         b = P(DATA_AXIS)
         sm = _shard_map(
             local_step, self.mesh,
             in_specs=(self._pspecs, self._cspec, self._cspec, b,
                       P(DATA_AXIS, None), b, b, b, P()),
-            out_specs=(P(DATA_AXIS, None), self._cspec, self._cspec))
+            out_specs=(P(), self._cspec, self._cspec))
         fn = jax.jit(sm, donate_argnums=(1, 2))
         self._decode_cache[span] = fn
         return fn
@@ -76,9 +91,12 @@ class ShardedStepFns:
 
     def prefill_fn(self, params, k, v, tokens, tables, chunk_lens, history,
                    temp, top_p, rng, has_history: bool):
+        b = P(DATA_AXIS)
+        b2 = P(DATA_AXIS, None)
         return self._prefill_for(bool(has_history))(
-            params, k, v, tokens, tables, chunk_lens, history, temp, top_p,
-            rng)
+            params, k, v, self._put(tokens, b2), self._put(tables, b2),
+            self._put(chunk_lens, b), self._put(history, b),
+            self._put(temp, b), self._put(top_p, b), rng)
 
     def _prefill_for(self, has_history: bool):
         if has_history in self._prefill_cache:
@@ -91,7 +109,9 @@ class ShardedStepFns:
                 cfg, params, k, v, tokens, tables, chunk_lens, history,
                 has_history, tp_axis=MODEL_AXIS if tp > 1 else None,
                 tp_size=tp)
-            return sample_tokens(logits, rng, temp, top_p), k, v
+            toks = sample_tokens(logits, rng, temp, top_p)
+            toks = jax.lax.all_gather(toks, DATA_AXIS, axis=0, tiled=True)
+            return toks, k, v
 
         b = P(DATA_AXIS)
         sm = _shard_map(
@@ -99,7 +119,7 @@ class ShardedStepFns:
             in_specs=(self._pspecs, self._cspec, self._cspec,
                       P(DATA_AXIS, None), P(DATA_AXIS, None), b, b, b, b,
                       P()),
-            out_specs=(b, self._cspec, self._cspec))
+            out_specs=(P(), self._cspec, self._cspec))
         fn = jax.jit(sm, donate_argnums=(1, 2))
         self._prefill_cache[has_history] = fn
         return fn

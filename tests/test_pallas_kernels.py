@@ -128,3 +128,73 @@ def test_quant_matmul_matches_dequant(K, N, M, gs):
                        interpret=True)
     rel = float(jnp.linalg.norm(got - ref) / jnp.linalg.norm(ref))
     assert rel < 2e-2
+
+
+def test_flash_prefill_matches_ref():
+    from microvllm_tpu.ops.pallas.prefill_attention import flash_prefill_attention
+    from microvllm_tpu.ops.attention import chunked_prefill_attention_ref
+
+    L, B, KV, G, D, PS, NP, MP = 2, 2, 2, 3, 128, 16, 32, 8
+    H, S, layer = KV * G, 64, 1
+    kc = jnp.zeros((L, NP, KV, PS, D))
+    vc = jnp.zeros((L, NP, KV, PS, D))
+    bt = np.zeros((B, MP), np.int32)
+    hist = np.array([32, 0], np.int32)
+    chunk = np.array([64, 40], np.int32)
+    pg = 1
+    for b in range(B):
+        n = -(-(int(hist[b]) + int(chunk[b])) // PS)
+        bt[b, :n] = range(pg, pg + n)
+        pg += n
+    bt = jnp.asarray(bt)
+    for b in range(B):
+        hb = int(hist[b])
+        if hb == 0:
+            continue
+        kk = jax.random.normal(jax.random.PRNGKey(b + 1), (hb, KV, D))
+        vv = jax.random.normal(jax.random.PRNGKey(b + 9), (hb, KV, D))
+        pos = jnp.arange(hb, dtype=jnp.int32)
+        pages, offs = slot_coords(bt[b][None].repeat(hb, 0), pos, PS)
+        kl, vl = append_kv(kc[layer], vc[layer], kk, vv, pages, offs)
+        kc = kc.at[layer].set(kl)
+        vc = vc.at[layer].set(vl)
+
+    q = jax.random.normal(jax.random.PRNGKey(0), (B, S, H, D))
+    k = jax.random.normal(jax.random.PRNGKey(1), (B, S, KV, D))
+    v = jax.random.normal(jax.random.PRNGKey(2), (B, S, KV, D))
+    ref = chunked_prefill_attention_ref(q, k, v, kc[layer], vc[layer], bt,
+                                        jnp.asarray(hist), D ** -0.5)
+    qk = q.reshape(B, S, KV, G, D).transpose(0, 2, 3, 1, 4)
+    got = flash_prefill_attention(
+        qk, k.transpose(0, 2, 1, 3), v.transpose(0, 2, 1, 3), kc, vc, bt,
+        jnp.asarray(hist), jnp.asarray(chunk), jnp.int32(layer),
+        scale=D ** -0.5, block_q=32, block_k=32, pages_per_chunk=2,
+        interpret=True)
+    got_std = got.transpose(0, 3, 1, 2, 4).reshape(B, S, H, D)
+    for b in range(B):
+        cl = int(chunk[b])
+        np.testing.assert_allclose(got_std[b, :cl], ref[b, :cl],
+                                   rtol=2e-5, atol=2e-5)
+
+
+def test_flash_prefill_no_history():
+    from microvllm_tpu.ops.pallas.prefill_attention import flash_prefill_attention
+    from microvllm_tpu.ops.attention import prefill_attention_ref
+
+    L, B, KV, G, D, PS, NP = 1, 1, 2, 2, 128, 16, 8
+    H, S = KV * G, 32
+    kc = jnp.zeros((L, NP, KV, PS, D))
+    vc = jnp.zeros((L, NP, KV, PS, D))
+    bt = jnp.zeros((B, 4), jnp.int32)
+    q = jax.random.normal(jax.random.PRNGKey(0), (B, S, H, D))
+    k = jax.random.normal(jax.random.PRNGKey(1), (B, S, KV, D))
+    v = jax.random.normal(jax.random.PRNGKey(2), (B, S, KV, D))
+    ref = prefill_attention_ref(q, k, v, D ** -0.5)
+    qk = q.reshape(B, S, KV, G, D).transpose(0, 2, 3, 1, 4)
+    got = flash_prefill_attention(
+        qk, k.transpose(0, 2, 1, 3), v.transpose(0, 2, 1, 3), kc, vc, bt,
+        jnp.zeros(B, jnp.int32), jnp.full(B, S, jnp.int32), jnp.int32(0),
+        scale=D ** -0.5, block_q=16, block_k=16, with_history=False,
+        interpret=True)
+    got_std = got.transpose(0, 3, 1, 2, 4).reshape(B, S, H, D)
+    np.testing.assert_allclose(got_std, ref, rtol=2e-5, atol=2e-5)
