@@ -120,6 +120,15 @@ def init_kv_cache(cfg: ModelConfig, cache: CacheConfig,
     return jnp.zeros(shape, dtype), jnp.zeros(shape, dtype)
 
 
+def init_kv_scales(cfg: ModelConfig, cache: CacheConfig
+                   ) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-token KV quantization scale pages ``[L, P, KV, 128]`` (lane s =
+    slot s's scale; see `ops/attention.py` INT8 KV section)."""
+    assert cache.page_size <= 128, "int8 KV cache requires page_size <= 128"
+    shape = (cfg.num_layers, cache.num_pages, cfg.num_kv_heads, 128)
+    return jnp.zeros(shape, jnp.float32), jnp.zeros(shape, jnp.float32)
+
+
 def _lm_logits(params: Params, h: jnp.ndarray,
                tp_axis: str | None = None) -> jnp.ndarray:
     """Project final hidden states to vocab logits (handles tied embeddings).
@@ -159,7 +168,9 @@ def decode_step(cfg: ModelConfig, params: Params,
                 tokens: jnp.ndarray, block_tables: jnp.ndarray,
                 context_lens: jnp.ndarray,
                 tp_axis: str | None = None, tp_size: int = 1,
-                ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+                k_scales: jnp.ndarray | None = None,
+                v_scales: jnp.ndarray | None = None,
+                ):
     """One decode step for a fixed-size batch.
 
     tokens:        ``[B]`` int32 — current input token per sequence
@@ -182,7 +193,7 @@ def decode_step(cfg: ModelConfig, params: Params,
     cos, sin = rope_cos_sin(context_lens, cfg.head_dim, cfg.rope_theta)
 
     def body(carry, xs):
-        hid, kc, vc = carry
+        hid, kc, vc, ks, vs = carry
         l, lp = xs
         normed = rmsnorm(hid, lp["attn_norm"], cfg.rms_norm_eps)
         q = linear(normed, lp["wq"], lp.get("bq"))
@@ -195,9 +206,9 @@ def decode_step(cfg: ModelConfig, params: Params,
         k = apply_rope(k, cos, sin)
 
         d_pad = kc.shape[-1]
-        attn, kc, vc = paged_decode_append_auto(
+        attn, kc, vc, ks, vs = paged_decode_append_auto(
             pad_head(q, d_pad), pad_head(k, d_pad), pad_head(v, d_pad),
-            kc, vc, block_tables, context_lens, l, scale)
+            kc, vc, block_tables, context_lens, l, scale, ks, vs)
         attn = attn[..., : cfg.head_dim]
         attn_out = _maybe_psum(
             linear(attn.reshape(B, q_dim), lp["wo"]), tp_axis)
@@ -208,13 +219,17 @@ def decode_step(cfg: ModelConfig, params: Params,
             linear(swiglu(linear(normed2, lp["w_gate"]),
                           linear(normed2, lp["w_up"])), lp["w_down"]),
             tp_axis)
-        return (resid + mlp, kc, vc), None
+        return (resid + mlp, kc, vc, ks, vs), None
 
-    (h, k_cache, v_cache), _ = jax.lax.scan(
-        body, (h, k_cache, v_cache), _layer_xs(params, cfg))
+    (h, k_cache, v_cache, k_scales, v_scales), _ = jax.lax.scan(
+        body, (h, k_cache, v_cache, k_scales, v_scales),
+        _layer_xs(params, cfg))
 
     h = rmsnorm(h, params["final_norm"], cfg.rms_norm_eps)
-    return _lm_logits(params, h, tp_axis), k_cache, v_cache
+    logits = _lm_logits(params, h, tp_axis)
+    if k_scales is None:
+        return logits, k_cache, v_cache
+    return logits, k_cache, v_cache, k_scales, v_scales
 
 
 # ---------------------------------------------------------------------------
@@ -229,29 +244,42 @@ def decode_span(cfg: ModelConfig, params: Params,
                 temperature: jnp.ndarray, top_p: jnp.ndarray,
                 rng: jax.Array, num_steps: int,
                 tp_axis: str | None = None, tp_size: int = 1,
-                ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+                k_scales: jnp.ndarray | None = None,
+                v_scales: jnp.ndarray | None = None,
+                ):
     """Run ``num_steps`` decode steps entirely on device, feeding each
     sampled token into the next step (no host round-trips — the TPU
     equivalent of replaying a captured CUDA graph N times, but with
     sampling fused in).
 
-    Returns (tokens ``[B, num_steps]`` int32, new_k, new_v). Sequences that
-    hit EOS mid-span keep generating; the host discards the tail.
+    Returns (tokens ``[B, num_steps]`` int32, new_k, new_v[, new_k_scales,
+    new_v_scales]). Sequences that hit EOS mid-span keep generating; the
+    host discards the tail.
     """
     from ..ops.sampling import sample_tokens
 
+    quantized = k_scales is not None
+
     def body(carry, _):
-        toks, ctx, kc, vc, key = carry
-        logits, kc, vc = decode_step(cfg, params, kc, vc, toks,
-                                     block_tables, ctx, tp_axis, tp_size)
+        toks, ctx, kc, vc, ks, vs, key = carry
+        if quantized:
+            logits, kc, vc, ks, vs = decode_step(
+                cfg, params, kc, vc, toks, block_tables, ctx, tp_axis,
+                tp_size, ks, vs)
+        else:
+            logits, kc, vc = decode_step(
+                cfg, params, kc, vc, toks, block_tables, ctx, tp_axis,
+                tp_size)
         key, sub = jax.random.split(key)
         nxt = sample_tokens(logits, sub, temperature, top_p)
-        return (nxt, ctx + 1, kc, vc, key), nxt
+        return (nxt, ctx + 1, kc, vc, ks, vs, key), nxt
 
-    (_, _, k_cache, v_cache, _), out = jax.lax.scan(
-        body, (tokens, context_lens, k_cache, v_cache, rng), None,
-        length=num_steps)
-    return out.T, k_cache, v_cache                    # [B, num_steps]
+    (_, _, k_cache, v_cache, k_scales, v_scales, _), out = jax.lax.scan(
+        body, (tokens, context_lens, k_cache, v_cache, k_scales, v_scales,
+               rng), None, length=num_steps)
+    if not quantized:
+        return out.T, k_cache, v_cache                # [B, num_steps]
+    return out.T, k_cache, v_cache, k_scales, v_scales
 
 
 # ---------------------------------------------------------------------------
@@ -265,7 +293,9 @@ def prefill_step(cfg: ModelConfig, params: Params,
                  chunk_lens: jnp.ndarray, history_lens: jnp.ndarray,
                  has_history: bool = True,
                  tp_axis: str | None = None, tp_size: int = 1,
-                 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+                 k_scales: jnp.ndarray | None = None,
+                 v_scales: jnp.ndarray | None = None,
+                 ):
     """Prefill a ``[B, S]`` chunk, writing all KV into the paged cache.
 
     chunk_lens:   ``[B]`` — valid tokens in this chunk (rest is padding)
@@ -290,8 +320,11 @@ def prefill_step(cfg: ModelConfig, params: Params,
     positions = history_lens[:, None] + jnp.arange(S, dtype=jnp.int32)[None, :]
     cos, sin = rope_cos_sin(positions, cfg.head_dim, cfg.rope_theta)
 
+    quantized = k_scales is not None
     pallas_store = use_pallas() and S % page_size == 0
-    pallas_attn = use_pallas() and S % min(128, S) == 0 and S % min(256, S) == 0
+    pallas_attn = (use_pallas() and S % min(128, S) == 0
+                   and S % min(256, S) == 0
+                   and not (quantized and has_history))
     if not pallas_store:
         valid = jnp.arange(S, dtype=jnp.int32)[None, :] < chunk_lens[:, None]
         page_ids, offsets = slot_coords(block_tables, positions, page_size)
@@ -301,24 +334,52 @@ def prefill_step(cfg: ModelConfig, params: Params,
         flat_pages = page_ids.reshape(B * S)
         flat_offsets = offsets.reshape(B * S)
 
-    def store_chunk(kc, vc, l, k, v):
+    def store_chunk(kc, vc, ks, vs, l, k, v):
         d_pad = kc.shape[-1]
+        if quantized:
+            from ..ops.attention import quantize_kv
+            k_q, k_s = quantize_kv(pad_head(k, d_pad))  # [B,S,KV,Dp],[B,S,KV]
+            v_q, v_s = quantize_kv(pad_head(v, d_pad))
+            if pallas_store:
+                from ..ops.pallas.kv_store import store_kv_pages_q
+                n_pg = S // page_size
+
+                def scale_pages(s):
+                    sp = jnp.zeros((B, n_pg, n_kv, 128), jnp.float32)
+                    return sp.at[..., :page_size].set(
+                        s.reshape(B, n_pg, page_size, n_kv)
+                        .transpose(0, 1, 3, 2))
+
+                return store_kv_pages_q(
+                    k_q.transpose(0, 2, 1, 3), v_q.transpose(0, 2, 1, 3),
+                    scale_pages(k_s), scale_pages(v_s), kc, vc, ks, vs,
+                    block_tables, history_lens, chunk_lens, l)
+            kc = kc.at[l, flat_pages, :, flat_offsets].set(
+                k_q.reshape(B * S, n_kv, d_pad))
+            vc = vc.at[l, flat_pages, :, flat_offsets].set(
+                v_q.reshape(B * S, n_kv, d_pad))
+            ks = ks.at[l, flat_pages, :, flat_offsets].set(
+                k_s.reshape(B * S, n_kv))
+            vs = vs.at[l, flat_pages, :, flat_offsets].set(
+                v_s.reshape(B * S, n_kv))
+            return kc, vc, ks, vs
         if pallas_store:
             from ..ops.pallas.kv_store import store_kv_pages
             kt = pad_head(k, d_pad).transpose(0, 2, 1, 3)   # [B, KV, S, D]
             vt = pad_head(v, d_pad).transpose(0, 2, 1, 3)
-            return store_kv_pages(kt, vt, kc, vc, block_tables,
-                                  history_lens, chunk_lens, l)
+            kc, vc = store_kv_pages(kt, vt, kc, vc, block_tables,
+                                    history_lens, chunk_lens, l)
+            return kc, vc, ks, vs
         kc = kc.at[l, flat_pages, :, flat_offsets].set(
             pad_head(k, d_pad).reshape(
                 B * S, n_kv, d_pad).astype(kc.dtype))
         vc = vc.at[l, flat_pages, :, flat_offsets].set(
             pad_head(v, d_pad).reshape(
                 B * S, n_kv, d_pad).astype(vc.dtype))
-        return kc, vc
+        return kc, vc, ks, vs
 
     def body(carry, xs):
-        hid, kc, vc = carry
+        hid, kc, vc, ks, vs = carry
         l, lp = xs
         normed = rmsnorm(hid, lp["attn_norm"], cfg.rms_norm_eps)
         q = linear(normed, lp["wq"], lp.get("bq"))
@@ -345,12 +406,13 @@ def prefill_step(cfg: ModelConfig, params: Params,
         elif has_history:
             attn = chunked_prefill_attention_ref(
                 pad_head(q, d_pad), pad_head(k, d_pad), pad_head(v, d_pad),
-                kc[l], vc[l], block_tables, history_lens,
-                scale)[..., : cfg.head_dim]
+                kc[l], vc[l], block_tables, history_lens, scale,
+                ks[l] if quantized else None,
+                vs[l] if quantized else None)[..., : cfg.head_dim]
         else:
             attn = prefill_attention_ref(q, k, v, scale)
 
-        kc, vc = store_chunk(kc, vc, l, k, v)
+        kc, vc, ks, vs = store_chunk(kc, vc, ks, vs, l, k, v)
 
         attn_out = _maybe_psum(
             linear(attn.reshape(B, S, q_dim), lp["wo"]), tp_axis)
@@ -360,16 +422,20 @@ def prefill_step(cfg: ModelConfig, params: Params,
             linear(swiglu(linear(normed2, lp["w_gate"]),
                           linear(normed2, lp["w_up"])), lp["w_down"]),
             tp_axis)
-        return (resid + mlp, kc, vc), None
+        return (resid + mlp, kc, vc, ks, vs), None
 
-    (h, k_cache, v_cache), _ = jax.lax.scan(
-        body, (h, k_cache, v_cache), _layer_xs(params, cfg))
+    (h, k_cache, v_cache, k_scales, v_scales), _ = jax.lax.scan(
+        body, (h, k_cache, v_cache, k_scales, v_scales),
+        _layer_xs(params, cfg))
 
     h = rmsnorm(h, params["final_norm"], cfg.rms_norm_eps)
     # Only the last valid token's logits are needed (next-token prediction).
     last_idx = jnp.clip(chunk_lens - 1, 0, S - 1)
     h_last = jnp.take_along_axis(h, last_idx[:, None, None], axis=1)[:, 0]
-    return _lm_logits(params, h_last, tp_axis), k_cache, v_cache
+    logits = _lm_logits(params, h_last, tp_axis)
+    if not quantized:
+        return logits, k_cache, v_cache
+    return logits, k_cache, v_cache, k_scales, v_scales
 
 
 # ---------------------------------------------------------------------------

@@ -69,7 +69,8 @@ def paged_decode_attention_auto(q, k_pages, v_pages, block_tables,
 
 
 def paged_decode_append_auto(q, k_new, v_new, k_cache, v_cache,
-                             block_tables, context_lens, layer, scale):
+                             block_tables, context_lens, layer, scale,
+                             k_scales=None, v_scales=None):
     """Fused KV-append + decode attention on the layer-stacked cache.
 
     On TPU this is one Pallas kernel with the cache aliased in/out (no
@@ -77,16 +78,38 @@ def paged_decode_append_auto(q, k_new, v_new, k_cache, v_cache,
     acceptable on CPU tests).
 
     q/k_new/v_new have the cache's padded head_dim. context_lens is the
-    number of tokens in cache BEFORE this token. Returns
-    (attn_out, k_cache, v_cache).
+    number of tokens in cache BEFORE this token. k_scales/v_scales are the
+    per-token scale pages ``[L, P, KV, 128]`` when the cache is int8 (see
+    `quantize_kv`), else None. Returns
+    (attn_out, k_cache, v_cache, k_scales, v_scales).
     """
+    quantized = k_scales is not None
     if use_pallas():
+        if quantized:
+            from .pallas.decode_attention import (
+                paged_decode_attention_append_q)
+            return paged_decode_attention_append_q(
+                q, k_new, v_new, k_cache, v_cache, k_scales, v_scales,
+                block_tables, context_lens, layer, scale=scale)
         from .pallas.decode_attention import paged_decode_attention_append
-        return paged_decode_attention_append(
+        attn, k_cache, v_cache = paged_decode_attention_append(
             q, k_new, v_new, k_cache, v_cache, block_tables, context_lens,
             layer, scale=scale)
+        return attn, k_cache, v_cache, None, None
+
     page_size = k_cache.shape[3]
     page_ids, offsets = slot_coords(block_tables, context_lens, page_size)
+    if quantized:
+        k_q, k_s = quantize_kv(k_new)              # [B, KV, D], [B, KV]
+        v_q, v_s = quantize_kv(v_new)
+        k_cache = k_cache.at[layer, page_ids, :, offsets].set(k_q)
+        v_cache = v_cache.at[layer, page_ids, :, offsets].set(v_q)
+        k_scales = k_scales.at[layer, page_ids, :, offsets].set(k_s)
+        v_scales = v_scales.at[layer, page_ids, :, offsets].set(v_s)
+        attn = paged_decode_attention_ref(
+            q, k_cache[layer], v_cache[layer], block_tables,
+            context_lens + 1, scale, k_scales[layer], v_scales[layer])
+        return attn, k_cache, v_cache, k_scales, v_scales
     k_cache = k_cache.at[layer, page_ids, :, offsets].set(
         k_new.astype(k_cache.dtype))
     v_cache = v_cache.at[layer, page_ids, :, offsets].set(
@@ -94,7 +117,7 @@ def paged_decode_append_auto(q, k_new, v_new, k_cache, v_cache,
     attn = paged_decode_attention_ref(
         q, k_cache[layer], v_cache[layer], block_tables, context_lens + 1,
         scale)
-    return attn, k_cache, v_cache
+    return attn, k_cache, v_cache, None, None
 
 
 # ---------------------------------------------------------------------------
@@ -136,6 +159,48 @@ def slot_coords(block_tables: jnp.ndarray, token_positions: jnp.ndarray,
 
 
 # ---------------------------------------------------------------------------
+# INT8 KV-cache quantization helpers
+# ---------------------------------------------------------------------------
+# Scale layout: ``[L, num_pages, kv_heads, 128]`` f32 — lane s holds the
+# per-token symmetric scale of slot s (page_size <= 128). Sublane dim is the
+# kv head, so the array shards over TP exactly like the cache itself.
+
+
+def quantize_kv(x: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-(token, head) symmetric int8 quantization over head_dim.
+
+    x: ``[..., head_dim]`` -> (q int8 same shape, scale f32 ``[...]``).
+    """
+    absmax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1)
+    scale = jnp.maximum(absmax / 127.0, 1e-10)
+    q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale[..., None]),
+                 -128, 127).astype(jnp.int8)
+    return q, scale
+
+
+def dequantize_kv(q: jnp.ndarray, scale: jnp.ndarray) -> jnp.ndarray:
+    return q.astype(jnp.float32) * scale[..., None].astype(jnp.float32)
+
+
+def gather_kv_pages(pages: jnp.ndarray, scales: jnp.ndarray | None,
+                    block_tables: jnp.ndarray) -> jnp.ndarray:
+    """Gather + (if int8) dequantize a batch's KV from pages.
+
+    pages: ``[P, KV, ps, D]``; scales: ``[P, KV, 128]`` or None.
+    Returns ``[B, KV, max_pages * ps, D]`` f32/bf16.
+    """
+    B = block_tables.shape[0]
+    max_pages = block_tables.shape[1]
+    _, kv_heads, page_size, head_dim = pages.shape
+    g = pages[block_tables]                            # [B, P, KV, ps, D]
+    if scales is not None:
+        s = scales[block_tables][..., :page_size]      # [B, P, KV, ps]
+        g = g.astype(jnp.float32) * s[..., None]
+    return g.transpose(0, 2, 1, 3, 4).reshape(
+        B, kv_heads, max_pages * page_size, head_dim)
+
+
+# ---------------------------------------------------------------------------
 # Decode: paged attention over block tables (jnp reference)
 # ---------------------------------------------------------------------------
 
@@ -144,7 +209,10 @@ def paged_decode_attention_ref(q: jnp.ndarray, k_pages: jnp.ndarray,
                                v_pages: jnp.ndarray,
                                block_tables: jnp.ndarray,
                                seq_lens: jnp.ndarray,
-                               scale: float) -> jnp.ndarray:
+                               scale: float,
+                               k_scales: jnp.ndarray | None = None,
+                               v_scales: jnp.ndarray | None = None,
+                               ) -> jnp.ndarray:
     """Single-token decode attention reading the paged KV cache.
 
     q:            ``[B, num_heads, head_dim]``
@@ -152,6 +220,7 @@ def paged_decode_attention_ref(q: jnp.ndarray, k_pages: jnp.ndarray,
     block_tables: ``[B, max_pages_per_seq]``
     seq_lens:     ``[B]`` — number of valid tokens (AFTER the current token's
                   KV was appended).
+    k/v_scales:   ``[num_pages, kv_heads, 128]`` f32 when the cache is int8.
     Returns ``[B, num_heads, head_dim]`` in q.dtype.
     """
     B, num_heads, head_dim = q.shape
@@ -159,11 +228,8 @@ def paged_decode_attention_ref(q: jnp.ndarray, k_pages: jnp.ndarray,
     max_pages = block_tables.shape[1]
     group = num_heads // kv_heads
 
-    # Gather this batch's pages: [B, P, kv, ps, d] -> [B, kv, P*ps, d]
-    k = k_pages[block_tables]
-    v = v_pages[block_tables]
-    k = k.transpose(0, 2, 1, 3, 4).reshape(B, kv_heads, max_pages * page_size, head_dim)
-    v = v.transpose(0, 2, 1, 3, 4).reshape(B, kv_heads, max_pages * page_size, head_dim)
+    k = gather_kv_pages(k_pages, k_scales, block_tables)
+    v = gather_kv_pages(v_pages, v_scales, block_tables)
 
     qg = q.reshape(B, kv_heads, group, head_dim).astype(jnp.float32)
     scores = jnp.einsum("bkgd,bksd->bkgs", qg, k.astype(jnp.float32)) * scale
@@ -215,7 +281,10 @@ def chunked_prefill_attention_ref(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray
                                   k_pages: jnp.ndarray, v_pages: jnp.ndarray,
                                   block_tables: jnp.ndarray,
                                   history_lens: jnp.ndarray,
-                                  scale: float) -> jnp.ndarray:
+                                  scale: float,
+                                  k_scales: jnp.ndarray | None = None,
+                                  v_scales: jnp.ndarray | None = None,
+                                  ) -> jnp.ndarray:
     """Attention for a prefill chunk: queries attend to all cached history
     tokens plus causally to the current chunk.
 
@@ -227,11 +296,9 @@ def chunked_prefill_attention_ref(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray
     max_pages = block_tables.shape[1]
     group = num_heads // kv_heads
 
-    # History from pages.
-    hk = k_pages[block_tables].transpose(0, 2, 1, 3, 4).reshape(
-        B, kv_heads, max_pages * page_size, head_dim)
-    hv = v_pages[block_tables].transpose(0, 2, 1, 3, 4).reshape(
-        B, kv_heads, max_pages * page_size, head_dim)
+    # History from pages (dequantized when the cache is int8).
+    hk = gather_kv_pages(k_pages, k_scales, block_tables)
+    hv = gather_kv_pages(v_pages, v_scales, block_tables)
 
     qg = q.reshape(B, S, kv_heads, group, head_dim).astype(jnp.float32)
 

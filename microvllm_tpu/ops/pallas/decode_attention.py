@@ -344,6 +344,274 @@ def _decode_append_kernel(
         o_ref[0, h] = (acc[h] / jnp.maximum(l[h], 1e-30)).astype(o_ref.dtype)
 
 
+def _decode_append_kernel_q(
+    # scalar-prefetch refs
+    layer_ref, block_tables_ref, context_lens_ref,
+    # inputs
+    q_ref,              # [1, KV, G, D]
+    kv_new_ref,         # [1, 2, KV, D] (bf16; quantized in-kernel)
+    k_hbm, v_hbm,       # [L, P, KV, ps, D] int8 (aliased out)
+    ks_hbm, vs_hbm,     # [L, P, KV, 128] f32 (aliased out)
+    # outputs
+    o_ref, k_out, v_out, ks_out, vs_out,
+    # scratch
+    k_buf, v_buf,       # [2, ppc, KV, ps, D] int8
+    ks_buf, vs_buf,     # [2, ppc, KV, 128] f32
+    page_buf,           # [2, KV, ps, D] int8 (append staging)
+    spage_buf,          # [2, KV, 128] f32 (scale staging)
+    k_sems, v_sems, ks_sems, vs_sems, w_sems,
+    *,
+    page_size: int,
+    max_pages: int,
+    pages_per_chunk: int,
+    scale: float,
+):
+    """INT8 KV-cache variant: new rows are quantized per (token, head) in
+    kernel; dequantization happens as lane-wise scaling of scores (K) and
+    probabilities (V), so int8 tiles feed the MXU after one convert."""
+    b = pl.program_id(0)
+    layer = layer_ref[0]
+    ctx = context_lens_ref[b]
+    KV, G, D = q_ref.shape[1], q_ref.shape[2], q_ref.shape[3]
+    num_pages_seq = (ctx + 1 + page_size - 1) // page_size
+    num_chunks = pl.cdiv(num_pages_seq, pages_per_chunk)
+
+    page_idx = ctx // page_size
+    offset = ctx % page_size
+    page = block_tables_ref[b * max_pages + page_idx]
+
+    # ---- read-modify-write the target page (values + scales) -------------
+    kp_in = pltpu.make_async_copy(k_out.at[layer, page], page_buf.at[0],
+                                  w_sems.at[0])
+    vp_in = pltpu.make_async_copy(v_out.at[layer, page], page_buf.at[1],
+                                  w_sems.at[1])
+    ksp_in = pltpu.make_async_copy(ks_out.at[layer, page], spage_buf.at[0],
+                                   w_sems.at[2])
+    vsp_in = pltpu.make_async_copy(vs_out.at[layer, page], spage_buf.at[1],
+                                   w_sems.at[3])
+    for cp in (kp_in, vp_in, ksp_in, vsp_in):
+        cp.start()
+    for cp in (kp_in, vp_in, ksp_in, vsp_in):
+        cp.wait()
+
+    slot_mask = (jax.lax.broadcasted_iota(jnp.int32, (page_size, D), 0)
+                 == offset)
+    lane_mask = (jax.lax.broadcasted_iota(jnp.int32, (KV, 128), 1) == offset)
+
+    new_k = kv_new_ref[0, 0].astype(jnp.float32)          # [KV, D]
+    new_v = kv_new_ref[0, 1].astype(jnp.float32)
+    k_absmax = jnp.max(jnp.abs(new_k), axis=-1, keepdims=True)   # [KV, 1]
+    v_absmax = jnp.max(jnp.abs(new_v), axis=-1, keepdims=True)
+    k_s = jnp.maximum(k_absmax / 127.0, 1e-10)
+    v_s = jnp.maximum(v_absmax / 127.0, 1e-10)
+    k_q = jnp.clip(jnp.round(new_k / k_s), -128, 127).astype(jnp.int8)
+    v_q = jnp.clip(jnp.round(new_v / v_s), -128, 127).astype(jnp.int8)
+
+    for h in range(KV):
+        page_buf[0, h] = jnp.where(slot_mask, k_q[h][None, :],
+                                   page_buf[0, h])
+        page_buf[1, h] = jnp.where(slot_mask, v_q[h][None, :],
+                                   page_buf[1, h])
+    spage_buf[0] = jnp.where(lane_mask, jnp.broadcast_to(k_s, (KV, 128)),
+                             spage_buf[0])
+    spage_buf[1] = jnp.where(lane_mask, jnp.broadcast_to(v_s, (KV, 128)),
+                             spage_buf[1])
+
+    kp_out = pltpu.make_async_copy(page_buf.at[0], k_out.at[layer, page],
+                                   w_sems.at[0])
+    vp_out = pltpu.make_async_copy(page_buf.at[1], v_out.at[layer, page],
+                                   w_sems.at[1])
+    ksp_out = pltpu.make_async_copy(spage_buf.at[0], ks_out.at[layer, page],
+                                    w_sems.at[2])
+    vsp_out = pltpu.make_async_copy(spage_buf.at[1], vs_out.at[layer, page],
+                                    w_sems.at[3])
+    for cp in (kp_out, vp_out, ksp_out, vsp_out):
+        cp.start()
+    for cp in (kp_out, vp_out, ksp_out, vsp_out):
+        cp.wait()
+
+    # ---- stream pages + online softmax with lane-scaled dequant ----------
+    def chunk_copies(slot, c):
+        copies = []
+        for i in range(pages_per_chunk):
+            pg = block_tables_ref[b * max_pages + c * pages_per_chunk + i]
+            copies.append(pltpu.make_async_copy(
+                k_out.at[layer, pg], k_buf.at[slot, i], k_sems.at[slot]))
+            copies.append(pltpu.make_async_copy(
+                v_out.at[layer, pg], v_buf.at[slot, i], v_sems.at[slot]))
+            copies.append(pltpu.make_async_copy(
+                ks_out.at[layer, pg], ks_buf.at[slot, i], ks_sems.at[slot]))
+            copies.append(pltpu.make_async_copy(
+                vs_out.at[layer, pg], vs_buf.at[slot, i], vs_sems.at[slot]))
+        return copies
+
+    @pl.when(num_chunks > 0)
+    def _start_first():
+        for cp in chunk_copies(0, 0):
+            cp.start()
+
+    q = q_ref[0].astype(jnp.float32)                  # [KV, G, D]
+
+    def body(c, carry):
+        m, l, acc = carry
+        slot = jax.lax.rem(c, 2)
+
+        @pl.when(c + 1 < num_chunks)
+        def _start_next():
+            for cp in chunk_copies(jax.lax.rem(c + 1, 2), c + 1):
+                cp.start()
+
+        for cp in chunk_copies(slot, c):
+            cp.wait()
+
+        out_m, out_l, out_acc = [], [], []
+        for h in range(KV):
+            mh, lh, ah = m[h], l[h], acc[h]
+            # per-page blocks: scale vectors stay in lanes (no relayout)
+            for i in range(pages_per_chunk):
+                kh = k_buf[slot, i, h].astype(jnp.bfloat16)   # [ps, D]
+                vh = v_buf[slot, i, h].astype(jnp.bfloat16)
+                ks = ks_buf[slot, i, h, :page_size].reshape(1, page_size)
+                vs = vs_buf[slot, i, h, :page_size].reshape(1, page_size)
+                s = jax.lax.dot_general(
+                    q[h], kh, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                s = s * ks * scale                            # dequant K
+                pos = ((c * pages_per_chunk + i) * page_size
+                       + jax.lax.broadcasted_iota(
+                           jnp.int32, (G, page_size), 1))
+                s = jnp.where(pos <= ctx, s, MASK_VALUE)
+                mh2 = jnp.maximum(mh, jnp.max(s, axis=-1, keepdims=True))
+                p = jnp.exp(s - mh2)
+                alpha = jnp.exp(mh - mh2)
+                lh = lh * alpha + jnp.sum(p, axis=-1, keepdims=True)
+                pv = jax.lax.dot_general(
+                    (p * vs).astype(jnp.bfloat16), vh,      # dequant V
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                ah = ah * alpha + pv
+                mh = mh2
+            out_m.append(mh)
+            out_l.append(lh)
+            out_acc.append(ah)
+        return tuple(out_m), tuple(out_l), tuple(out_acc)
+
+    init = (
+        tuple(jnp.full((G, 1), MASK_VALUE, jnp.float32) for _ in range(KV)),
+        tuple(jnp.zeros((G, 1), jnp.float32) for _ in range(KV)),
+        tuple(jnp.zeros((G, D), jnp.float32) for _ in range(KV)),
+    )
+    m, l, acc = jax.lax.fori_loop(0, num_chunks, body, init)
+    for h in range(KV):
+        o_ref[0, h] = (acc[h] / jnp.maximum(l[h], 1e-30)).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("scale", "pages_per_chunk", "interpret"))
+def paged_decode_attention_append_q(
+    q: jnp.ndarray,             # [B, num_heads, D]
+    k_new: jnp.ndarray,         # [B, kv_heads, D]
+    v_new: jnp.ndarray,
+    k_cache: jnp.ndarray,       # [L, P, KV, ps, D] int8
+    v_cache: jnp.ndarray,
+    k_scales: jnp.ndarray,      # [L, P, KV, 128] f32
+    v_scales: jnp.ndarray,
+    block_tables: jnp.ndarray,
+    context_lens: jnp.ndarray,
+    layer: jnp.ndarray,
+    *,
+    scale: float,
+    pages_per_chunk: int = 4,
+    interpret: bool = False,
+):
+    """INT8-KV fused append + decode attention. Returns
+    (attn_out, k_cache, v_cache, k_scales, v_scales)."""
+    B, num_heads, head_dim = q.shape
+    L, num_pages, kv_heads, page_size, _ = k_cache.shape
+    max_pages = block_tables.shape[1]
+    group = num_heads // kv_heads
+    assert page_size <= 128, "int8 KV requires page_size <= 128"
+
+    pages_per_chunk = min(pages_per_chunk, max_pages)
+    if max_pages % pages_per_chunk:
+        pad = pages_per_chunk - max_pages % pages_per_chunk
+        block_tables = jnp.pad(block_tables, ((0, 0), (0, pad)))
+        max_pages += pad
+
+    qg = q.reshape(B, kv_heads, group, head_dim)
+    kv_new = jnp.stack([k_new, v_new], axis=1)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, kv_heads, group, head_dim),
+                         lambda b, *_: (b, 0, 0, 0)),
+            pl.BlockSpec((1, 2, kv_heads, head_dim),
+                         lambda b, *_: (b, 0, 0, 0)),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, kv_heads, group, head_dim),
+                         lambda b, *_: (b, 0, 0, 0)),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, pages_per_chunk, kv_heads, page_size, head_dim),
+                       k_cache.dtype),
+            pltpu.VMEM((2, pages_per_chunk, kv_heads, page_size, head_dim),
+                       v_cache.dtype),
+            pltpu.VMEM((2, pages_per_chunk, kv_heads, 128), jnp.float32),
+            pltpu.VMEM((2, pages_per_chunk, kv_heads, 128), jnp.float32),
+            pltpu.VMEM((2, kv_heads, page_size, head_dim), k_cache.dtype),
+            pltpu.VMEM((2, kv_heads, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((4,)),
+        ],
+    )
+
+    kernel = functools.partial(
+        _decode_append_kernel_q,
+        page_size=page_size,
+        max_pages=max_pages,
+        pages_per_chunk=pages_per_chunk,
+        scale=scale,
+    )
+
+    out, k_cache, v_cache, k_scales, v_scales = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((B, kv_heads, group, head_dim), q.dtype),
+            jax.ShapeDtypeStruct(k_cache.shape, k_cache.dtype),
+            jax.ShapeDtypeStruct(v_cache.shape, v_cache.dtype),
+            jax.ShapeDtypeStruct(k_scales.shape, k_scales.dtype),
+            jax.ShapeDtypeStruct(v_scales.shape, v_scales.dtype),
+        ],
+        # flattened inputs: 0-2 scalars, 3=q, 4=kv_new, 5=k, 6=v, 7=ks, 8=vs
+        input_output_aliases={5: 1, 6: 2, 7: 3, 8: 4},
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            has_side_effects=True,
+        ),
+        interpret=interpret,
+    )(jnp.atleast_1d(layer).astype(jnp.int32), block_tables.reshape(-1),
+      context_lens, qg, kv_new, k_cache, v_cache, k_scales, v_scales)
+
+    return (out.reshape(B, num_heads, head_dim), k_cache, v_cache,
+            k_scales, v_scales)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("scale", "pages_per_chunk", "interpret"))

@@ -61,6 +61,122 @@ def _store_kernel(
         v_cp.wait()
 
 
+def _store_kernel_q(
+    # scalar prefetch
+    layer_ref, block_tables_ref, history_ref, chunk_lens_ref,
+    # inputs
+    k_new_ref,          # [1, KV, ps, D] int8 block for (b, j)
+    v_new_ref,
+    ks_new_ref,         # [1, KV, 128] f32 scale block for (b, j)
+    vs_new_ref,
+    k_hbm, v_hbm, ks_hbm, vs_hbm,
+    # outputs (aliased)
+    k_out, v_out, ks_out, vs_out,
+    # scratch
+    sems,               # [4] DMA
+    *,
+    page_size: int,
+    max_pages: int,
+):
+    b = pl.program_id(0)
+    j = pl.program_id(1)
+    layer = layer_ref[0]
+    chunk_len = chunk_lens_ref[b]
+
+    @pl.when(j * page_size < chunk_len)
+    def _():
+        start_page = history_ref[b] // page_size
+        page = block_tables_ref[b * max_pages + start_page + j]
+        copies = [
+            pltpu.make_async_copy(k_new_ref.at[0], k_out.at[layer, page],
+                                  sems.at[0]),
+            pltpu.make_async_copy(v_new_ref.at[0], v_out.at[layer, page],
+                                  sems.at[1]),
+            pltpu.make_async_copy(ks_new_ref.at[0, 0], ks_out.at[layer, page],
+                                  sems.at[2]),
+            pltpu.make_async_copy(vs_new_ref.at[0, 0], vs_out.at[layer, page],
+                                  sems.at[3]),
+        ]
+        for cp in copies:
+            cp.start()
+        for cp in copies:
+            cp.wait()
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def store_kv_pages_q(
+    k_new: jnp.ndarray,         # [B, KV, S, D] int8 (quantized chunk)
+    v_new: jnp.ndarray,
+    k_scales_new: jnp.ndarray,  # [B, S // ps, KV, 128] f32 page blocks
+    v_scales_new: jnp.ndarray,
+    k_cache: jnp.ndarray,       # [L, P, KV, ps, D] int8
+    v_cache: jnp.ndarray,
+    k_scales: jnp.ndarray,      # [L, P, KV, 128] f32
+    v_scales: jnp.ndarray,
+    block_tables: jnp.ndarray,
+    history_lens: jnp.ndarray,
+    chunk_lens: jnp.ndarray,
+    layer: jnp.ndarray,
+    *,
+    interpret: bool = False,
+):
+    """INT8 variant of :func:`store_kv_pages`: stores value pages and their
+    per-token scale pages, all aliased in->out."""
+    B, KV, S, D = k_new.shape
+    L, P, _, page_size, _ = k_cache.shape
+    max_pages = block_tables.shape[1]
+    assert S % page_size == 0, (S, page_size)
+    pages_per_chunk = S // page_size
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(B, pages_per_chunk),
+        in_specs=[
+            pl.BlockSpec((1, KV, page_size, D),
+                         lambda b, j, *_: (b, 0, j, 0)),
+            pl.BlockSpec((1, KV, page_size, D),
+                         lambda b, j, *_: (b, 0, j, 0)),
+            pl.BlockSpec((1, 1, KV, 128), lambda b, j, *_: (b, j, 0, 0)),
+            pl.BlockSpec((1, 1, KV, 128), lambda b, j, *_: (b, j, 0, 0)),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        scratch_shapes=[pltpu.SemaphoreType.DMA((4,))],
+    )
+
+    kernel = functools.partial(_store_kernel_q, page_size=page_size,
+                               max_pages=max_pages)
+    k_cache, v_cache, k_scales, v_scales = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct(k_cache.shape, k_cache.dtype),
+            jax.ShapeDtypeStruct(v_cache.shape, v_cache.dtype),
+            jax.ShapeDtypeStruct(k_scales.shape, k_scales.dtype),
+            jax.ShapeDtypeStruct(v_scales.shape, v_scales.dtype),
+        ],
+        # flat inputs: 0-3 scalars, 4-7 chunk data, 8=k, 9=v, 10=ks, 11=vs
+        input_output_aliases={8: 0, 9: 1, 10: 2, 11: 3},
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            has_side_effects=True,
+        ),
+        interpret=interpret,
+    )(jnp.atleast_1d(layer).astype(jnp.int32), block_tables.reshape(-1),
+      history_lens, chunk_lens,
+      k_new.astype(k_cache.dtype), v_new.astype(v_cache.dtype),
+      k_scales_new, v_scales_new, k_cache, v_cache, k_scales, v_scales)
+    return k_cache, v_cache, k_scales, v_scales
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def store_kv_pages(
     k_new: jnp.ndarray,         # [B, KV, S, D] (transposed chunk, padded D)

@@ -63,8 +63,11 @@ def _prefill_kernel(
     q = q_ref[0, 0].reshape(G * BQ, D).astype(jnp.float32) * scale
 
     # local q positions within the chunk, replicated per head-group row
-    q_pos = jax.lax.broadcasted_iota(jnp.int32, (G, BQ), 1).reshape(G * BQ, 1)
-    q_pos = q_pos + qb * block_q
+    # (row r of the [G*BQ] layout is query i = r % BQ of group r // BQ;
+    # built directly in sublane orientation — a (G, BQ) iota reshaped to
+    # (G*BQ, 1) is a lanes->sublanes cast Mosaic can't lower)
+    row = jax.lax.broadcasted_iota(jnp.int32, (G * BQ, 1), 0)
+    q_pos = jax.lax.rem(row, BQ) + qb * block_q
 
     m = jnp.full((G * BQ, 1), MASK_VALUE, jnp.float32)
     l = jnp.zeros((G * BQ, 1), jnp.float32)

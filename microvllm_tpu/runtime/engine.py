@@ -56,6 +56,29 @@ def _prefill_jit(cfg, params, k_cache, v_cache, tokens, block_tables,
     return next_tokens, k_cache, v_cache
 
 
+# INT8-KV-cache variants: scale pages ride along and are donated too.
+@partial(jax.jit, static_argnums=(0, 12), donate_argnums=(2, 3, 4, 5))
+def _decode_span_q_jit(cfg, params, k_cache, v_cache, k_scales, v_scales,
+                       tokens, block_tables, context_lens, temperature,
+                       top_p, rng, num_steps):
+    return model_lib.decode_span(
+        cfg, params, k_cache, v_cache, tokens, block_tables, context_lens,
+        temperature, top_p, rng, num_steps,
+        k_scales=k_scales, v_scales=v_scales)
+
+
+@partial(jax.jit, static_argnums=(0, 13), donate_argnums=(2, 3, 4, 5))
+def _prefill_q_jit(cfg, params, k_cache, v_cache, k_scales, v_scales, tokens,
+                   block_tables, chunk_lens, history_lens, temperature,
+                   top_p, rng, has_history):
+    logits, k_cache, v_cache, k_scales, v_scales = model_lib.prefill_step(
+        cfg, params, k_cache, v_cache, tokens, block_tables,
+        chunk_lens, history_lens, has_history,
+        k_scales=k_scales, v_scales=v_scales)
+    next_tokens = sample_tokens(logits, rng, temperature, top_p)
+    return next_tokens, k_cache, v_cache, k_scales, v_scales
+
+
 @dataclass
 class StepStats:
     """Per-step timing, the reference's `InferenceStats` (`engine.py:28-33`)."""
@@ -105,13 +128,17 @@ class InferenceEngine:
                                      config.quant.weight_group_size)
         self.params = params
 
-        kv_dtype = jnp.int8 if config.quant.quantize_kv else self.mcfg.jax_dtype
-        if config.quant.quantize_kv:
-            # INT8 KV arrives in round 1 as config plumbing; the quantized
-            # attention path lands with the Pallas kernels.
-            kv_dtype = self.mcfg.jax_dtype
+        self.kv_quantized = config.quant.quantize_kv
+        kv_dtype = jnp.int8 if self.kv_quantized else self.mcfg.jax_dtype
         self.k_cache, self.v_cache = model_lib.init_kv_cache(
             self.mcfg, config.cache, dtype=kv_dtype)
+        self.k_scales = self.v_scales = None
+        if self.kv_quantized:
+            if config.parallel.world_size > 1:
+                raise NotImplementedError(
+                    "int8 KV cache + multi-device TP lands next round")
+            self.k_scales, self.v_scales = model_lib.init_kv_scales(
+                self.mcfg, config.cache)
 
         from .native_alloc import make_allocator
         self.allocator = make_allocator(config.cache)  # C++ when buildable
@@ -147,6 +174,44 @@ class InferenceEngine:
     def _build_prefill_fn(self):
         return partial(_prefill_jit, self.mcfg)
 
+    # Unified call helpers: hide the (optional) scale-page plumbing.
+
+    def _call_decode(self, tokens, tables, context, temperature, top_p,
+                     span: int) -> np.ndarray:
+        if self.kv_quantized:
+            (toks, self.k_cache, self.v_cache, self.k_scales,
+             self.v_scales) = _decode_span_q_jit(
+                self.mcfg, self.params, self.k_cache, self.v_cache,
+                self.k_scales, self.v_scales, jnp.asarray(tokens),
+                jnp.asarray(tables), jnp.asarray(context),
+                jnp.asarray(temperature), jnp.asarray(top_p),
+                self._step_rng(), span)
+        else:
+            toks, self.k_cache, self.v_cache = self._decode_fn(
+                self.params, self.k_cache, self.v_cache, jnp.asarray(tokens),
+                jnp.asarray(tables), jnp.asarray(context),
+                jnp.asarray(temperature), jnp.asarray(top_p),
+                self._step_rng(), span)
+        return np.asarray(toks)
+
+    def _call_prefill(self, tokens, tables, chunk_lens, history, temperature,
+                      top_p, has_history: bool) -> np.ndarray:
+        if self.kv_quantized:
+            (toks, self.k_cache, self.v_cache, self.k_scales,
+             self.v_scales) = _prefill_q_jit(
+                self.mcfg, self.params, self.k_cache, self.v_cache,
+                self.k_scales, self.v_scales, jnp.asarray(tokens),
+                jnp.asarray(tables), jnp.asarray(chunk_lens),
+                jnp.asarray(history), jnp.asarray(temperature),
+                jnp.asarray(top_p), self._step_rng(), has_history)
+        else:
+            toks, self.k_cache, self.v_cache = self._prefill_fn(
+                self.params, self.k_cache, self.v_cache, jnp.asarray(tokens),
+                jnp.asarray(tables), jnp.asarray(chunk_lens),
+                jnp.asarray(history), jnp.asarray(temperature),
+                jnp.asarray(top_p), self._step_rng(), has_history)
+        return np.asarray(toks)
+
     def warmup(self, decode_buckets: Optional[Seq[int]] = None,
                prefill_shapes: Optional[Seq[tuple[int, int]]] = None) -> None:
         """Pre-compile the step functions for the shape buckets.
@@ -173,22 +238,14 @@ class InferenceEngine:
         z = np.zeros(bs, dtype=np.int32)
         tables = np.zeros((bs, self.config.cache.max_pages_per_seq), np.int32)
         f = np.ones(bs, dtype=np.float32)
-        tok, self.k_cache, self.v_cache = self._decode_fn(
-            self.params, self.k_cache, self.v_cache, jnp.asarray(z),
-            jnp.asarray(tables), jnp.asarray(z), jnp.asarray(f),
-            jnp.asarray(f), self._step_rng(), span)
-        np.asarray(tok)  # hard sync (block_until_ready is unreliable on axon)
+        self._call_decode(z, tables, z, f, f, span)
 
     def _run_prefill_shapes(self, bs: int, chunk: int) -> None:
         tokens = np.zeros((bs, chunk), dtype=np.int32)
         tables = np.zeros((bs, self.config.cache.max_pages_per_seq), np.int32)
         z = np.zeros(bs, dtype=np.int32)
         f = np.ones(bs, dtype=np.float32)
-        tok, self.k_cache, self.v_cache = self._prefill_fn(
-            self.params, self.k_cache, self.v_cache, jnp.asarray(tokens),
-            jnp.asarray(tables), jnp.asarray(z), jnp.asarray(z),
-            jnp.asarray(f), jnp.asarray(f), self._step_rng(), False)
-        np.asarray(tok)
+        self._call_prefill(tokens, tables, z, z, f, f, False)
 
     def _step_rng(self) -> jax.Array:
         self._rng, sub = jax.random.split(self._rng)
@@ -327,13 +384,9 @@ class InferenceEngine:
             top_p[i] = seq.sampling.top_p
             tables[i] = self.allocator.block_table_row(seq.seq_id)
 
-        next_tokens, self.k_cache, self.v_cache = self._prefill_fn(
-            self.params, self.k_cache, self.v_cache, jnp.asarray(tokens),
-            jnp.asarray(tables), jnp.asarray(chunk_lens),
-            jnp.asarray(history), jnp.asarray(temperature),
-            jnp.asarray(top_p), self._step_rng(),
-            bool(history.any()))
-        next_tokens = np.asarray(next_tokens)
+        next_tokens = self._call_prefill(tokens, tables, chunk_lens, history,
+                                         temperature, top_p,
+                                         bool(history.any()))
 
         self.scheduler.on_prefill_done(batch)
         produced = 0
@@ -412,12 +465,8 @@ class InferenceEngine:
             top_p[i] = seq.sampling.top_p
             tables[i] = self.allocator.block_table_row(seq.seq_id)
 
-        span_tokens, self.k_cache, self.v_cache = self._decode_fn(
-            self.params, self.k_cache, self.v_cache, jnp.asarray(tokens),
-            jnp.asarray(tables), jnp.asarray(context),
-            jnp.asarray(temperature), jnp.asarray(top_p), self._step_rng(),
-            span)
-        span_tokens = np.asarray(span_tokens)          # [B, span]
+        span_tokens = self._call_decode(tokens, tables, context, temperature,
+                                        top_p, span)   # [B, span]
 
         produced = 0
         for i, seq in enumerate(seqs):

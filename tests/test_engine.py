@@ -118,3 +118,16 @@ def test_abort_request(engine):
     assert engine.abort_request(sid)
     assert engine.scheduler.is_finished()
     engine.scheduler.pop_finished()
+
+
+def test_int8_kv_engine_matches_bf16_greedy():
+    from microvllm_tpu.config import QuantConfig
+    prompts = [[1, 2, 3, 4], [9, 8, 7], [5] * 40]
+    sp = SamplingParams(temperature=0.0, max_new_tokens=6)
+    ref = tiny_engine()
+    ro = [s.output_token_ids for s in ref.generate(prompts, sampling=sp)]
+    qe = tiny_engine(quant=QuantConfig(kv_bits=8))
+    assert qe.kv_quantized
+    qo = [s.output_token_ids for s in qe.generate(prompts, sampling=sp)]
+    assert qo == ro
+    assert qe.cache_stats.num_seqs == 0

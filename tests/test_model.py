@@ -121,3 +121,27 @@ def test_quantized_model_close(setup):
     # int8 logits should track fp32 logits closely
     rel = np.linalg.norm(np.asarray(got - ref)) / np.linalg.norm(np.asarray(ref))
     assert rel < 0.05
+
+
+def test_int8_kv_cache_close_to_bf16(setup):
+    """INT8 KV-quantized paged decode tracks the fp cache closely."""
+    from microvllm_tpu.models.transformer import init_kv_scales
+    cfg, cache, params = setup
+    B, S = 2, 10
+    tokens = jax.random.randint(jax.random.PRNGKey(9), (B, S), 0, cfg.vocab_size)
+    ref = T.forward_logits(cfg, params, tokens)
+
+    k, v = T.init_kv_cache(cfg, cache, dtype=jnp.int8)
+    ks, vs = init_kv_scales(cfg, cache)
+    bt = jnp.array([[1, 2, 3, 4], [5, 6, 7, 8]], dtype=jnp.int32)
+    lens = jnp.full((B,), S - 1, jnp.int32)
+    hist = jnp.zeros(B, jnp.int32)
+    _, k, v, ks, vs = T.prefill_step(cfg, params, k, v, tokens[:, :-1], bt,
+                                     lens, hist, k_scales=ks, v_scales=vs)
+    logits, k, v, ks, vs = T.decode_step(cfg, params, k, v, tokens[:, -1],
+                                         bt, lens, k_scales=ks, v_scales=vs)
+    # int8 KV: same argmax, close logits
+    assert (jnp.argmax(logits, -1) == jnp.argmax(ref[:, -1], -1)).all()
+    rel = np.linalg.norm(np.asarray(logits - ref[:, -1])) / np.linalg.norm(
+        np.asarray(ref[:, -1]))
+    assert rel < 0.05, rel
