@@ -145,3 +145,21 @@ def test_int8_kv_cache_close_to_bf16(setup):
     rel = np.linalg.norm(np.asarray(logits - ref[:, -1])) / np.linalg.norm(
         np.asarray(ref[:, -1]))
     assert rel < 0.05, rel
+
+
+def test_llama_style_no_bias_model():
+    """qkv_bias=False (llama family) exercises the bias-less projection path."""
+    cfg = ModelConfig.tiny(qkv_bias=False, tie_word_embeddings=False)
+    cache = CacheConfig(num_pages=16, page_size=16, max_pages_per_seq=4)
+    params = T.init_params(cfg, jax.random.PRNGKey(0))
+    assert "bq" not in params["layers"]
+    assert params["lm_head"] is not None
+    k, v = T.init_kv_cache(cfg, cache)
+    B, S = 1, 6
+    tokens = jax.random.randint(jax.random.PRNGKey(1), (B, S), 0, cfg.vocab_size)
+    ref = T.forward_logits(cfg, params, tokens)
+    bt = jnp.array([[1, 2, 3, 4]], dtype=jnp.int32)
+    logits, k, v = T.prefill_step(cfg, params, k, v, tokens, bt,
+                                  jnp.array([S], jnp.int32),
+                                  jnp.zeros(B, jnp.int32))
+    np.testing.assert_allclose(logits, ref[:, -1], rtol=2e-4, atol=2e-4)
