@@ -320,8 +320,10 @@ def build_app(server: EngineServer) -> web.Application:
 
 
 def serve(config: EngineConfig, host: str = "0.0.0.0", port: int = 8000,
-          tokenizer=None, params=None) -> None:
+          tokenizer=None, params=None, warmup: bool = False) -> None:
     engine = InferenceEngine(config, params=params, tokenizer=tokenizer)
+    if warmup:
+        engine.warmup()
     server = EngineServer(engine)
     server.start()
     app = build_app(server)
@@ -335,6 +337,13 @@ def main() -> None:
     from ..config import (CacheConfig, EngineConfig, PRESETS, QuantConfig,
                           SchedulerConfig)
 
+    try:  # reuse compiled programs across server restarts
+        import jax
+        jax.config.update("jax_compilation_cache_dir", "/tmp/mvt_jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
     ap = argparse.ArgumentParser(description="microvllm_tpu API server")
     ap.add_argument("--model", default="qwen2.5-0.5b",
                     help="preset name or local HF snapshot path")
@@ -346,6 +355,13 @@ def main() -> None:
     ap.add_argument("--page-size", type=int, default=64)
     ap.add_argument("--max-pages-per-seq", type=int, default=32)
     ap.add_argument("--max-model-len", type=int, default=2048)
+    ap.add_argument("--kv-bits", type=int, default=16)
+    ap.add_argument("--decode-buckets", default=None,
+                    help="comma list, e.g. 8,32 (fewer = fewer TPU compiles)")
+    ap.add_argument("--decode-spans", default=None, help="comma list")
+    ap.add_argument("--prefill-buckets", default=None, help="comma list")
+    ap.add_argument("--warmup", action="store_true",
+                    help="pre-compile all buckets before serving")
     args = ap.parse_args()
 
     logging.basicConfig(level=logging.INFO)
@@ -364,16 +380,27 @@ def main() -> None:
         except Exception:
             logger.warning("no tokenizer loaded; token-id API only")
 
+    def _csv(v, default):
+        return tuple(int(x) for x in v.split(",")) if v else default
+
+    sched = SchedulerConfig(
+        max_batch_size=args.max_batch,
+        decode_buckets=_csv(args.decode_buckets,
+                            SchedulerConfig().decode_buckets),
+        decode_spans=_csv(args.decode_spans, SchedulerConfig().decode_spans),
+        prefill_len_buckets=_csv(args.prefill_buckets,
+                                 SchedulerConfig().prefill_len_buckets),
+    )
     cfg = EngineConfig(
         model=mcfg,
         cache=CacheConfig(num_pages=args.kv_pages, page_size=args.page_size,
                           max_pages_per_seq=args.max_pages_per_seq),
-        scheduler=SchedulerConfig(max_batch_size=args.max_batch),
-        quant=QuantConfig(weight_bits=args.bits),
+        scheduler=sched,
+        quant=QuantConfig(weight_bits=args.bits, kv_bits=args.kv_bits),
         max_model_len=args.max_model_len,
     )
     serve(cfg, host=args.host, port=args.port, tokenizer=tokenizer,
-          params=params)
+          params=params, warmup=args.warmup)
 
 
 if __name__ == "__main__":

@@ -198,3 +198,26 @@ def test_flash_prefill_no_history():
         interpret=True)
     got_std = got.transpose(0, 3, 1, 2, 4).reshape(B, S, H, D)
     np.testing.assert_allclose(got_std, ref, rtol=2e-5, atol=2e-5)
+
+
+def test_fused_norm_kernels_match_jnp():
+    from microvllm_tpu.ops.pallas.fused_norm import (
+        rmsnorm_pallas, rmsnorm_residual_pallas, swiglu_pallas)
+    from microvllm_tpu.ops.normalization import rmsnorm, rmsnorm_residual
+    from microvllm_tpu.ops.activations import swiglu
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (24, 256))
+    r = jax.random.normal(jax.random.PRNGKey(1), (24, 256))
+    w = jax.random.normal(jax.random.PRNGKey(2), (256,))
+
+    np.testing.assert_allclose(rmsnorm_pallas(x, w, interpret=True),
+                               rmsnorm(x, w), rtol=1e-5, atol=1e-5)
+    n1, r1 = rmsnorm_residual_pallas(x, r, w, interpret=True)
+    n2, r2 = rmsnorm_residual(x, r, w)
+    np.testing.assert_allclose(n1, n2, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(r1, r2, rtol=1e-5, atol=1e-5)
+
+    g = jax.random.normal(jax.random.PRNGKey(3), (24, 256))
+    u = jax.random.normal(jax.random.PRNGKey(4), (24, 256))
+    np.testing.assert_allclose(swiglu_pallas(g, u, interpret=True),
+                               swiglu(g, u), rtol=1e-5, atol=1e-5)

@@ -1,0 +1,164 @@
+#!/usr/bin/env python
+"""Kernel micro-benchmarks with built-in correctness checks.
+
+The counterpart of the reference's per-kernel ``benchmark_*`` mains
+(`kernel/swiglu.py:151-256`, `kernel/rmsnorm_add.py:212-311`): each section
+times the Pallas kernel against its jnp/XLA formulation and asserts they
+agree. Run on TPU (default env) or CPU (interpret mode is used for
+correctness there, timing skipped).
+
+  python tools/bench_kernels.py [--section all|attn|qmm|norm]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def on_tpu() -> bool:
+    return jax.default_backend() not in ("cpu",)
+
+
+def timeit(fn, *args, iters=20, inner=10):
+    """Median ms per call of fn chained `inner` times inside one jit."""
+    @jax.jit
+    def chain(*a):
+        out = None
+        for _ in range(inner):
+            out = fn(*a)
+        return out
+
+    o = chain(*args)
+    np.asarray(jax.tree_util.tree_leaves(o)[0])
+    times = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        o = chain(*args)
+        np.asarray(jax.tree_util.tree_leaves(o)[0])
+        times.append((time.perf_counter() - t0) / inner)
+    return float(np.median(times) * 1e3)
+
+
+def bench_attn():
+    from microvllm_tpu.ops.attention import (append_kv,
+                                             paged_decode_attention_ref,
+                                             slot_coords)
+    from microvllm_tpu.ops.pallas.decode_attention import paged_decode_attention
+
+    B, H, KV, D, PS, NP, MP = 8, 28, 4, 128, 64, 256, 16
+    lens = np.full(B, 900, np.int32)
+    kp = jnp.zeros((NP, KV, PS, D), jnp.bfloat16)
+    vp = jnp.zeros((NP, KV, PS, D), jnp.bfloat16)
+    bt = np.zeros((B, MP), np.int32)
+    pg = 1
+    for b in range(B):
+        n = -(-int(lens[b]) // PS)
+        bt[b, :n] = range(pg, pg + n)
+        pg += n
+    bt = jnp.asarray(bt)
+    key = jax.random.PRNGKey(0)
+    for b in range(B):
+        kk = jax.random.normal(key, (int(lens[b]), KV, D), jnp.bfloat16)
+        pos = jnp.arange(int(lens[b]), dtype=jnp.int32)
+        pages, offs = slot_coords(bt[b][None].repeat(int(lens[b]), 0), pos, PS)
+        kp, vp = append_kv(kp, vp, kk, kk * 0.5, pages, offs)
+    q = jax.random.normal(key, (B, H, D), jnp.bfloat16)
+    lens_j = jnp.asarray(lens)
+
+    interp = not on_tpu()
+    got = paged_decode_attention(q, kp, vp, bt, lens_j, scale=D ** -0.5,
+                                 interpret=interp)
+    ref = paged_decode_attention_ref(q, kp, vp, bt, lens_j, D ** -0.5)
+    err = float(jnp.abs(got.astype(jnp.float32) - ref.astype(jnp.float32)).max())
+    print(f"[attn] pallas vs ref max err: {err:.4f}")
+    assert err < 0.02
+    if on_tpu():
+        t_ref = timeit(lambda *a: paged_decode_attention_ref(*a, D ** -0.5),
+                       q, kp, vp, bt, lens_j)
+        t_pal = timeit(lambda *a: paged_decode_attention(*a, scale=D ** -0.5),
+                       q, kp, vp, bt, lens_j)
+        kv_bytes = 2 * B * int(lens[0]) * KV * D * 2
+        print(f"[attn] B={B} ctx=900: ref {t_ref:.3f} ms, pallas {t_pal:.3f} ms"
+              f" (roofline {kv_bytes / 819e9 * 1e3:.3f} ms)")
+
+
+def bench_qmm():
+    from microvllm_tpu.ops.pallas.quant_matmul import quant_matmul
+    from microvllm_tpu.ops.quant import quantize
+
+    K, N, M, gs = 3584, 18944, 8, 128
+    key = jax.random.PRNGKey(0)
+    w = jax.random.normal(key, (K, N), jnp.float32) * 0.02
+    x = jax.random.normal(key, (M, K), jnp.bfloat16)
+    for bits in (8, 4):
+        qt = quantize(w, bits, gs)
+        interp = not on_tpu()
+        got = quant_matmul(x, qt.q, qt.scales, group_size=gs, bits=bits,
+                           interpret=interp)
+        ref = x @ qt.dequant(jnp.bfloat16)
+        rel = float(jnp.linalg.norm((got - ref).astype(jnp.float32))
+                    / jnp.linalg.norm(ref.astype(jnp.float32)))
+        print(f"[qmm int{bits}] pallas vs dequant rel err: {rel:.4f}")
+        assert rel < 2e-2
+        if on_tpu():
+            t_pal = timeit(lambda a, b, c: quant_matmul(
+                a, b, c, group_size=gs, bits=bits), x, qt.q, qt.scales)
+            t_xla = timeit(lambda a, q2, s: a @ type(qt)(
+                q2, s, bits, gs).dequant(jnp.bfloat16), x, qt.q, qt.scales)
+            bytes_w = K * N * (1 if bits == 8 else 0.5)
+            print(f"[qmm int{bits}] pallas {t_pal:.3f} ms, XLA dequant "
+                  f"{t_xla:.3f} ms (roofline {bytes_w / 819e9 * 1e3:.3f} ms)")
+
+
+def bench_norm():
+    from microvllm_tpu.ops.activations import swiglu
+    from microvllm_tpu.ops.normalization import rmsnorm, rmsnorm_residual
+    from microvllm_tpu.ops.pallas.fused_norm import (rmsnorm_pallas,
+                                                     rmsnorm_residual_pallas,
+                                                     swiglu_pallas)
+
+    rows, hidden = 2048, 3584
+    key = jax.random.PRNGKey(0)
+    x = jax.random.normal(key, (rows, hidden), jnp.bfloat16)
+    r = jax.random.normal(key, (rows, hidden), jnp.bfloat16)
+    w = jax.random.normal(key, (hidden,), jnp.bfloat16)
+    interp = not on_tpu()
+    err = float(jnp.abs(
+        rmsnorm_pallas(x, w, interpret=interp).astype(jnp.float32)
+        - rmsnorm(x, w).astype(jnp.float32)).max())
+    print(f"[norm] pallas vs jnp max err: {err:.4f}")
+    assert err < 0.05
+    if on_tpu():
+        print(f"[norm] rmsnorm jnp {timeit(rmsnorm, x, w):.3f} ms, "
+              f"pallas {timeit(rmsnorm_pallas, x, w):.3f} ms")
+        print(f"[norm] add+rmsnorm jnp {timeit(rmsnorm_residual, x, r, w):.3f}"
+              f" ms, pallas {timeit(rmsnorm_residual_pallas, x, r, w):.3f} ms")
+        print(f"[norm] swiglu jnp {timeit(swiglu, x, r):.3f} ms, "
+              f"pallas {timeit(swiglu_pallas, x, r):.3f} ms")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--section", default="all",
+                    choices=["all", "attn", "qmm", "norm"])
+    args = ap.parse_args()
+    print(f"backend: {jax.default_backend()}", flush=True)
+    if args.section in ("all", "attn"):
+        bench_attn()
+    if args.section in ("all", "qmm"):
+        bench_qmm()
+    if args.section in ("all", "norm"):
+        bench_norm()
+    print("all kernel checks passed")
+
+
+if __name__ == "__main__":
+    main()
