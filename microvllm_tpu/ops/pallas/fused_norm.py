@@ -58,7 +58,7 @@ def _rmsnorm_residual_kernel(x_ref, res_ref, w_ref, normed_ref, resid_ref,
 @functools.partial(jax.jit, static_argnames=("eps", "block_rows", "interpret"))
 def rmsnorm_residual_pallas(x: jnp.ndarray, residual: jnp.ndarray,
                             weight: jnp.ndarray, eps: float = 1e-6,
-                            block_rows: int = 256, interpret: bool = False):
+                            block_rows: int = 128, interpret: bool = False):
     """Fused add+norm with both outputs (the reference's
     `rmsnorm_residual_gemm` two-output contract)."""
     rows, hidden = x.shape

@@ -553,3 +553,20 @@ class InferenceEngine:
     @property
     def cache_stats(self):
         return self.allocator.stats
+
+    # ------------------------------------------------------------------
+    # Profiling (reference: torch.profiler import + chrome-trace export,
+    # `core/engine.py:17,166-174`; here: jax.profiler trace capture)
+    # ------------------------------------------------------------------
+
+    def start_profile(self, trace_dir: str = "/tmp/mvt_trace") -> str:
+        jax.profiler.start_trace(trace_dir)
+        self._trace_dir = trace_dir
+        return trace_dir
+
+    def stop_profile(self) -> Optional[str]:
+        try:
+            jax.profiler.stop_trace()
+        except RuntimeError:
+            return None
+        return getattr(self, "_trace_dir", None)

@@ -305,12 +305,25 @@ def build_app(server: EngineServer) -> web.Application:
             },
         })
 
+    async def profile_start(request: web.Request) -> web.Response:
+        try:
+            d = engine.start_profile()
+        except Exception as e:
+            return web.json_response({"error": str(e)}, status=500)
+        return web.json_response({"tracing": True, "dir": d})
+
+    async def profile_stop(request: web.Request) -> web.Response:
+        d = engine.stop_profile()
+        return web.json_response({"tracing": False, "dir": d})
+
     app = web.Application()
     app.router.add_post("/generate", generate)
     app.router.add_post("/batch_generate", batch_generate)
     app.router.add_post("/generate_stream", generate_stream)
     app.router.add_get("/health", health)
     app.router.add_get("/metrics", metrics)
+    app.router.add_post("/profile/start", profile_start)
+    app.router.add_post("/profile/stop", profile_stop)
 
     async def _cleanup(app):
         server.shutdown()

@@ -28,21 +28,28 @@ def on_tpu() -> bool:
 
 
 def timeit(fn, *args, iters=20, inner=10):
-    """Median ms per call of fn chained `inner` times inside one jit."""
+    """Median ms per call: `inner` data-dependent calls inside one jit (the
+    dependency defeats CSE), one host sync per timed iteration. The ~28 ms
+    tunnel RTT is amortized as RTT/inner."""
     @jax.jit
     def chain(*a):
+        a = list(a)
         out = None
         for _ in range(inner):
             out = fn(*a)
-        return out
+            lead = jax.tree_util.tree_leaves(out)[0]
+            # perturb the first arg with a data-dependent zero
+            a[0] = a[0] + (lead.ravel()[0] * 0).astype(a[0].dtype)
+        # return a scalar: the tunnel reads back ~4 bytes, not the output
+        # (multi-MB readbacks at ~200 MB/s would swamp the measurement)
+        return jnp.sum(jax.tree_util.tree_leaves(out)[0].astype(jnp.float32))
 
-    o = chain(*args)
-    np.asarray(jax.tree_util.tree_leaves(o)[0])
+    np.asarray(chain(*args))
     times = []
     for _ in range(iters):
         t0 = time.perf_counter()
         o = chain(*args)
-        np.asarray(jax.tree_util.tree_leaves(o)[0])
+        np.asarray(o)
         times.append((time.perf_counter() - t0) / inner)
     return float(np.median(times) * 1e3)
 
