@@ -46,7 +46,8 @@ Params = dict[str, Any]
 
 def init_params(cfg: ModelConfig, key: jax.Array,
                 quant_bits: int | None = None,
-                quant_group_size: int = 128) -> Params:
+                quant_group_size: int = 128,
+                quant_tp: int = 1) -> Params:
     """Random-init parameters (deterministic; used for tests and benches —
     the zero-egress environment has no weight downloads).
 
@@ -74,9 +75,10 @@ def init_params(cfg: ModelConfig, key: jax.Array,
         from ..ops.quant import quantize
         if len(shape) == 3:
             qt = jax.lax.map(
-                lambda x: quantize(x, quant_bits, quant_group_size), full)
+                lambda x: quantize(x, quant_bits, quant_group_size,
+                                   quant_tp), full)
         else:
-            qt = quantize(full, quant_bits, quant_group_size)
+            qt = quantize(full, quant_bits, quant_group_size, quant_tp)
         jax.block_until_ready(qt.q)
         del full
         return qt
@@ -155,7 +157,32 @@ def _maybe_psum(x: jnp.ndarray, tp_axis: str | None) -> jnp.ndarray:
 
 
 def _layer_xs(params: Params, cfg: ModelConfig):
-    return (jnp.arange(cfg.num_layers, dtype=jnp.int32), params["layers"])
+    """Scan inputs for the layer loop.
+
+    Quantized (stacked) weights are EXCLUDED from the scanned xs: slicing
+    them per iteration would materialize a copy of each layer's weights
+    (Pallas custom-call operands cannot be lazily sliced by XLA — measured
+    at ~20% of decode step time on 7B). They stay whole, closed over, and
+    the kernels index the layer via scalar-prefetch BlockSpecs.
+    """
+    from ..ops.quant import QuantizedTensor
+
+    sliced = {k: v for k, v in params["layers"].items()
+              if not isinstance(v, QuantizedTensor)}
+    return (jnp.arange(cfg.num_layers, dtype=jnp.int32), sliced)
+
+
+def _stacked_weights(params: Params):
+    from ..ops.quant import QuantizedTensor
+
+    return {k: v for k, v in params["layers"].items()
+            if isinstance(v, QuantizedTensor)}
+
+
+def _weight_getter(lp, stacked):
+    def get(name):
+        return stacked[name] if name in stacked else lp.get(name)
+    return get
 
 
 # ---------------------------------------------------------------------------
@@ -192,13 +219,16 @@ def decode_step(cfg: ModelConfig, params: Params,
     h = jnp.take(params["embed"], tokens, axis=0)          # [B, H]
     cos, sin = rope_cos_sin(context_lens, cfg.head_dim, cfg.rope_theta)
 
+    stacked = _stacked_weights(params)
+
     def body(carry, xs):
         hid, kc, vc, ks, vs = carry
         l, lp = xs
+        w = _weight_getter(lp, stacked)
         normed = rmsnorm(hid, lp["attn_norm"], cfg.rms_norm_eps)
-        q = linear(normed, lp["wq"], lp.get("bq"))
-        k = linear(normed, lp["wk"], lp.get("bk"))
-        v = linear(normed, lp["wv"], lp.get("bv"))
+        q = linear(normed, w("wq"), lp.get("bq"), layer=l)
+        k = linear(normed, w("wk"), lp.get("bk"), layer=l)
+        v = linear(normed, w("wv"), lp.get("bv"), layer=l)
         q = q.reshape(B, n_heads, cfg.head_dim)
         k = k.reshape(B, n_kv, cfg.head_dim)
         v = v.reshape(B, n_kv, cfg.head_dim)
@@ -211,13 +241,14 @@ def decode_step(cfg: ModelConfig, params: Params,
             kc, vc, block_tables, context_lens, l, scale, ks, vs)
         attn = attn[..., : cfg.head_dim]
         attn_out = _maybe_psum(
-            linear(attn.reshape(B, q_dim), lp["wo"]), tp_axis)
+            linear(attn.reshape(B, q_dim), w("wo"), layer=l), tp_axis)
 
         normed2, resid = rmsnorm_residual(attn_out, hid, lp["mlp_norm"],
                                           cfg.rms_norm_eps)
         mlp = _maybe_psum(
-            linear(swiglu(linear(normed2, lp["w_gate"]),
-                          linear(normed2, lp["w_up"])), lp["w_down"]),
+            linear(swiglu(linear(normed2, w("w_gate"), layer=l),
+                          linear(normed2, w("w_up"), layer=l)),
+                   w("w_down"), layer=l),
             tp_axis)
         return (resid + mlp, kc, vc, ks, vs), None
 
@@ -378,13 +409,16 @@ def prefill_step(cfg: ModelConfig, params: Params,
                 B * S, n_kv, d_pad).astype(vc.dtype))
         return kc, vc, ks, vs
 
+    stacked = _stacked_weights(params)
+
     def body(carry, xs):
         hid, kc, vc, ks, vs = carry
         l, lp = xs
+        w = _weight_getter(lp, stacked)
         normed = rmsnorm(hid, lp["attn_norm"], cfg.rms_norm_eps)
-        q = linear(normed, lp["wq"], lp.get("bq"))
-        k = linear(normed, lp["wk"], lp.get("bk"))
-        v = linear(normed, lp["wv"], lp.get("bv"))
+        q = linear(normed, w("wq"), lp.get("bq"), layer=l)
+        k = linear(normed, w("wk"), lp.get("bk"), layer=l)
+        v = linear(normed, w("wv"), lp.get("bv"), layer=l)
         q = q.reshape(B, S, n_heads, cfg.head_dim)
         k = k.reshape(B, S, n_kv, cfg.head_dim)
         v = v.reshape(B, S, n_kv, cfg.head_dim)
@@ -415,12 +449,13 @@ def prefill_step(cfg: ModelConfig, params: Params,
         kc, vc, ks, vs = store_chunk(kc, vc, ks, vs, l, k, v)
 
         attn_out = _maybe_psum(
-            linear(attn.reshape(B, S, q_dim), lp["wo"]), tp_axis)
+            linear(attn.reshape(B, S, q_dim), w("wo"), layer=l), tp_axis)
         normed2, resid = rmsnorm_residual(attn_out, hid, lp["mlp_norm"],
                                           cfg.rms_norm_eps)
         mlp = _maybe_psum(
-            linear(swiglu(linear(normed2, lp["w_gate"]),
-                          linear(normed2, lp["w_up"])), lp["w_down"]),
+            linear(swiglu(linear(normed2, w("w_gate"), layer=l),
+                          linear(normed2, w("w_up"), layer=l)),
+                   w("w_down"), layer=l),
             tp_axis)
         return (resid + mlp, kc, vc, ks, vs), None
 
@@ -452,20 +487,24 @@ def forward_logits(cfg: ModelConfig, params: Params,
     positions = jnp.broadcast_to(jnp.arange(S, dtype=jnp.int32)[None, :], (B, S))
     cos, sin = rope_cos_sin(positions, cfg.head_dim, cfg.rope_theta)
 
+    stacked = _stacked_weights(params)
+
     def body(hid, xs):
-        _, lp = xs
+        l, lp = xs
+        w = _weight_getter(lp, stacked)
         normed = rmsnorm(hid, lp["attn_norm"], cfg.rms_norm_eps)
-        q = linear(normed, lp["wq"], lp.get("bq")).reshape(B, S, cfg.num_heads, cfg.head_dim)
-        k = linear(normed, lp["wk"], lp.get("bk")).reshape(B, S, cfg.num_kv_heads, cfg.head_dim)
-        v = linear(normed, lp["wv"], lp.get("bv")).reshape(B, S, cfg.num_kv_heads, cfg.head_dim)
+        q = linear(normed, w("wq"), lp.get("bq"), layer=l).reshape(B, S, cfg.num_heads, cfg.head_dim)
+        k = linear(normed, w("wk"), lp.get("bk"), layer=l).reshape(B, S, cfg.num_kv_heads, cfg.head_dim)
+        v = linear(normed, w("wv"), lp.get("bv"), layer=l).reshape(B, S, cfg.num_kv_heads, cfg.head_dim)
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
         attn = prefill_attention_ref(q, k, v, scale)
-        attn_out = linear(attn.reshape(B, S, cfg.q_dim), lp["wo"])
+        attn_out = linear(attn.reshape(B, S, cfg.q_dim), w("wo"), layer=l)
         normed2, resid = rmsnorm_residual(attn_out, hid, lp["mlp_norm"],
                                           cfg.rms_norm_eps)
-        mlp = linear(swiglu(linear(normed2, lp["w_gate"]),
-                            linear(normed2, lp["w_up"])), lp["w_down"])
+        mlp = linear(swiglu(linear(normed2, w("w_gate"), layer=l),
+                            linear(normed2, w("w_up"), layer=l)),
+                     w("w_down"), layer=l)
         return resid + mlp, None
 
     h, _ = jax.lax.scan(body, h, _layer_xs(params, cfg))

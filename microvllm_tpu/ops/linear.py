@@ -21,26 +21,39 @@ def _pallas_block_k(K: int, group_size: int) -> int:
     return best
 
 
-def _quant_linear(x: jnp.ndarray, w: QuantizedTensor) -> jnp.ndarray:
+def _quant_linear(x: jnp.ndarray, w: QuantizedTensor, layer) -> jnp.ndarray:
     from .attention import use_pallas
 
     K, N = w.in_dim, w.out_dim
+    lead = x.shape[:-1]
     if use_pallas():
+        if w.stacked:
+            from .pallas.quant_matmul import quant_matmul_stacked
+
+            assert layer is not None, "stacked quantized weight needs layer"
+            y = quant_matmul_stacked(
+                x.reshape(-1, K), w.q, w.scales_tiled, layer,
+                group_size=w.group_size, bits=w.bits, block_k=w.block_k)
+            return y.reshape(*lead, N)
         from .pallas.quant_matmul import quant_matmul
 
-        lead = x.shape[:-1]
         y = quant_matmul(x.reshape(-1, K), w.q, w.scales,
                          group_size=w.group_size, bits=w.bits,
-                         block_k=_pallas_block_k(K, w.group_size))
+                         block_k=w.block_k or _pallas_block_k(K, w.group_size))
         return y.reshape(*lead, N)
+    if w.stacked:
+        # slice the layer's leaves first (one-layer gather), then dequant
+        w = QuantizedTensor(q=w.q[layer], scales=w.scales[layer],
+                            bits=w.bits, group_size=w.group_size)
     return jnp.einsum("...i,io->...o", x, w.dequant(x.dtype))
 
 
-def linear(x: jnp.ndarray, w, bias=None) -> jnp.ndarray:
+def linear(x: jnp.ndarray, w, bias=None, layer=None) -> jnp.ndarray:
     """``x @ w (+ bias)`` where ``w`` is a plain ``[in, out]`` array or a
-    :class:`QuantizedTensor`. Contraction over the last axis of ``x``."""
+    :class:`QuantizedTensor` (possibly layer-stacked, selected by ``layer``).
+    Contraction over the last axis of ``x``."""
     if isinstance(w, QuantizedTensor):
-        y = _quant_linear(x, w)
+        y = _quant_linear(x, w, layer)
     else:
         y = jnp.einsum("...i,io->...o", x, w)
     if bias is not None:

@@ -58,6 +58,102 @@ def _qmm_kernel(x_ref, q_ref, s_ref, o_ref, acc_ref, *,
         o_ref[...] = acc_ref[...].astype(o_ref.dtype)
 
 
+def _qmm_stacked_kernel(layer_ref, x_ref, q_ref, s_ref, o_ref, acc_ref, *,
+                        group_size: int, groups_per_tile: int, n_k: int,
+                        bits: int):
+    """Layer-stacked variant: q_ref/s_ref blocks carry a leading layer dim
+    selected by the prefetched layer index — the scan never slices (and so
+    never copies) the stacked weights."""
+    i = pl.program_id(2)
+
+    @pl.when(i == 0)
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    if bits == 4:
+        p = q_ref[0].astype(jnp.int32)
+        half_g = group_size // 2
+        tn_ = p.shape[-1]
+        p = p.reshape(groups_per_tile, half_g, tn_)
+        lo = (p << 28) >> 28
+        hi = p >> 4
+        w = jnp.concatenate([lo, hi], axis=1).reshape(
+            groups_per_tile * group_size, tn_).astype(jnp.bfloat16)
+    else:
+        w = q_ref[0].astype(jnp.bfloat16)
+    s = s_ref[0, 0, :groups_per_tile, :].astype(jnp.bfloat16)
+    tn = s.shape[-1]
+    s = jnp.broadcast_to(s[:, None, :], (groups_per_tile, group_size, tn))
+    s = s.reshape(groups_per_tile * group_size, tn)
+    acc_ref[...] += jax.lax.dot_general(
+        x_ref[...], w * s, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    @pl.when(i == n_k - 1)
+    def _():
+        o_ref[...] = acc_ref[...].astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("group_size", "bits", "block_k", "block_m", "block_n",
+                     "interpret"))
+def quant_matmul_stacked(
+    x: jnp.ndarray,            # [M, K]
+    q: jnp.ndarray,            # [L, K(/2), N] int8 (layer-stacked)
+    scales_tiled: jnp.ndarray, # [L, n_k, srows, N] f32 (kernel layout)
+    layer: jnp.ndarray,        # [] or [1] int32
+    *,
+    group_size: int,
+    bits: int,
+    block_k: int,
+    block_m: int = 256,
+    block_n: int = 512,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """``x @ dequant(q[layer])`` reading only layer ``layer``'s tiles from
+    the stacked weight (BlockSpec indexing via scalar prefetch)."""
+    M, K = x.shape
+    L, _, N = q.shape
+    pack = 2 if bits == 4 else 1
+    block_m = min(block_m, max(8, M))
+    block_n = min(block_n, N)
+    assert K % block_k == 0 and block_k % group_size == 0, (K, block_k)
+    n_k = K // block_k
+    gpt = block_k // group_size
+    srows = scales_tiled.shape[2]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(pl.cdiv(M, block_m), pl.cdiv(N, block_n), n_k),
+        in_specs=[
+            pl.BlockSpec((block_m, block_k), lambda m, n, k, lr: (m, k)),
+            pl.BlockSpec((1, block_k // pack, block_n),
+                         lambda m, n, k, lr: (lr[0], k, n)),
+            pl.BlockSpec((1, 1, srows, block_n),
+                         lambda m, n, k, lr: (lr[0], k, 0, n)),
+        ],
+        out_specs=pl.BlockSpec((block_m, block_n),
+                               lambda m, n, k, lr: (m, n)),
+        scratch_shapes=[pltpu.VMEM((block_m, block_n), jnp.float32)],
+    )
+
+    kernel = functools.partial(_qmm_stacked_kernel, group_size=group_size,
+                               groups_per_tile=gpt, n_k=n_k, bits=bits)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((M, N), x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * M * K * N,
+            bytes_accessed=int(M * K * 2 + K * N / pack + M * N * 2),
+            transcendentals=0),
+        interpret=interpret,
+    )(jnp.atleast_1d(layer).astype(jnp.int32), x, q, scales_tiled)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("group_size", "bits", "block_m", "block_n", "block_k",

@@ -42,6 +42,34 @@ def unpack_int4_rows(packed: jnp.ndarray, group_size: int) -> jnp.ndarray:
     return w.reshape(half * 2, out_dim)
 
 
+def tile_scales_for_kernel(scales: jnp.ndarray, group_size: int,
+                           block_k: int) -> jnp.ndarray:
+    """Retile ``[G, N]`` scales to the kernel's per-k-tile layout
+    ``[n_k, srows, N]`` (srows = groups-per-tile padded to a multiple of 8,
+    so each tile's scale block is sublane-legal). Precomputed at quantize
+    time so the matmul never touches the [G, N] layout on the hot path."""
+    G, N = scales.shape
+    K = G * group_size
+    n_k = K // block_k
+    gpt = block_k // group_size
+    srows = -(-gpt // 8) * 8
+    out = jnp.zeros((n_k, srows, N), scales.dtype)
+    return out.at[:, :gpt].set(scales.reshape(n_k, gpt, N))
+
+
+def default_block_k(K: int, group_size: int, tp: int = 1) -> int:
+    """Largest contraction tile <= 512 that divides K (and the per-rank
+    K/tp shard, so the tiled-scale layout shards evenly under row-parallel
+    TP) while holding whole groups."""
+    local_k = K // tp if tp > 1 and K % tp == 0 else K
+    best = group_size
+    for mult in range(min(512 // group_size, local_k // group_size), 0, -1):
+        if local_k % (mult * group_size) == 0:
+            best = mult * group_size
+            break
+    return best
+
+
 @jax.tree_util.register_pytree_node_class
 @dataclass
 class QuantizedTensor:
@@ -50,29 +78,43 @@ class QuantizedTensor:
     bits=8: ``q`` is ``[in_dim, out_dim]`` int8.
     bits=4: ``q`` is ``[in_dim // 2, out_dim]`` int8, nibble-packed per
     group (see :func:`pack_int4_rows`) — half the HBM traffic of int8.
+
+    ``scales_tiled`` is the kernel-layout copy of ``scales`` (see
+    :func:`tile_scales_for_kernel`); ``block_k`` records the tiling it was
+    built for. Leaves may carry a leading layer-stack dim (the model stacks
+    layers for `lax.scan`); the Pallas kernels then index the layer inside
+    their BlockSpecs — no per-layer weight slicing/copying.
     """
 
     q: jnp.ndarray
     scales: jnp.ndarray     # [in_dim // group_size, out_dim] float32
     bits: int
     group_size: int
+    scales_tiled: jnp.ndarray | None = None
+    block_k: int = 0
 
     def tree_flatten(self):
-        return (self.q, self.scales), (self.bits, self.group_size)
+        return ((self.q, self.scales, self.scales_tiled),
+                (self.bits, self.group_size, self.block_k))
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        q, scales = children
-        bits, group_size = aux
-        return cls(q=q, scales=scales, bits=bits, group_size=group_size)
+        q, scales, scales_tiled = children
+        bits, group_size, block_k = aux
+        return cls(q=q, scales=scales, bits=bits, group_size=group_size,
+                   scales_tiled=scales_tiled, block_k=block_k)
+
+    @property
+    def stacked(self) -> bool:
+        return self.q.ndim == 3
 
     @property
     def in_dim(self) -> int:
-        return self.q.shape[0] * (2 if self.bits == 4 else 1)
+        return self.q.shape[-2] * (2 if self.bits == 4 else 1)
 
     @property
     def out_dim(self) -> int:
-        return self.q.shape[1]
+        return self.q.shape[-1]
 
     @property
     def shape(self):
@@ -80,6 +122,9 @@ class QuantizedTensor:
 
     def unpacked(self) -> jnp.ndarray:
         if self.bits == 4:
+            if self.stacked:
+                return jax.vmap(
+                    lambda p: unpack_int4_rows(p, self.group_size))(self.q)
             return unpack_int4_rows(self.q, self.group_size)
         return self.q
 
@@ -89,12 +134,15 @@ class QuantizedTensor:
         # compute in the requested dtype so XLA can fuse the convert+scale
         # into the consuming matmul's operand read (an fp32 intermediate
         # would force a full-weight materialization)
-        w = self.unpacked().astype(dtype).reshape(in_dim // g, g, out_dim)
-        w = w * self.scales[:, None, :].astype(dtype)
-        return w.reshape(in_dim, out_dim)
+        lead = self.q.shape[:-2]
+        w = self.unpacked().astype(dtype).reshape(
+            *lead, in_dim // g, g, out_dim)
+        w = w * self.scales[..., :, None, :].astype(dtype)
+        return w.reshape(*lead, in_dim, out_dim)
 
 
-def quantize(w: jnp.ndarray, bits: int, group_size: int = 128) -> QuantizedTensor:
+def quantize(w: jnp.ndarray, bits: int, group_size: int = 128,
+             tp: int = 1) -> QuantizedTensor:
     """Quantize a ``[in_dim, out_dim]`` weight symmetrically per group/column."""
     assert bits in (4, 8), bits
     in_dim, out_dim = w.shape
@@ -110,10 +158,14 @@ def quantize(w: jnp.ndarray, bits: int, group_size: int = 128) -> QuantizedTenso
     q = q.reshape(in_dim, out_dim).astype(jnp.int8)
     if bits == 4:
         q = pack_int4_rows(q, group_size)
-    return QuantizedTensor(q=q, scales=scales, bits=bits, group_size=group_size)
+    block_k = default_block_k(in_dim, group_size, tp)
+    return QuantizedTensor(
+        q=q, scales=scales, bits=bits, group_size=group_size,
+        scales_tiled=tile_scales_for_kernel(scales, group_size, block_k),
+        block_k=block_k)
 
 
-def quantize_params(params, bits: int, group_size: int = 128):
+def quantize_params(params, bits: int, group_size: int = 128, tp: int = 1):
     """Quantize every 2D projection weight in a model param tree.
 
     Embedding, norms, and biases stay in their original dtype; only matmul
@@ -125,7 +177,7 @@ def quantize_params(params, bits: int, group_size: int = 128):
         # layer-stacked weights are [L, in, out]; lax.map processes one layer
         # at a time so the fp32 intermediate stays per-layer sized (vmap
         # would materialize the whole stack in fp32 — OOM at 7B scale).
-        return jax.lax.map(lambda x: quantize(x, bits, group_size), w)
+        return jax.lax.map(lambda x: quantize(x, bits, group_size, tp), w)
 
     out = dict(params)
     layers = dict(params["layers"])

@@ -27,7 +27,20 @@ def on_tpu() -> bool:
     return jax.default_backend() not in ("cpu",)
 
 
-def timeit(fn, *args, iters=20, inner=10):
+_FLOOR_MS = None
+
+
+def dispatch_floor(inner=10) -> float:
+    """Per-call overhead of the harness itself (tunnel RTT / inner),
+    measured once with a trivial op and subtracted from kernel timings."""
+    global _FLOOR_MS
+    if _FLOOR_MS is None:
+        x = jnp.zeros((8, 128), jnp.float32)
+        _FLOOR_MS = timeit(lambda a: a + 1.0, x, _raw=True)
+    return _FLOOR_MS
+
+
+def timeit(fn, *args, iters=20, inner=10, _raw=False):
     """Median ms per call: `inner` data-dependent calls inside one jit (the
     dependency defeats CSE), one host sync per timed iteration. The ~28 ms
     tunnel RTT is amortized as RTT/inner."""
@@ -51,7 +64,10 @@ def timeit(fn, *args, iters=20, inner=10):
         o = chain(*args)
         np.asarray(o)
         times.append((time.perf_counter() - t0) / inner)
-    return float(np.median(times) * 1e3)
+    ms = float(np.median(times) * 1e3)
+    if _raw:
+        return ms
+    return max(ms - dispatch_floor(inner), 0.001)
 
 
 def bench_attn():
