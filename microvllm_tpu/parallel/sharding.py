@@ -41,27 +41,56 @@ _LAYER_SPECS: dict[str, P] = {
 }
 
 
-def _quant_specs(spec: P) -> dict:
-    """QuantizedTensor children (q, scales) share the weight's spec (scales
-    are [groups, out]; the group dim follows the in dim)."""
-    return spec
+_ROW_PARALLEL = {"wo", "w_down"}          # contraction (in) dim sharded
+_COLUMN_PARALLEL = {"wq", "wk", "wv", "w_gate", "w_up"}
+
+
+def _quant_specs(leaf, column: bool, stacked: bool):
+    """Per-leaf specs for a QuantizedTensor.
+
+    column-parallel: every child shards its LAST axis (the out dim).
+    row-parallel: q shards its packed-in axis, scales their group axis,
+    scales_tiled its k-tile axis (block_k divides the per-rank K shard by
+    construction, see `ops/quant.py::default_block_k`).
+    """
+    from ..ops.quant import QuantizedTensor
+
+    lead = (None,) if stacked else ()
+    if column:
+        q_spec = P(*lead, None, MODEL_AXIS)
+        s_spec = P(*lead, None, MODEL_AXIS)
+        st_spec = P(*lead, None, None, MODEL_AXIS)
+    else:
+        q_spec = P(*lead, MODEL_AXIS, None)
+        s_spec = P(*lead, MODEL_AXIS, None)
+        st_spec = P(*lead, MODEL_AXIS, None, None)
+    return QuantizedTensor(
+        q=q_spec, scales=s_spec, scales_tiled=st_spec,
+        bits=leaf.bits, group_size=leaf.group_size, block_k=leaf.block_k)
 
 
 def param_specs(params: Any) -> Any:
     """PartitionSpec pytree matching a model param tree."""
+    from ..ops.quant import QuantizedTensor
 
     def layer_spec(name, leaf):
-        spec = _LAYER_SPECS.get(name, P())
-        # QuantizedTensor pytree: q is [L, in, out] like the fp weight;
-        # scales are [L, groups, out] — same trailing-axis sharding.
-        return jax.tree_util.tree_map(lambda _: spec, leaf)
+        if isinstance(leaf, QuantizedTensor):
+            return _quant_specs(leaf, column=name in _COLUMN_PARALLEL,
+                                stacked=leaf.stacked)
+        return _LAYER_SPECS.get(name, P())
+
+    lm = params.get("lm_head")
+    if lm is None:
+        lm_spec = None
+    elif isinstance(lm, QuantizedTensor):
+        lm_spec = _quant_specs(lm, column=True, stacked=False)
+    else:
+        lm_spec = P(None, MODEL_AXIS)
 
     specs = {
         "embed": P(),                       # replicated (tied lm_head reads it)
         "final_norm": P(),
-        "lm_head": (None if params.get("lm_head") is None
-                    else jax.tree_util.tree_map(
-                        lambda _: P(None, MODEL_AXIS), params["lm_head"])),
+        "lm_head": lm_spec,
         "layers": {k: layer_spec(k, v) for k, v in params["layers"].items()},
     }
     return specs

@@ -122,10 +122,12 @@ class InferenceEngine:
                 self.mcfg, jax.random.PRNGKey(1),
                 quant_bits=(config.quant.weight_bits
                             if config.quant.quantize_weights else None),
-                quant_group_size=config.quant.weight_group_size)
+                quant_group_size=config.quant.weight_group_size,
+                quant_tp=config.parallel.tp_size)
         elif config.quant.quantize_weights:
             params = quantize_params(params, config.quant.weight_bits,
-                                     config.quant.weight_group_size)
+                                     config.quant.weight_group_size,
+                                     tp=config.parallel.tp_size)
         self.params = params
 
         self.kv_quantized = config.quant.quantize_kv

@@ -14,8 +14,10 @@ from microvllm_tpu.runtime.engine import InferenceEngine
 from microvllm_tpu.runtime.sequence import SamplingParams
 
 
-def tiny_cfg(parallel=None):
+def tiny_cfg(parallel=None, quant=None):
+    from microvllm_tpu.config import QuantConfig
     return EngineConfig(
+        quant=quant or QuantConfig(),
         model=ModelConfig.tiny(num_heads=8, num_kv_heads=4, head_dim=32,
                                hidden_size=128, intermediate_size=256),
         cache=CacheConfig(num_pages=64, page_size=16, max_pages_per_seq=8),
@@ -79,3 +81,19 @@ def test_sharded_engine_streaming_and_preemption():
     eng.scheduler.pop_finished()
     assert len(events) == 4
     assert events[-1][1] is True
+
+
+def test_sharded_engine_with_quantized_weights():
+    from microvllm_tpu.config import QuantConfig
+    prompts = [[1, 2, 3, 4], [9, 8, 7]]
+    sp = SamplingParams(temperature=0.0, max_new_tokens=5)
+
+    ref = InferenceEngine(tiny_cfg(quant=QuantConfig(weight_bits=8,
+                                                     weight_group_size=64)))
+    ro = [s.output_token_ids for s in ref.generate(prompts, sampling=sp)]
+
+    eng = InferenceEngine(tiny_cfg(ParallelConfig(tp_size=2, dp_size=2))
+                          .replace(quant=QuantConfig(weight_bits=8,
+                                                     weight_group_size=64)))
+    qo = [s.output_token_ids for s in eng.generate(prompts, sampling=sp)]
+    assert qo == ro
