@@ -277,6 +277,7 @@ def decode_span(cfg: ModelConfig, params: Params,
                 tp_axis: str | None = None, tp_size: int = 1,
                 k_scales: jnp.ndarray | None = None,
                 v_scales: jnp.ndarray | None = None,
+                top_ks: jnp.ndarray | None = None,
                 ):
     """Run ``num_steps`` decode steps entirely on device, feeding each
     sampled token into the next step (no host round-trips — the TPU
@@ -302,7 +303,8 @@ def decode_span(cfg: ModelConfig, params: Params,
                 cfg, params, kc, vc, toks, block_tables, ctx, tp_axis,
                 tp_size)
         key, sub = jax.random.split(key)
-        nxt = sample_tokens(logits, sub, temperature, top_p)
+        nxt = sample_tokens(logits, sub, temperature, top_p,
+                            top_k_per_seq=top_ks)
         return (nxt, ctx + 1, kc, vc, ks, vs, key), nxt
 
     (_, _, k_cache, v_cache, k_scales, v_scales, _), out = jax.lax.scan(

@@ -22,11 +22,13 @@ def _pallas_block_k(K: int, group_size: int) -> int:
 
 
 def _quant_linear(x: jnp.ndarray, w: QuantizedTensor, layer) -> jnp.ndarray:
+    import os
+
     from .attention import use_pallas
 
     K, N = w.in_dim, w.out_dim
     lead = x.shape[:-1]
-    if use_pallas():
+    if use_pallas() and os.environ.get("MVT_QMM") != "xla":
         if w.stacked:
             from .pallas.quant_matmul import quant_matmul_stacked
 

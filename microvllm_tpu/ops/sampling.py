@@ -17,7 +17,8 @@ NEG_INF = -2.0e38
 
 def sample_tokens(logits: jnp.ndarray, rng: jax.Array,
                   temperature: jnp.ndarray, top_p: jnp.ndarray,
-                  top_k: int = 64) -> jnp.ndarray:
+                  top_k: int = 64,
+                  top_k_per_seq: jnp.ndarray | None = None) -> jnp.ndarray:
     """Sample next tokens.
 
     logits:      ``[B, V]`` float
@@ -25,6 +26,9 @@ def sample_tokens(logits: jnp.ndarray, rng: jax.Array,
     top_p:       ``[B]`` — nucleus threshold in (0, 1]
     top_k:       static int — candidate pool size (reference uses 50 for
                  decode, `core/engine.py:281`; larger k only changes the tail)
+    top_k_per_seq: optional ``[B]`` int32 — per-request top-k applied as a
+                 rank mask within the static pool (effective k is
+                 min(top_k_per_seq, top_k)).
     Returns ``[B]`` int32 token ids.
     """
     logits = logits.astype(jnp.float32)
@@ -33,6 +37,11 @@ def sample_tokens(logits: jnp.ndarray, rng: jax.Array,
     vals, idxs = jax.lax.top_k(logits, top_k)              # [B, K], descending
     t = jnp.maximum(temperature, 1e-5)[:, None]
     scaled = vals / t
+
+    if top_k_per_seq is not None:
+        rank = jnp.arange(top_k, dtype=jnp.int32)[None, :]
+        scaled = jnp.where(rank < jnp.maximum(top_k_per_seq, 1)[:, None],
+                           scaled, NEG_INF)
 
     probs = jax.nn.softmax(scaled, axis=-1)
     cumulative = jnp.cumsum(probs, axis=-1)

@@ -56,23 +56,26 @@ class ShardedStepFns:
 
     # -- decode ------------------------------------------------------------
 
-    def decode_fn(self, params, k, v, tokens, tables, ctx, temp, top_p, rng,
-                  span: int):
+    def decode_fn(self, params, k, v, tokens, tables, ctx, temp, top_p,
+                  top_ks, rng, span: int):
         b = P(DATA_AXIS)
         return self._decode_for(span)(
             params, k, v, self._put(tokens, b),
             self._put(tables, P(DATA_AXIS, None)), self._put(ctx, b),
-            self._put(temp, b), self._put(top_p, b), rng)
+            self._put(temp, b), self._put(top_p, b), self._put(top_ks, b),
+            rng)
 
     def _decode_for(self, span: int):
         if span in self._decode_cache:
             return self._decode_cache[span]
         cfg, tp = self.mcfg, self.tp
 
-        def local_step(params, k, v, tokens, tables, ctx, temp, top_p, rng):
+        def local_step(params, k, v, tokens, tables, ctx, temp, top_p,
+                       top_ks, rng):
             toks, k, v = model_lib.decode_span(
                 cfg, params, k, v, tokens, tables, ctx, temp, top_p, rng,
-                span, tp_axis=MODEL_AXIS if tp > 1 else None, tp_size=tp)
+                span, tp_axis=MODEL_AXIS if tp > 1 else None, tp_size=tp,
+                top_ks=top_ks)
             # replicate sampled tokens so every host reads them locally
             toks = jax.lax.all_gather(toks, DATA_AXIS, axis=0, tiled=True)
             return toks, k, v
@@ -81,7 +84,7 @@ class ShardedStepFns:
         sm = _shard_map(
             local_step, self.mesh,
             in_specs=(self._pspecs, self._cspec, self._cspec, b,
-                      P(DATA_AXIS, None), b, b, b, P()),
+                      P(DATA_AXIS, None), b, b, b, b, P()),
             out_specs=(P(), self._cspec, self._cspec))
         fn = jax.jit(sm, donate_argnums=(1, 2))
         self._decode_cache[span] = fn
@@ -90,13 +93,14 @@ class ShardedStepFns:
     # -- prefill -----------------------------------------------------------
 
     def prefill_fn(self, params, k, v, tokens, tables, chunk_lens, history,
-                   temp, top_p, rng, has_history: bool):
+                   temp, top_p, top_ks, rng, has_history: bool):
         b = P(DATA_AXIS)
         b2 = P(DATA_AXIS, None)
         return self._prefill_for(bool(has_history))(
             params, k, v, self._put(tokens, b2), self._put(tables, b2),
             self._put(chunk_lens, b), self._put(history, b),
-            self._put(temp, b), self._put(top_p, b), rng)
+            self._put(temp, b), self._put(top_p, b), self._put(top_ks, b),
+            rng)
 
     def _prefill_for(self, has_history: bool):
         if has_history in self._prefill_cache:
@@ -104,12 +108,13 @@ class ShardedStepFns:
         cfg, tp = self.mcfg, self.tp
 
         def local_step(params, k, v, tokens, tables, chunk_lens, history,
-                       temp, top_p, rng):
+                       temp, top_p, top_ks, rng):
             logits, k, v = model_lib.prefill_step(
                 cfg, params, k, v, tokens, tables, chunk_lens, history,
                 has_history, tp_axis=MODEL_AXIS if tp > 1 else None,
                 tp_size=tp)
-            toks = sample_tokens(logits, rng, temp, top_p)
+            toks = sample_tokens(logits, rng, temp, top_p,
+                                 top_k_per_seq=top_ks)
             toks = jax.lax.all_gather(toks, DATA_AXIS, axis=0, tiled=True)
             return toks, k, v
 
@@ -117,7 +122,7 @@ class ShardedStepFns:
         sm = _shard_map(
             local_step, self.mesh,
             in_specs=(self._pspecs, self._cspec, self._cspec,
-                      P(DATA_AXIS, None), P(DATA_AXIS, None), b, b, b, b,
+                      P(DATA_AXIS, None), P(DATA_AXIS, None), b, b, b, b, b,
                       P()),
             out_specs=(P(), self._cspec, self._cspec))
         fn = jax.jit(sm, donate_argnums=(1, 2))

@@ -37,45 +37,48 @@ StreamCallback = Callable[[int, int, bool], None]  # (seq_id, token_id, finished
 # Module-level jitted steps with the (hashable, frozen) ModelConfig as a
 # static argument: the XLA compilation cache is then shared across engine
 # instances and shape buckets within a process.
-@partial(jax.jit, static_argnums=(0, 10), donate_argnums=(2, 3))
+@partial(jax.jit, static_argnums=(0, 11), donate_argnums=(2, 3))
 def _decode_span_jit(cfg, params, k_cache, v_cache, tokens, block_tables,
-                     context_lens, temperature, top_p, rng, num_steps):
+                     context_lens, temperature, top_p, top_ks, rng,
+                     num_steps):
     return model_lib.decode_span(
         cfg, params, k_cache, v_cache, tokens, block_tables, context_lens,
-        temperature, top_p, rng, num_steps)
+        temperature, top_p, rng, num_steps, top_ks=top_ks)
 
 
-@partial(jax.jit, static_argnums=(0, 11), donate_argnums=(2, 3))
+@partial(jax.jit, static_argnums=(0, 12), donate_argnums=(2, 3))
 def _prefill_jit(cfg, params, k_cache, v_cache, tokens, block_tables,
-                 chunk_lens, history_lens, temperature, top_p, rng,
+                 chunk_lens, history_lens, temperature, top_p, top_ks, rng,
                  has_history):
     logits, k_cache, v_cache = model_lib.prefill_step(
         cfg, params, k_cache, v_cache, tokens, block_tables,
         chunk_lens, history_lens, has_history)
-    next_tokens = sample_tokens(logits, rng, temperature, top_p)
+    next_tokens = sample_tokens(logits, rng, temperature, top_p,
+                                top_k_per_seq=top_ks)
     return next_tokens, k_cache, v_cache
 
 
 # INT8-KV-cache variants: scale pages ride along and are donated too.
-@partial(jax.jit, static_argnums=(0, 12), donate_argnums=(2, 3, 4, 5))
+@partial(jax.jit, static_argnums=(0, 13), donate_argnums=(2, 3, 4, 5))
 def _decode_span_q_jit(cfg, params, k_cache, v_cache, k_scales, v_scales,
                        tokens, block_tables, context_lens, temperature,
-                       top_p, rng, num_steps):
+                       top_p, top_ks, rng, num_steps):
     return model_lib.decode_span(
         cfg, params, k_cache, v_cache, tokens, block_tables, context_lens,
         temperature, top_p, rng, num_steps,
-        k_scales=k_scales, v_scales=v_scales)
+        k_scales=k_scales, v_scales=v_scales, top_ks=top_ks)
 
 
-@partial(jax.jit, static_argnums=(0, 13), donate_argnums=(2, 3, 4, 5))
+@partial(jax.jit, static_argnums=(0, 14), donate_argnums=(2, 3, 4, 5))
 def _prefill_q_jit(cfg, params, k_cache, v_cache, k_scales, v_scales, tokens,
                    block_tables, chunk_lens, history_lens, temperature,
-                   top_p, rng, has_history):
+                   top_p, top_ks, rng, has_history):
     logits, k_cache, v_cache, k_scales, v_scales = model_lib.prefill_step(
         cfg, params, k_cache, v_cache, tokens, block_tables,
         chunk_lens, history_lens, has_history,
         k_scales=k_scales, v_scales=v_scales)
-    next_tokens = sample_tokens(logits, rng, temperature, top_p)
+    next_tokens = sample_tokens(logits, rng, temperature, top_p,
+                                top_k_per_seq=top_ks)
     return next_tokens, k_cache, v_cache, k_scales, v_scales
 
 
@@ -179,7 +182,7 @@ class InferenceEngine:
     # Unified call helpers: hide the (optional) scale-page plumbing.
 
     def _call_decode(self, tokens, tables, context, temperature, top_p,
-                     span: int) -> np.ndarray:
+                     top_ks, span: int) -> np.ndarray:
         if self.kv_quantized:
             (toks, self.k_cache, self.v_cache, self.k_scales,
              self.v_scales) = _decode_span_q_jit(
@@ -187,17 +190,17 @@ class InferenceEngine:
                 self.k_scales, self.v_scales, jnp.asarray(tokens),
                 jnp.asarray(tables), jnp.asarray(context),
                 jnp.asarray(temperature), jnp.asarray(top_p),
-                self._step_rng(), span)
+                jnp.asarray(top_ks), self._step_rng(), span)
         else:
             toks, self.k_cache, self.v_cache = self._decode_fn(
                 self.params, self.k_cache, self.v_cache, jnp.asarray(tokens),
                 jnp.asarray(tables), jnp.asarray(context),
                 jnp.asarray(temperature), jnp.asarray(top_p),
-                self._step_rng(), span)
+                jnp.asarray(top_ks), self._step_rng(), span)
         return np.asarray(toks)
 
     def _call_prefill(self, tokens, tables, chunk_lens, history, temperature,
-                      top_p, has_history: bool) -> np.ndarray:
+                      top_p, top_ks, has_history: bool) -> np.ndarray:
         if self.kv_quantized:
             (toks, self.k_cache, self.v_cache, self.k_scales,
              self.v_scales) = _prefill_q_jit(
@@ -205,13 +208,15 @@ class InferenceEngine:
                 self.k_scales, self.v_scales, jnp.asarray(tokens),
                 jnp.asarray(tables), jnp.asarray(chunk_lens),
                 jnp.asarray(history), jnp.asarray(temperature),
-                jnp.asarray(top_p), self._step_rng(), has_history)
+                jnp.asarray(top_p), jnp.asarray(top_ks), self._step_rng(),
+                has_history)
         else:
             toks, self.k_cache, self.v_cache = self._prefill_fn(
                 self.params, self.k_cache, self.v_cache, jnp.asarray(tokens),
                 jnp.asarray(tables), jnp.asarray(chunk_lens),
                 jnp.asarray(history), jnp.asarray(temperature),
-                jnp.asarray(top_p), self._step_rng(), has_history)
+                jnp.asarray(top_p), jnp.asarray(top_ks), self._step_rng(),
+                has_history)
         return np.asarray(toks)
 
     def warmup(self, decode_buckets: Optional[Seq[int]] = None,
@@ -240,14 +245,16 @@ class InferenceEngine:
         z = np.zeros(bs, dtype=np.int32)
         tables = np.zeros((bs, self.config.cache.max_pages_per_seq), np.int32)
         f = np.ones(bs, dtype=np.float32)
-        self._call_decode(z, tables, z, f, f, span)
+        k64 = np.full(bs, 64, dtype=np.int32)
+        self._call_decode(z, tables, z, f, f, k64, span)
 
     def _run_prefill_shapes(self, bs: int, chunk: int) -> None:
         tokens = np.zeros((bs, chunk), dtype=np.int32)
         tables = np.zeros((bs, self.config.cache.max_pages_per_seq), np.int32)
         z = np.zeros(bs, dtype=np.int32)
         f = np.ones(bs, dtype=np.float32)
-        self._call_prefill(tokens, tables, z, z, f, f, False)
+        k64 = np.full(bs, 64, dtype=np.int32)
+        self._call_prefill(tokens, tables, z, z, f, f, k64, False)
 
     def _step_rng(self) -> jax.Array:
         self._rng, sub = jax.random.split(self._rng)
@@ -372,6 +379,7 @@ class InferenceEngine:
         history = np.zeros(B, dtype=np.int32)
         temperature = np.ones(B, dtype=np.float32)
         top_p = np.ones(B, dtype=np.float32)
+        top_ks = np.full(B, 64, dtype=np.int32)
         tables = np.zeros((B, self.config.cache.max_pages_per_seq), np.int32)
 
         for i, seq in enumerate(seqs):
@@ -384,10 +392,11 @@ class InferenceEngine:
             history[i] = seq.num_prefilled
             temperature[i] = seq.sampling.temperature
             top_p[i] = seq.sampling.top_p
+            top_ks[i] = seq.sampling.top_k
             tables[i] = self.allocator.block_table_row(seq.seq_id)
 
         next_tokens = self._call_prefill(tokens, tables, chunk_lens, history,
-                                         temperature, top_p,
+                                         temperature, top_p, top_ks,
                                          bool(history.any()))
 
         self.scheduler.on_prefill_done(batch)
@@ -456,6 +465,7 @@ class InferenceEngine:
         context = np.zeros(B, dtype=np.int32)
         temperature = np.ones(B, dtype=np.float32)
         top_p = np.ones(B, dtype=np.float32)
+        top_ks = np.full(B, 64, dtype=np.int32)
         tables = np.zeros((B, self.config.cache.max_pages_per_seq), np.int32)
 
         for i, seq in enumerate(seqs):
@@ -465,10 +475,11 @@ class InferenceEngine:
             context[i] = self.allocator.seq_len(seq.seq_id) - span
             temperature[i] = seq.sampling.temperature
             top_p[i] = seq.sampling.top_p
+            top_ks[i] = seq.sampling.top_k
             tables[i] = self.allocator.block_table_row(seq.seq_id)
 
         span_tokens = self._call_decode(tokens, tables, context, temperature,
-                                        top_p, span)   # [B, span]
+                                        top_p, top_ks, span)   # [B, span]
 
         produced = 0
         for i, seq in enumerate(seqs):

@@ -150,6 +150,7 @@ def _parse_sampling(data: dict[str, Any], default_max: int) -> SamplingParams:
     return SamplingParams(
         temperature=float(data.get("temperature", 0.7)),
         top_p=float(data.get("top_p", 0.9)),
+        top_k=int(data.get("top_k", 64)),
         max_new_tokens=int(data.get("max_tokens", default_max)),
         ignore_eos=bool(data.get("ignore_eos", False)),
     )

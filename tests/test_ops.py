@@ -179,3 +179,19 @@ def test_sample_distribution():
                          temperature=jnp.ones(512), top_p=jnp.ones(512), top_k=3)
     freq = np.bincount(np.asarray(toks), minlength=3) / 512
     assert freq[0] == pytest.approx(0.7, abs=0.08)
+
+
+def test_sample_per_seq_top_k():
+    """top_k=1 per-seq forces argmax even at high temperature."""
+    logits = jnp.array([[3.0, 2.9, 2.8, 0.0]] * 16)
+    toks = sample_tokens(logits, jax.random.PRNGKey(0),
+                         temperature=jnp.full(16, 3.0),
+                         top_p=jnp.ones(16), top_k=4,
+                         top_k_per_seq=jnp.full(16, 1, jnp.int32))
+    assert toks.tolist() == [0] * 16
+    # and mixed: row 0 restricted, row 1 free (still samples within pool)
+    toks2 = sample_tokens(logits[:2], jax.random.PRNGKey(1),
+                          temperature=jnp.full(2, 3.0),
+                          top_p=jnp.ones(2), top_k=4,
+                          top_k_per_seq=jnp.array([1, 4], jnp.int32))
+    assert int(toks2[0]) == 0
