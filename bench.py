@@ -34,11 +34,13 @@ def log(*a):
 def build_engine(model: str, bits: int, batch: int, kv_pages: int,
                  page_size: int, max_pages_per_seq: int, span: int,
                  kv_bits: int = 16):
-    from microvllm_tpu.config import (CacheConfig, EngineConfig, PRESETS,
-                                      QuantConfig, SchedulerConfig)
+    from microvllm_tpu.config import (CacheConfig, EngineConfig, ModelConfig,
+                                      PRESETS, QuantConfig, SchedulerConfig)
     from microvllm_tpu.runtime.engine import InferenceEngine
 
-    mcfg = PRESETS[model]
+    # "tiny" runs anywhere (CI smoke); presets are real model geometries.
+    mcfg = (ModelConfig.tiny(dtype="float32") if model == "tiny"
+            else PRESETS[model])
     cfg = EngineConfig(
         model=mcfg,
         cache=CacheConfig(num_pages=kv_pages, page_size=page_size,
