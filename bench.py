@@ -72,6 +72,14 @@ def bench_decode(eng, batch: int, steps: int, context: int) -> float:
     # long to run and the sequences are drained afterwards.
     sp = SamplingParams(temperature=0.0, max_new_tokens=1 << 30,
                         ignore_eos=True)
+    capacity = eng.config.cache.max_context
+    span = max(eng.config.scheduler.decode_spans)
+    needed = context + (3 + steps) * span
+    if needed > capacity:
+        log(f"WARNING: context {context} + (3+{steps}) x span {span} = "
+            f"{needed} exceeds per-seq capacity {capacity}; sequences will "
+            f"finish early and the tok/s number will be wrong — raise "
+            f"--max-pages-per-seq or lower --steps")
     for i in range(batch):
         eng.add_request(prompt_token_ids=list(np.random.randint(
             1, eng.mcfg.vocab_size - 1, size=context)), sampling=sp)

@@ -83,21 +83,52 @@ def init_params(cfg: ModelConfig, key: jax.Array,
         del full
         return qt
 
+    # When quantized and single-rank, fuse QKV and gate|up column-wise: one
+    # Pallas launch instead of three/two per layer (launch overhead is
+    # material at decode batch sizes). Group-wise quantization is
+    # per-column, so quantize(concat) == concat(quantize): the fused model
+    # is bit-identical to the unfused one. TP keeps them separate — a fused
+    # column shard would interleave q/k/v slices across ranks.
+    fuse = quant_bits is not None and quant_tp == 1
     layers: Params = {
         "attn_norm": jnp.ones((L, h), dtype),
-        "wq": wq_(keys[0], (L, h, q_dim), h),
-        "wk": wq_(keys[1], (L, h, kv_dim), h),
-        "wv": wq_(keys[2], (L, h, kv_dim), h),
-        "wo": wq_(keys[3], (L, q_dim, h), q_dim),
         "mlp_norm": jnp.ones((L, h), dtype),
-        "w_gate": wq_(keys[4], (L, h, inter), h),
-        "w_up": wq_(keys[5], (L, h, inter), h),
+        "wo": wq_(keys[3], (L, q_dim, h), q_dim),
         "w_down": wq_(keys[6], (L, inter, h), inter),
     }
+    if fuse:
+        from ..ops.quant import quantize
+
+        def quant_stack(full):
+            qt = jax.lax.map(
+                lambda x: quantize(x, quant_bits, quant_group_size,
+                                   quant_tp), full)
+            jax.block_until_ready(qt.q)
+            return qt
+
+        qkv_f = jnp.concatenate(
+            [w(keys[0], (L, h, q_dim), h), w(keys[1], (L, h, kv_dim), h),
+             w(keys[2], (L, h, kv_dim), h)], axis=-1)
+        layers["wqkv"] = quant_stack(qkv_f)
+        del qkv_f
+        gu_f = jnp.concatenate(
+            [w(keys[4], (L, h, inter), h), w(keys[5], (L, h, inter), h)],
+            axis=-1)
+        layers["w_gate_up"] = quant_stack(gu_f)
+        del gu_f
+    else:
+        layers["wq"] = wq_(keys[0], (L, h, q_dim), h)
+        layers["wk"] = wq_(keys[1], (L, h, kv_dim), h)
+        layers["wv"] = wq_(keys[2], (L, h, kv_dim), h)
+        layers["w_gate"] = wq_(keys[4], (L, h, inter), h)
+        layers["w_up"] = wq_(keys[5], (L, h, inter), h)
     if cfg.qkv_bias:
-        layers["bq"] = jnp.zeros((L, q_dim), dtype)
-        layers["bk"] = jnp.zeros((L, kv_dim), dtype)
-        layers["bv"] = jnp.zeros((L, kv_dim), dtype)
+        if fuse:
+            layers["bqkv"] = jnp.zeros((L, q_dim + 2 * kv_dim), dtype)
+        else:
+            layers["bq"] = jnp.zeros((L, q_dim), dtype)
+            layers["bk"] = jnp.zeros((L, kv_dim), dtype)
+            layers["bv"] = jnp.zeros((L, kv_dim), dtype)
 
     params: Params = {
         "embed": w(keys[7], (cfg.vocab_size, h), h),
@@ -185,6 +216,28 @@ def _weight_getter(lp, stacked):
     return get
 
 
+def _qkv(normed, w, lp, l, q_dim, kv_dim):
+    """QKV projections — one fused matmul when the params carry 'wqkv'
+    (quantized, single-rank), else three."""
+    if w("wqkv") is not None:
+        qkv = linear(normed, w("wqkv"), lp.get("bqkv"), layer=l)
+        return (qkv[..., :q_dim], qkv[..., q_dim:q_dim + kv_dim],
+                qkv[..., q_dim + kv_dim:])
+    return (linear(normed, w("wq"), lp.get("bq"), layer=l),
+            linear(normed, w("wk"), lp.get("bk"), layer=l),
+            linear(normed, w("wv"), lp.get("bv"), layer=l))
+
+
+def _swiglu_proj(normed, w, l):
+    """silu(gate) * up — one fused gate|up matmul when available."""
+    if w("w_gate_up") is not None:
+        gu = linear(normed, w("w_gate_up"), layer=l)
+        inter = gu.shape[-1] // 2
+        return swiglu(gu[..., :inter], gu[..., inter:])
+    return swiglu(linear(normed, w("w_gate"), layer=l),
+                  linear(normed, w("w_up"), layer=l))
+
+
 # ---------------------------------------------------------------------------
 # Decode step: one token per sequence, paged attention
 # ---------------------------------------------------------------------------
@@ -226,9 +279,7 @@ def decode_step(cfg: ModelConfig, params: Params,
         l, lp = xs
         w = _weight_getter(lp, stacked)
         normed = rmsnorm(hid, lp["attn_norm"], cfg.rms_norm_eps)
-        q = linear(normed, w("wq"), lp.get("bq"), layer=l)
-        k = linear(normed, w("wk"), lp.get("bk"), layer=l)
-        v = linear(normed, w("wv"), lp.get("bv"), layer=l)
+        q, k, v = _qkv(normed, w, lp, l, q_dim, n_kv * cfg.head_dim)
         q = q.reshape(B, n_heads, cfg.head_dim)
         k = k.reshape(B, n_kv, cfg.head_dim)
         v = v.reshape(B, n_kv, cfg.head_dim)
@@ -246,9 +297,7 @@ def decode_step(cfg: ModelConfig, params: Params,
         normed2, resid = rmsnorm_residual(attn_out, hid, lp["mlp_norm"],
                                           cfg.rms_norm_eps)
         mlp = _maybe_psum(
-            linear(swiglu(linear(normed2, w("w_gate"), layer=l),
-                          linear(normed2, w("w_up"), layer=l)),
-                   w("w_down"), layer=l),
+            linear(_swiglu_proj(normed2, w, l), w("w_down"), layer=l),
             tp_axis)
         return (resid + mlp, kc, vc, ks, vs), None
 
@@ -418,9 +467,7 @@ def prefill_step(cfg: ModelConfig, params: Params,
         l, lp = xs
         w = _weight_getter(lp, stacked)
         normed = rmsnorm(hid, lp["attn_norm"], cfg.rms_norm_eps)
-        q = linear(normed, w("wq"), lp.get("bq"), layer=l)
-        k = linear(normed, w("wk"), lp.get("bk"), layer=l)
-        v = linear(normed, w("wv"), lp.get("bv"), layer=l)
+        q, k, v = _qkv(normed, w, lp, l, q_dim, n_kv * cfg.head_dim)
         q = q.reshape(B, S, n_heads, cfg.head_dim)
         k = k.reshape(B, S, n_kv, cfg.head_dim)
         v = v.reshape(B, S, n_kv, cfg.head_dim)
@@ -455,9 +502,7 @@ def prefill_step(cfg: ModelConfig, params: Params,
         normed2, resid = rmsnorm_residual(attn_out, hid, lp["mlp_norm"],
                                           cfg.rms_norm_eps)
         mlp = _maybe_psum(
-            linear(swiglu(linear(normed2, w("w_gate"), layer=l),
-                          linear(normed2, w("w_up"), layer=l)),
-                   w("w_down"), layer=l),
+            linear(_swiglu_proj(normed2, w, l), w("w_down"), layer=l),
             tp_axis)
         return (resid + mlp, kc, vc, ks, vs), None
 
@@ -495,18 +540,17 @@ def forward_logits(cfg: ModelConfig, params: Params,
         l, lp = xs
         w = _weight_getter(lp, stacked)
         normed = rmsnorm(hid, lp["attn_norm"], cfg.rms_norm_eps)
-        q = linear(normed, w("wq"), lp.get("bq"), layer=l).reshape(B, S, cfg.num_heads, cfg.head_dim)
-        k = linear(normed, w("wk"), lp.get("bk"), layer=l).reshape(B, S, cfg.num_kv_heads, cfg.head_dim)
-        v = linear(normed, w("wv"), lp.get("bv"), layer=l).reshape(B, S, cfg.num_kv_heads, cfg.head_dim)
+        q, k, v = _qkv(normed, w, lp, l, cfg.q_dim, cfg.kv_dim)
+        q = q.reshape(B, S, cfg.num_heads, cfg.head_dim)
+        k = k.reshape(B, S, cfg.num_kv_heads, cfg.head_dim)
+        v = v.reshape(B, S, cfg.num_kv_heads, cfg.head_dim)
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
         attn = prefill_attention_ref(q, k, v, scale)
         attn_out = linear(attn.reshape(B, S, cfg.q_dim), w("wo"), layer=l)
         normed2, resid = rmsnorm_residual(attn_out, hid, lp["mlp_norm"],
                                           cfg.rms_norm_eps)
-        mlp = linear(swiglu(linear(normed2, w("w_gate"), layer=l),
-                            linear(normed2, w("w_up"), layer=l)),
-                     w("w_down"), layer=l)
+        mlp = linear(_swiglu_proj(normed2, w, l), w("w_down"), layer=l)
         return resid + mlp, None
 
     h, _ = jax.lax.scan(body, h, _layer_xs(params, cfg))

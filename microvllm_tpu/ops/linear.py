@@ -29,19 +29,24 @@ def _quant_linear(x: jnp.ndarray, w: QuantizedTensor, layer) -> jnp.ndarray:
     K, N = w.in_dim, w.out_dim
     lead = x.shape[:-1]
     if use_pallas() and os.environ.get("MVT_QMM") != "xla":
+        # wide-N projections (lm_head) use bigger n-tiles: per-tile overhead
+        # dominates at ~300 tiles otherwise
+        block_n = 2048 if N >= 32768 else 512
         if w.stacked:
             from .pallas.quant_matmul import quant_matmul_stacked
 
             assert layer is not None, "stacked quantized weight needs layer"
             y = quant_matmul_stacked(
                 x.reshape(-1, K), w.q, w.scales_tiled, layer,
-                group_size=w.group_size, bits=w.bits, block_k=w.block_k)
+                group_size=w.group_size, bits=w.bits, block_k=w.block_k,
+                block_n=block_n)
             return y.reshape(*lead, N)
         from .pallas.quant_matmul import quant_matmul
 
         y = quant_matmul(x.reshape(-1, K), w.q, w.scales,
                          group_size=w.group_size, bits=w.bits,
-                         block_k=w.block_k or _pallas_block_k(K, w.group_size))
+                         block_k=w.block_k or _pallas_block_k(K, w.group_size),
+                         block_n=block_n)
         return y.reshape(*lead, N)
     if w.stacked:
         # slice the layer's leaves first (one-layer gather), then dequant

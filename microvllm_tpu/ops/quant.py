@@ -165,7 +165,8 @@ def quantize(w: jnp.ndarray, bits: int, group_size: int = 128,
         block_k=block_k)
 
 
-def quantize_params(params, bits: int, group_size: int = 128, tp: int = 1):
+def quantize_params(params, bits: int, group_size: int = 128, tp: int = 1,
+                    fuse: bool | None = None):
     """Quantize every 2D projection weight in a model param tree.
 
     Embedding, norms, and biases stay in their original dtype; only matmul
@@ -181,7 +182,26 @@ def quantize_params(params, bits: int, group_size: int = 128, tp: int = 1):
 
     out = dict(params)
     layers = dict(params["layers"])
-    for name in ("wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down"):
+
+    # Fuse QKV / gate|up column-wise when single-rank (fewer kernel
+    # launches; per-column group quantization makes this bit-identical to
+    # quantizing separately).
+    fuse = (tp == 1) if fuse is None else fuse
+    if fuse and all(isinstance(layers.get(n), jnp.ndarray)
+                    for n in ("wq", "wk", "wv")):
+        layers["wqkv"] = jnp.concatenate(
+            [layers.pop("wq"), layers.pop("wk"), layers.pop("wv")], axis=-1)
+        if "bq" in layers:
+            layers["bqkv"] = jnp.concatenate(
+                [layers.pop("bq"), layers.pop("bk"), layers.pop("bv")],
+                axis=-1)
+    if fuse and all(isinstance(layers.get(n), jnp.ndarray)
+                    for n in ("w_gate", "w_up")):
+        layers["w_gate_up"] = jnp.concatenate(
+            [layers.pop("w_gate"), layers.pop("w_up")], axis=-1)
+
+    for name in ("wqkv", "w_gate_up", "wq", "wk", "wv", "wo", "w_gate",
+                 "w_up", "w_down"):
         if name in layers and isinstance(layers[name], jnp.ndarray):
             layers[name] = _quant_layer_stack(layers[name])
     out["layers"] = layers

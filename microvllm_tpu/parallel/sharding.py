@@ -34,6 +34,7 @@ _LAYER_SPECS: dict[str, P] = {
     "bq": P(None, MODEL_AXIS),
     "bk": P(None, MODEL_AXIS),
     "bv": P(None, MODEL_AXIS),
+    "bqkv": P(None, MODEL_AXIS),
     "wo": P(None, MODEL_AXIS, None),       # row parallel
     "w_gate": P(None, None, MODEL_AXIS),
     "w_up": P(None, None, MODEL_AXIS),
@@ -42,7 +43,9 @@ _LAYER_SPECS: dict[str, P] = {
 
 
 _ROW_PARALLEL = {"wo", "w_down"}          # contraction (in) dim sharded
-_COLUMN_PARALLEL = {"wq", "wk", "wv", "w_gate", "w_up"}
+# fused wqkv/w_gate_up only exist at tp==1 (model axis size 1), where the
+# column spec is a no-op placement
+_COLUMN_PARALLEL = {"wq", "wk", "wv", "w_gate", "w_up", "wqkv", "w_gate_up"}
 
 
 def _quant_specs(leaf, column: bool, stacked: bool):
