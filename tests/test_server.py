@@ -40,6 +40,7 @@ def loop():
 def client(loop):
     srv = make_server()
     app = build_app(srv)
+    app["_engine_for_test"] = srv.engine
     client = TestClient(TestServer(app), loop=loop)
     loop.run_until_complete(client.start_server())
     yield client
@@ -148,4 +149,32 @@ def test_metrics_endpoint(client, loop):
         data = await resp.json()
         assert data["tokens_generated"] > 0
         assert data["decode_steps"] > 0
+    loop.run_until_complete(go())
+
+
+def test_stream_client_disconnect_frees_pages(client, loop):
+    """Closing an SSE stream mid-generation aborts the sequence and
+    releases its KV pages (reference leaks on disconnect)."""
+    srv_engine = client.server.app["_engine_for_test"]
+
+    async def go():
+        free_before = srv_engine.cache_stats.free_pages
+        resp = await client.post("/generate_stream", json={
+            "prompt_token_ids": [5, 6, 7],
+            "max_tokens": 4000,   # would run a long time
+            "temperature": 0.0,
+        })
+        # read one event, then hang up
+        async for line in resp.content:
+            if line.strip().startswith(b"data: "):
+                break
+        resp.close()
+        # the engine notices on its next callback and aborts
+        for _ in range(200):
+            await asyncio.sleep(0.05)
+            if (srv_engine.scheduler.num_pending == 0
+                    and srv_engine.cache_stats.free_pages == free_before):
+                break
+        assert srv_engine.cache_stats.free_pages == free_before
+        assert srv_engine.scheduler.num_pending == 0
     loop.run_until_complete(go())
