@@ -164,10 +164,12 @@ class Scheduler:
         among the candidates at the head of the queue (reference behavior:
         shortest bucket first, `scheduler.py:127-143`).
 
-        Admission control: a sequence is only admitted if its first chunk fits
-        in the currently FREE pages (no preemption to admit new work — only
-        decode of older sequences may preempt younger ones; this ordering is
-        what guarantees forward progress under page pressure).
+        Admission control: a sequence is only admitted if its FULL prefill
+        target fits in the currently FREE pages (no preemption to admit new
+        work — only decode of older sequences may preempt younger ones).
+        First-chunk-only admission livelocks: a multi-chunk prompt whose
+        later extend fails self-preempts to the waiting head and re-admits
+        forever, starving decode (found by tests/test_engine_fuzz.py).
         """
         if not self.waiting:
             return None
@@ -177,7 +179,8 @@ class Scheduler:
         def pages_for(seq: Sequence) -> int:
             if self.allocator is None:
                 return 0
-            return self.allocator.pages_needed(self._chunk_len_for(seq))
+            return self.allocator.pages_needed(
+                self._prefill_target(seq) - seq.num_prefilled)
 
         admissible = [s for s in window if pages_for(s) <= page_budget]
         if not admissible:

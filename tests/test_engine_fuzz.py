@@ -1,0 +1,65 @@
+"""Randomized engine stress: arbitrary arrival/abort/length patterns must
+conserve pages, never deadlock, and finish every request."""
+
+import random
+
+import pytest
+
+from microvllm_tpu.config import (CacheConfig, EngineConfig, ModelConfig,
+                                  SchedulerConfig)
+from microvllm_tpu.runtime.engine import InferenceEngine
+from microvllm_tpu.runtime.sequence import FinishReason, SamplingParams
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_engine_fuzz(seed):
+    rng = random.Random(seed)
+    eng = InferenceEngine(EngineConfig(
+        model=ModelConfig.tiny(),
+        cache=CacheConfig(num_pages=24, page_size=16, max_pages_per_seq=6),
+        scheduler=SchedulerConfig(
+            max_batch_size=6, max_prefill_tokens=128, prefill_wait_s=0.0,
+            decode_buckets=(2, 4, 8), prefill_len_buckets=(16, 32),
+            prefill_batch_buckets=(1, 2, 4), decode_spans=(1, 2, 4)),
+        max_model_len=96,
+        default_max_new_tokens=8,
+    ))
+    total_usable = eng.config.cache.num_usable_pages
+
+    live: list[int] = []
+    submitted = finished = aborted = 0
+    for step in range(220):
+        action = rng.random()
+        if action < 0.25 and submitted < 60:
+            n = rng.randint(1, 80)            # some prompts exceed capacity
+            sid = eng.add_request(
+                prompt_token_ids=[rng.randint(1, 400) for _ in range(n)],
+                sampling=SamplingParams(
+                    temperature=rng.choice([0.0, 0.8]),
+                    max_new_tokens=rng.randint(1, 12)))
+            live.append(sid)
+            submitted += 1
+        elif action < 0.30 and live:
+            sid = live.pop(rng.randrange(len(live)))
+            if eng.abort_request(sid):
+                aborted += 1
+        else:
+            eng.step()
+        # invariant: pages conserved
+        stats = eng.cache_stats
+        assert stats.free_pages + stats.used_pages == total_usable
+        for seq in eng.scheduler.pop_finished():
+            finished += 1
+            if seq.seq_id in live:
+                live.remove(seq.seq_id)
+
+    # drain: everything must terminate without deadlock
+    for _ in range(2000):
+        if eng.scheduler.is_finished():
+            break
+        eng.step()
+        for seq in eng.scheduler.pop_finished():
+            finished += 1
+    assert eng.scheduler.is_finished(), "engine did not drain"
+    assert finished + aborted >= submitted
+    assert eng.cache_stats.used_pages == 0, "leaked pages"
