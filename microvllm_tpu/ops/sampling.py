@@ -33,6 +33,10 @@ def sample_tokens(logits: jnp.ndarray, rng: jax.Array,
     """
     logits = logits.astype(jnp.float32)
     greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    # Guard out-of-range client values: top_p <= 0 would mask every
+    # candidate to NEG_INF (uniform sampling over the pool); clamp to an
+    # epsilon floor so at least the top candidate survives meaningfully.
+    top_p = jnp.clip(top_p, 1e-6, 1.0)
 
     vals, idxs = jax.lax.top_k(logits, top_k)              # [B, K], descending
     t = jnp.maximum(temperature, 1e-5)[:, None]

@@ -228,17 +228,25 @@ class InferenceEngine:
         """
         scfg = self.config.scheduler
         t0 = time.monotonic()
+        # Warm the FULL (bucket, span) / (batch, chunk-len) cross products:
+        # the scheduler can select any combination at runtime, and a cold
+        # shape is a 30s+ remote-compile stall mid-serving (ADVICE r1).
+        n_decode = 0
         for bs in (decode_buckets or scfg.decode_buckets):
-            self._run_decode_shapes(bs)
+            for span in sorted(set(scfg.decode_spans)):
+                self._run_decode_shapes(bs, span)
+                n_decode += 1
         shapes = prefill_shapes
         if shapes is None:
-            shapes = [(bs, cl) for bs in scfg.prefill_batch_buckets[:1]
+            shapes = [(bs, cl) for bs in scfg.prefill_batch_buckets
                       for cl in scfg.prefill_len_buckets]
         for bs, cl in shapes:
             self._run_prefill_shapes(bs, cl)
+            # chunked-prefill continuation compiles a second program
+            # (has_history=True is a static arg)
+            self._run_prefill_shapes(bs, cl, has_history=True)
         logger.info("warmup compiled %d decode + %d prefill shapes in %.1fs",
-                    len(decode_buckets or scfg.decode_buckets), len(shapes),
-                    time.monotonic() - t0)
+                    n_decode, 2 * len(shapes), time.monotonic() - t0)
 
     def _run_decode_shapes(self, bs: int, span: Optional[int] = None) -> None:
         span = span or max(self.config.scheduler.decode_spans)
@@ -248,13 +256,14 @@ class InferenceEngine:
         k64 = np.full(bs, 64, dtype=np.int32)
         self._call_decode(z, tables, z, f, f, k64, span)
 
-    def _run_prefill_shapes(self, bs: int, chunk: int) -> None:
+    def _run_prefill_shapes(self, bs: int, chunk: int,
+                            has_history: bool = False) -> None:
         tokens = np.zeros((bs, chunk), dtype=np.int32)
         tables = np.zeros((bs, self.config.cache.max_pages_per_seq), np.int32)
         z = np.zeros(bs, dtype=np.int32)
         f = np.ones(bs, dtype=np.float32)
         k64 = np.full(bs, 64, dtype=np.int32)
-        self._call_prefill(tokens, tables, z, z, f, f, k64, False)
+        self._call_prefill(tokens, tables, z, z, f, f, k64, has_history)
 
     def _step_rng(self) -> jax.Array:
         self._rng, sub = jax.random.split(self._rng)

@@ -60,7 +60,12 @@ class Scheduler:
 
     def add_request(self, seq: Sequence) -> None:
         if seq.prompt_len >= self.max_model_len:
-            del seq.prompt_token_ids[self.max_model_len - 1:]
+            # Reject instead of silently truncating (the reference truncates;
+            # vLLM and this framework raise — surfaced as HTTP 400 by the
+            # server's admission path).
+            raise ValueError(
+                f"prompt length {seq.prompt_len} >= max_model_len "
+                f"{self.max_model_len}")
         self.waiting.append(seq)
 
     def abort(self, seq_id: int) -> bool:

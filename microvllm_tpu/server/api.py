@@ -41,6 +41,7 @@ class _PendingRequest:
     loop: Optional[asyncio.AbstractEventLoop] = None
     done: Optional[asyncio.Future] = None
     seq_id: Optional[int] = None
+    cancelled: bool = False    # client went away before admission
 
 
 class EngineServer:
@@ -49,6 +50,7 @@ class EngineServer:
     def __init__(self, engine: InferenceEngine):
         self.engine = engine
         self._pending: list[_PendingRequest] = []
+        self._aborts: list[int] = []
         self._lock = threading.Lock()
         self._wake = threading.Event()
         self._stop = False
@@ -73,23 +75,43 @@ class EngineServer:
         self._wake.set()
 
     def abort(self, seq_id: int) -> None:
+        """Queue an abort; it is applied on the engine thread between steps.
+
+        Calling engine.abort_request() here (the asyncio thread) would mutate
+        the scheduler queues and page allocator concurrently with step() —
+        with the C++ allocator that is an unsynchronized std::unordered_map
+        mutation. The abort list drains at the top of `_engine_loop` (same
+        pattern as `_pending`).
+        """
         with self._lock:
-            self.engine.abort_request(seq_id)
+            self._aborts.append(seq_id)
+        self._wake.set()
 
     # -- engine thread -----------------------------------------------------
 
     def _admit_pending(self) -> None:
         with self._lock:
             pending, self._pending = self._pending, []
+            aborts, self._aborts = self._aborts, []
+        for seq_id in aborts:
+            self.engine.abort_request(seq_id)
+            self.engine.unregister_stream_callback(seq_id)
+            self._inflight.pop(seq_id, None)
         for req in pending:
+            if req.cancelled:
+                continue
             try:
                 seq_id = self.engine.add_request(
                     prompt=req.prompt,
                     prompt_token_ids=req.prompt_token_ids,
                     sampling=req.sampling)
             except Exception as e:
-                if req.done is not None and req.loop is not None:
-                    req.loop.call_soon_threadsafe(req.done.set_exception, e)
+                if req.loop is not None:
+                    if req.stream_queue is not None:
+                        req.loop.call_soon_threadsafe(
+                            req.stream_queue.put_nowait, ("error", str(e)))
+                    elif req.done is not None:
+                        req.loop.call_soon_threadsafe(req.done.set_exception, e)
                 continue
             req.seq_id = seq_id
             self._inflight[seq_id] = req
@@ -146,12 +168,70 @@ class EngineServer:
         return out
 
 
+class _IncrementalDetokenizer:
+    """Streaming detokenization that survives multi-byte BPE boundaries.
+
+    `tokenizer.decode([token_id])` per token garbles CJK/emoji whose UTF-8
+    bytes are split across tokens (each piece decodes to U+FFFD). Keep a
+    sliding window: re-decode from `prefix_offset` and only emit once the
+    tail no longer ends in a replacement character.
+    """
+
+    def __init__(self, tokenizer):
+        self._tok = tokenizer
+        self._ids: list[int] = []
+        self._prefix = 0     # start of the re-decode window
+        self._read = 0       # ids already surfaced as text
+
+    def push(self, token_id: int) -> str:
+        self._ids.append(token_id)
+        prev = self._tok.decode(self._ids[self._prefix:self._read],
+                                skip_special_tokens=True)
+        full = self._tok.decode(self._ids[self._prefix:],
+                                skip_special_tokens=True)
+        if len(full) > len(prev) and not full.endswith("�"):
+            delta = full[len(prev):]
+            self._prefix = self._read
+            self._read = len(self._ids)
+            return delta
+        return ""
+
+
+def _bad_request(msg: str) -> web.HTTPBadRequest:
+    return web.HTTPBadRequest(text=json.dumps({"error": msg}),
+                              content_type="application/json")
+
+
+# Static candidate-pool size of the fused sampler (`ops/sampling.py`);
+# per-request top_k is a rank mask within this pool.
+_SAMPLER_POOL = 64
+
+
 def _parse_sampling(data: dict[str, Any], default_max: int) -> SamplingParams:
+    """Validate client sampling params (the reference passes them through
+    unvalidated; see ADVICE r1 — top_p<=0 and top_k<=0 silently misbehaved).
+    """
+    try:
+        temperature = float(data.get("temperature", 0.7))
+        top_p = float(data.get("top_p", 0.9))
+        top_k = int(data.get("top_k", _SAMPLER_POOL))
+        max_tokens = int(data.get("max_tokens", default_max))
+    except (TypeError, ValueError):
+        raise _bad_request("sampling params must be numeric")
+    if not (temperature == temperature and 0.0 <= temperature <= 100.0):
+        raise _bad_request("temperature must be in [0, 100]")
+    if not (0.0 < top_p <= 1.0):
+        raise _bad_request("top_p must be in (0, 1]")
+    if top_k <= 0:
+        top_k = _SAMPLER_POOL    # common "disabled" convention
+    top_k = min(top_k, _SAMPLER_POOL)
+    if max_tokens < 1:
+        raise _bad_request("max_tokens must be >= 1")
     return SamplingParams(
-        temperature=float(data.get("temperature", 0.7)),
-        top_p=float(data.get("top_p", 0.9)),
-        top_k=int(data.get("top_k", 64)),
-        max_new_tokens=int(data.get("max_tokens", default_max)),
+        temperature=temperature,
+        top_p=top_p,
+        top_k=top_k,
+        max_new_tokens=max_tokens,
         ignore_eos=bool(data.get("ignore_eos", False)),
     )
 
@@ -197,7 +277,10 @@ def build_app(server: EngineServer) -> web.Application:
                               loop=loop, done=loop.create_future())
         t0 = time.monotonic()
         server.submit(req)
-        seq = await req.done
+        try:
+            seq = await req.done
+        except ValueError as e:      # e.g. prompt longer than max_model_len
+            raise _bad_request(str(e))
         out = server.text_or_ids(seq)
         out["latency_s"] = round(time.monotonic() - t0, 4)
         return web.json_response(out)
@@ -226,7 +309,10 @@ def build_app(server: EngineServer) -> web.Application:
                                       done=loop.create_future())
             server.submit(req)
             reqs.append(req)
-        seqs = await asyncio.gather(*[r.done for r in reqs])
+        try:
+            seqs = await asyncio.gather(*[r.done for r in reqs])
+        except ValueError as e:
+            raise _bad_request(str(e))
         return web.json_response({"results": [server.text_or_ids(s)
                                               for s in seqs]})
 
@@ -248,16 +334,23 @@ def build_app(server: EngineServer) -> web.Application:
         })
         await resp.prepare(request)
         tokenizer = engine.tokenizer
+        detok = (_IncrementalDetokenizer(tokenizer)
+                 if tokenizer is not None else None)
         n = 0
         t0 = time.monotonic()
         try:
             while True:
-                token_id, finished = await q.get()
+                item = await q.get()
+                if item[0] == "error":   # admission failed (e.g. 400-class)
+                    await resp.write(
+                        f"data: {json.dumps({'error': item[1], 'finished': True})}\n\n".encode())
+                    break
+                token_id, finished = item
                 n += 1
                 payload: dict[str, Any] = {"token_id": token_id,
                                            "finished": finished}
-                if tokenizer is not None:
-                    payload["token"] = tokenizer.decode([token_id])
+                if detok is not None:
+                    payload["token"] = detok.push(token_id)
                 await resp.write(
                     f"data: {json.dumps(payload)}\n\n".encode())
                 if finished:
@@ -266,7 +359,9 @@ def build_app(server: EngineServer) -> web.Application:
                         f"data: {json.dumps({'done': True, 'num_tokens': n, 'tok_per_s': round(n / max(dt, 1e-9), 2)})}\n\n".encode())
                     break
         except (asyncio.CancelledError, ConnectionResetError):
-            # client went away: abort the sequence to free pages
+            # client went away: abort the sequence to free pages (or, if it
+            # was never admitted, drop it before admission)
+            req.cancelled = True
             if req.seq_id is not None:
                 server.abort(req.seq_id)
             raise

@@ -152,6 +152,40 @@ def test_metrics_endpoint(client, loop):
     loop.run_until_complete(go())
 
 
+def test_bad_sampling_params_400(client, loop):
+    async def go():
+        for bad in ({"top_p": 0.0}, {"top_p": 1.5}, {"temperature": -1.0},
+                    {"max_tokens": 0}, {"temperature": "hot"}):
+            resp = await client.post("/generate", json={
+                "prompt_token_ids": [1, 2, 3], **bad})
+            assert resp.status == 400, bad
+            data = await resp.json()
+            assert "error" in data
+    loop.run_until_complete(go())
+
+
+def test_top_k_zero_means_disabled(client, loop):
+    """top_k <= 0 is the common 'disabled' convention: it must not collapse
+    to near-greedy (ADVICE r1 mapped it to k=1)."""
+    async def go():
+        resp = await client.post("/generate", json={
+            "prompt_token_ids": [1, 2, 3], "top_k": 0, "max_tokens": 3,
+            "temperature": 0.0})
+        assert resp.status == 200
+    loop.run_until_complete(go())
+
+
+def test_overlength_prompt_400(client, loop):
+    async def go():
+        resp = await client.post("/generate", json={
+            "prompt_token_ids": list(range(1, 200)),   # max_model_len=128
+            "max_tokens": 4})
+        assert resp.status == 400
+        data = await resp.json()
+        assert "max_model_len" in data["error"]
+    loop.run_until_complete(go())
+
+
 def test_stream_client_disconnect_frees_pages(client, loop):
     """Closing an SSE stream mid-generation aborts the sequence and
     releases its KV pages (reference leaks on disconnect)."""
