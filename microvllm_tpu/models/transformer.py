@@ -405,8 +405,7 @@ def prefill_step(cfg: ModelConfig, params: Params,
     quantized = k_scales is not None
     pallas_store = use_pallas() and S % page_size == 0
     pallas_attn = (use_pallas() and S % min(128, S) == 0
-                   and S % min(256, S) == 0
-                   and not (quantized and has_history))
+                   and S % min(256, S) == 0)
     if not pallas_store:
         valid = jnp.arange(S, dtype=jnp.int32)[None, :] < chunk_lens[:, None]
         page_ids, offsets = slot_coords(block_tables, positions, page_size)
@@ -483,7 +482,8 @@ def prefill_step(cfg: ModelConfig, params: Params,
                 qt, pad_head(k, d_pad).transpose(0, 2, 1, 3),
                 pad_head(v, d_pad).transpose(0, 2, 1, 3),
                 kc, vc, block_tables, history_lens, chunk_lens, l,
-                scale=scale, with_history=has_history)
+                scale=scale, with_history=has_history,
+                k_scales=ks, v_scales=vs)
             attn = attn.transpose(0, 3, 1, 2, 4).reshape(
                 B, S, n_heads, d_pad)[..., : cfg.head_dim]
         elif has_history:

@@ -28,14 +28,27 @@ def _quant_linear(x: jnp.ndarray, w: QuantizedTensor, layer) -> jnp.ndarray:
 
     K, N = w.in_dim, w.out_dim
     lead = x.shape[:-1]
-    if use_pallas() and os.environ.get("MVT_QMM") != "xla":
+    mode = os.environ.get("MVT_QMM", "a8")
+    if use_pallas() and mode != "xla":
         # wide-N projections (lm_head) use bigger n-tiles: per-tile overhead
         # dominates at ~300 tiles otherwise
         block_n = 2048 if N >= 32768 else 512
         if w.stacked:
+            assert layer is not None, "stacked quantized weight needs layer"
+            if mode == "a8":
+                # W4A8/W8A8: int8 activations -> int8 MXU dots per scale
+                # group; removes the VPU full-tile dequant floor.
+                from .pallas.quant_matmul import (quant_matmul_stacked_a8,
+                                                  quantize_activations)
+                x2 = x.reshape(-1, K)
+                x_q, x_s = quantize_activations(x2, w.group_size)
+                y = quant_matmul_stacked_a8(
+                    x_q, x_s, w.q, w.scales_tiled, layer,
+                    group_size=w.group_size, bits=w.bits, block_k=w.block_k,
+                    block_n=block_n, out_dtype=x.dtype)
+                return y.reshape(*lead, N)
             from .pallas.quant_matmul import quant_matmul_stacked
 
-            assert layer is not None, "stacked quantized weight needs layer"
             y = quant_matmul_stacked(
                 x.reshape(-1, K), w.q, w.scales_tiled, layer,
                 group_size=w.group_size, bits=w.bits, block_k=w.block_k,

@@ -126,6 +126,18 @@ def _prefill_kernel(
         m, l, acc = jax.lax.fori_loop(0, num_hchunks, hist_body, (m, l, acc))
 
     # ---- phase 2: causal attention over the current chunk ----------------
+    m, l, acc = _attend_current_chunk(
+        q, q_pos, k_ref, v_ref, chunk_len, qb, m, l, acc,
+        block_q=block_q, block_k=block_k)
+
+    out = acc / jnp.maximum(l, 1e-30)
+    o_ref[0, 0] = out.reshape(G, BQ, D).astype(o_ref.dtype)
+
+
+def _attend_current_chunk(q, q_pos, k_ref, v_ref, chunk_len, qb, m, l, acc,
+                          *, block_q: int, block_k: int):
+    """Causal flash pass over the current chunk's (bf16) keys/values."""
+    R, D = q.shape
     num_kblocks = pl.cdiv(
         jnp.minimum((qb + 1) * block_q, chunk_len), block_k)
 
@@ -136,7 +148,7 @@ def _prefill_kernel(
         s = jax.lax.dot_general(q, kh, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32)
         kpos = j * block_k + jax.lax.broadcasted_iota(
-            jnp.int32, (G * BQ, block_k), 1)
+            jnp.int32, (R, block_k), 1)
         valid = (kpos <= q_pos) & (kpos < chunk_len)
         s = jnp.where(valid, s, MASK_VALUE)
         m2 = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
@@ -148,7 +160,122 @@ def _prefill_kernel(
                                  preferred_element_type=jnp.float32)
         return m2, l2, acc * alpha + pv
 
-    m, l, acc = jax.lax.fori_loop(0, num_kblocks, cur_body, (m, l, acc))
+    return jax.lax.fori_loop(0, num_kblocks, cur_body, (m, l, acc))
+
+
+def _prefill_kernel_q(
+    # scalar prefetch
+    layer_ref, block_tables_ref, history_ref, chunk_lens_ref,
+    # inputs
+    q_ref,                # [1, 1, G, BQ, D]
+    k_ref,                # [1, 1, S, D] current chunk keys (bf16, this head)
+    v_ref,
+    k_hbm, v_hbm,         # [L, P, KV, ps, D] int8 (ANY)
+    ks_hbm, vs_hbm,       # [L, P, KV, 128] f32 (ANY)
+    # outputs
+    o_ref,
+    # scratch
+    k_buf, v_buf,         # [2, ppc, ps, D] int8
+    ks_buf, vs_buf,       # [2, ppc, 128] f32
+    k_sems, v_sems, ks_sems, vs_sems,
+    *,
+    page_size: int,
+    max_pages: int,
+    pages_per_chunk: int,
+    block_q: int,
+    block_k: int,
+    scale: float,
+):
+    """INT8-KV history variant: streams quantized pages + per-token scale
+    lanes; K dequant rides the score rows (lane-wise multiply), V dequant
+    rides the probabilities — int8 tiles feed the MXU after one convert
+    (same trick as `decode_attention._decode_append_kernel_q`)."""
+    b = pl.program_id(0)
+    h = pl.program_id(1)
+    qb = pl.program_id(2)
+    hist = history_ref[b]
+    chunk_len = chunk_lens_ref[b]
+
+    G, BQ, D = q_ref.shape[2], q_ref.shape[3], q_ref.shape[4]
+    q = q_ref[0, 0].reshape(G * BQ, D).astype(jnp.float32) * scale
+
+    row = jax.lax.broadcasted_iota(jnp.int32, (G * BQ, 1), 0)
+    q_pos = jax.lax.rem(row, BQ) + qb * block_q
+
+    m = jnp.full((G * BQ, 1), MASK_VALUE, jnp.float32)
+    l = jnp.zeros((G * BQ, 1), jnp.float32)
+    acc = jnp.zeros((G * BQ, D), jnp.float32)
+
+    # ---- phase 1: attend to quantized history pages ----------------------
+    num_hpages = pl.cdiv(hist, page_size)
+    num_hchunks = pl.cdiv(num_hpages, pages_per_chunk)
+
+    def hist_copies(slot, c):
+        copies = []
+        for i in range(pages_per_chunk):
+            pg = block_tables_ref[b * max_pages + c * pages_per_chunk + i]
+            copies.append(pltpu.make_async_copy(
+                k_hbm.at[layer_ref[0], pg, h], k_buf.at[slot, i],
+                k_sems.at[slot]))
+            copies.append(pltpu.make_async_copy(
+                v_hbm.at[layer_ref[0], pg, h], v_buf.at[slot, i],
+                v_sems.at[slot]))
+            copies.append(pltpu.make_async_copy(
+                ks_hbm.at[layer_ref[0], pg, h], ks_buf.at[slot, i],
+                ks_sems.at[slot]))
+            copies.append(pltpu.make_async_copy(
+                vs_hbm.at[layer_ref[0], pg, h], vs_buf.at[slot, i],
+                vs_sems.at[slot]))
+        return copies
+
+    @pl.when(num_hchunks > 0)
+    def _():
+        for cp in hist_copies(0, 0):
+            cp.start()
+
+    def hist_body(c, carry):
+        m, l, acc = carry
+        slot = jax.lax.rem(c, 2)
+
+        @pl.when(c + 1 < num_hchunks)
+        def _():
+            for cp in hist_copies(jax.lax.rem(c + 1, 2), c + 1):
+                cp.start()
+
+        for cp in hist_copies(slot, c):
+            cp.wait()
+
+        # per-page blocks: scale vectors stay in lanes (no relayout)
+        for i in range(pages_per_chunk):
+            kh = k_buf[slot, i].astype(jnp.bfloat16)        # [ps, D]
+            vh = v_buf[slot, i].astype(jnp.bfloat16)
+            ks = ks_buf[slot, i, :page_size].reshape(1, page_size)
+            vs = vs_buf[slot, i, :page_size].reshape(1, page_size)
+            s = jax.lax.dot_general(q, kh, (((1,), (1,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+            s = s * ks                                      # dequant K
+            kpos = ((c * pages_per_chunk + i) * page_size
+                    + jax.lax.broadcasted_iota(
+                        jnp.int32, (G * BQ, page_size), 1))
+            s = jnp.where(kpos < hist, s, MASK_VALUE)
+            m2 = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+            p = jnp.exp(s - m2)
+            alpha = jnp.exp(m - m2)
+            l = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
+            pv = jax.lax.dot_general(
+                (p * vs).astype(jnp.bfloat16), vh,          # dequant V
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            acc = acc * alpha + pv
+            m = m2
+        return m, l, acc
+
+    m, l, acc = jax.lax.fori_loop(0, num_hchunks, hist_body, (m, l, acc))
+
+    # ---- phase 2: causal attention over the current chunk (bf16) ---------
+    m, l, acc = _attend_current_chunk(
+        q, q_pos, k_ref, v_ref, chunk_len, qb, m, l, acc,
+        block_q=block_q, block_k=block_k)
 
     out = acc / jnp.maximum(l, 1e-30)
     o_ref[0, 0] = out.reshape(G, BQ, D).astype(o_ref.dtype)
@@ -174,6 +301,8 @@ def flash_prefill_attention(
     block_k: int = 256,
     pages_per_chunk: int = 4,
     with_history: bool = True,
+    k_scales: jnp.ndarray | None = None,   # [L, P, KV, 128] when int8 cache
+    v_scales: jnp.ndarray | None = None,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Returns attention output ``[B, KV, G, S, D]`` in q.dtype."""
@@ -190,6 +319,24 @@ def flash_prefill_attention(
         block_tables = jnp.pad(block_tables, ((0, 0), (0, pad)))
         max_pages += pad
 
+    quantized = k_scales is not None and with_history
+    cache_specs = [
+        pl.BlockSpec(memory_space=pltpu.ANY),
+        pl.BlockSpec(memory_space=pltpu.ANY),
+    ]
+    scratch = [
+        pltpu.VMEM((2, pages_per_chunk, page_size, D), k_cache.dtype),
+        pltpu.VMEM((2, pages_per_chunk, page_size, D), v_cache.dtype),
+    ]
+    if quantized:
+        cache_specs += [pl.BlockSpec(memory_space=pltpu.ANY),
+                        pl.BlockSpec(memory_space=pltpu.ANY)]
+        scratch += [pltpu.VMEM((2, pages_per_chunk, 128), jnp.float32),
+                    pltpu.VMEM((2, pages_per_chunk, 128), jnp.float32)]
+        scratch += [pltpu.SemaphoreType.DMA((2,)) for _ in range(4)]
+    else:
+        scratch += [pltpu.SemaphoreType.DMA((2,)) for _ in range(2)]
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
         grid=(B, KV, S // block_q),
@@ -198,23 +345,25 @@ def flash_prefill_attention(
                          lambda b, h, qb, *_: (b, h, 0, qb, 0)),
             pl.BlockSpec((1, 1, S, D), lambda b, h, qb, *_: (b, h, 0, 0)),
             pl.BlockSpec((1, 1, S, D), lambda b, h, qb, *_: (b, h, 0, 0)),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            *cache_specs,
         ],
         out_specs=pl.BlockSpec((1, 1, G, block_q, D),
                                lambda b, h, qb, *_: (b, h, 0, qb, 0)),
-        scratch_shapes=[
-            pltpu.VMEM((2, pages_per_chunk, page_size, D), k_cache.dtype),
-            pltpu.VMEM((2, pages_per_chunk, page_size, D), v_cache.dtype),
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
+        scratch_shapes=scratch,
     )
 
-    kernel = functools.partial(
-        _prefill_kernel, page_size=page_size, max_pages=max_pages,
-        pages_per_chunk=pages_per_chunk, block_q=block_q, block_k=block_k,
-        scale=scale, with_history=with_history)
+    if quantized:
+        kernel = functools.partial(
+            _prefill_kernel_q, page_size=page_size, max_pages=max_pages,
+            pages_per_chunk=pages_per_chunk, block_q=block_q,
+            block_k=block_k, scale=scale)
+        operands = (q, k, v, k_cache, v_cache, k_scales, v_scales)
+    else:
+        kernel = functools.partial(
+            _prefill_kernel, page_size=page_size, max_pages=max_pages,
+            pages_per_chunk=pages_per_chunk, block_q=block_q,
+            block_k=block_k, scale=scale, with_history=with_history)
+        operands = (q, k, v, k_cache, v_cache)
 
     return pl.pallas_call(
         kernel,
@@ -224,4 +373,4 @@ def flash_prefill_attention(
             dimension_semantics=("arbitrary", "arbitrary", "arbitrary")),
         interpret=interpret,
     )(jnp.atleast_1d(layer).astype(jnp.int32), block_tables.reshape(-1),
-      history_lens, chunk_lens, q, k, v, k_cache, v_cache)
+      history_lens, chunk_lens, *operands)

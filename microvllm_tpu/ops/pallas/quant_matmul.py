@@ -154,6 +154,144 @@ def quant_matmul_stacked(
     )(jnp.atleast_1d(layer).astype(jnp.int32), x, q, scales_tiled)
 
 
+# ---------------------------------------------------------------------------
+# W4A8 / W8A8: int8 activations, per-group int8 x int8 MXU dots
+# ---------------------------------------------------------------------------
+# The bf16 kernels above dequantize the whole weight tile on the VPU
+# (int->bf16 convert + [TK, TN] scale multiply) before a bf16 MXU dot; at
+# decode batch sizes that VPU work IS the kernel floor (int4 measured at
+# int8 speed, RESULTS r1). Here the weight tile is only unpacked to int8;
+# each scale group contributes one int8xint8 MXU dot accumulated in int32,
+# and the (row_scale x group_scale) dequant is applied to the tiny [M, TN]
+# group result instead of the whole weight tile.
+
+
+def _qmm_stacked_a8_kernel(layer_ref, x_ref, xs_ref, q_ref, s_ref, o_ref,
+                           acc_ref, *, group_size: int, groups_per_tile: int,
+                           n_k: int, bits: int):
+    i = pl.program_id(2)
+
+    @pl.when(i == 0)
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    tn = q_ref.shape[-1]
+    if bits == 4:
+        p = q_ref[0].astype(jnp.int32)
+        half_g = group_size // 2
+        p = p.reshape(groups_per_tile, half_g, tn)
+        lo = (p << 28) >> 28
+        hi = p >> 4
+        w = jnp.concatenate([lo, hi], axis=1).astype(jnp.int8)
+    else:
+        w = q_ref[0].reshape(groups_per_tile, group_size, tn)
+    ws = s_ref[0, 0, :groups_per_tile, :]          # [gpt, TN] f32
+
+    acc = acc_ref[...]
+    for g in range(groups_per_tile):
+        xg = x_ref[:, g * group_size:(g + 1) * group_size]     # [M, gs] int8
+        r = jax.lax.dot_general(
+            xg, w[g], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)                  # [M, TN]
+        scale = xs_ref[0, :, g][:, None] * ws[g][None, :]      # [M, TN]
+        acc = acc + r.astype(jnp.float32) * scale
+    acc_ref[...] = acc
+
+    @pl.when(i == n_k - 1)
+    def _():
+        o_ref[...] = acc_ref[...].astype(o_ref.dtype)
+
+
+def quantize_activations(x: jnp.ndarray, group_size: int
+                         ) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-(row, contraction-group) symmetric int8 activation quantization.
+
+    x: ``[M, K]`` -> (q int8 ``[M, K]``, scales f32 ``[M, K // group_size]``).
+    Runs as plain XLA ops right before the kernel call (tiny at decode
+    batch sizes; XLA fuses the absmax/scale/round chain).
+    """
+    M, K = x.shape
+    G = K // group_size
+    g = x.astype(jnp.float32).reshape(M, G, group_size)
+    absmax = jnp.max(jnp.abs(g), axis=-1)
+    scales = jnp.maximum(absmax / 127.0, 1e-10)
+    q = jnp.clip(jnp.round(g / scales[..., None]), -127, 127)
+    return q.reshape(M, K).astype(jnp.int8), scales
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("group_size", "bits", "block_k", "block_m", "block_n",
+                     "out_dtype", "interpret"))
+def quant_matmul_stacked_a8(
+    x_q: jnp.ndarray,          # [M, K] int8 (pre-quantized activations)
+    x_scales: jnp.ndarray,     # [M, K // group_size] f32
+    q: jnp.ndarray,            # [L, K(/2), N] int8 (layer-stacked)
+    scales_tiled: jnp.ndarray, # [L, n_k, srows, N] f32 (kernel layout)
+    layer: jnp.ndarray,
+    *,
+    group_size: int,
+    bits: int,
+    block_k: int,
+    block_m: int = 256,
+    block_n: int = 512,
+    out_dtype=jnp.bfloat16,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """``(x_q * x_scales) @ dequant(q[layer])`` with int8 MXU dots.
+
+    Mathematically identical to dequantizing both operands first (the
+    per-group factorization is exact); only f32 accumulation order differs.
+    """
+    M, K = x_q.shape
+    L, _, N = q.shape
+    pack = 2 if bits == 4 else 1
+    block_m = min(block_m, max(8, M))
+    block_n = min(block_n, N)
+    assert K % block_k == 0 and block_k % group_size == 0, (K, block_k)
+    n_k = K // block_k
+    gpt = block_k // group_size
+    srows = scales_tiled.shape[2]
+
+    # Retile activation scales to [n_k, M, 128] so each k-tile's block is
+    # lane-aligned (gpt <= 16 used lanes; DMA lane slices must be 128-wide).
+    xs_tiled = jnp.zeros((n_k, M, 128), jnp.float32)
+    xs_tiled = xs_tiled.at[:, :, :gpt].set(
+        x_scales.reshape(M, n_k, gpt).transpose(1, 0, 2))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(pl.cdiv(M, block_m), pl.cdiv(N, block_n), n_k),
+        in_specs=[
+            pl.BlockSpec((block_m, block_k), lambda m, n, k, lr: (m, k)),
+            pl.BlockSpec((1, block_m, 128), lambda m, n, k, lr: (k, m, 0)),
+            pl.BlockSpec((1, block_k // pack, block_n),
+                         lambda m, n, k, lr: (lr[0], k, n)),
+            pl.BlockSpec((1, 1, srows, block_n),
+                         lambda m, n, k, lr: (lr[0], k, 0, n)),
+        ],
+        out_specs=pl.BlockSpec((block_m, block_n),
+                               lambda m, n, k, lr: (m, n)),
+        scratch_shapes=[pltpu.VMEM((block_m, block_n), jnp.float32)],
+    )
+
+    kernel = functools.partial(_qmm_stacked_a8_kernel, group_size=group_size,
+                               groups_per_tile=gpt, n_k=n_k, bits=bits)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((M, N), out_dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * M * K * N,
+            bytes_accessed=int(M * K + K * N / pack + M * N * 2),
+            transcendentals=0),
+        interpret=interpret,
+    )(jnp.atleast_1d(layer).astype(jnp.int32), x_q, xs_tiled, q,
+      scales_tiled)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("group_size", "bits", "block_m", "block_n", "block_k",

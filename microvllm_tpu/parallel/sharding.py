@@ -108,6 +108,14 @@ def cache_spec(cfg: ModelConfig, tp_size: int) -> P:
     return P()
 
 
+def scale_spec(cfg: ModelConfig, tp_size: int) -> P:
+    """INT8-KV scale pages [L, pages, kv_heads, 128]: the kv-head axis
+    shards exactly like the cache itself (`cache_spec`)."""
+    if tp_size > 1 and cfg.num_kv_heads % tp_size == 0:
+        return P(None, None, MODEL_AXIS, None)
+    return P()
+
+
 def batch_specs() -> dict[str, P]:
     return {
         "tokens": P(DATA_AXIS),
@@ -119,9 +127,10 @@ def batch_specs() -> dict[str, P]:
 
 
 def shard_engine_arrays(mesh: Mesh, cfg: ModelConfig, params, k_cache, v_cache,
-                        tp_size: int):
-    """Place params and KV cache on the mesh with their shardings
-    (multi-process safe: every host holds the same full values)."""
+                        tp_size: int, k_scales=None, v_scales=None):
+    """Place params and KV cache (+ int8-KV scale pages, when present) on
+    the mesh with their shardings (multi-process safe: every host holds the
+    same full values)."""
     import numpy as np
 
     from .distributed import put_global
@@ -141,4 +150,8 @@ def shard_engine_arrays(mesh: Mesh, cfg: ModelConfig, params, k_cache, v_cache,
     cspec = cache_spec(cfg, tp_size)
     k_cache = place(k_cache, cspec)
     v_cache = place(v_cache, cspec)
-    return params, k_cache, v_cache
+    if k_scales is None:
+        return params, k_cache, v_cache
+    sspec = scale_spec(cfg, tp_size)
+    return (params, k_cache, v_cache, place(k_scales, sspec),
+            place(v_scales, sspec))

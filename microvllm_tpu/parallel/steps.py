@@ -23,7 +23,7 @@ from ..config import EngineConfig
 from ..models import transformer as model_lib
 from ..ops.sampling import sample_tokens
 from .mesh import DATA_AXIS, MODEL_AXIS
-from .sharding import cache_spec, param_specs
+from .sharding import cache_spec, param_specs, scale_spec
 
 
 def _shard_map(fn, mesh, in_specs, out_specs):
@@ -42,8 +42,11 @@ class ShardedStepFns:
         self.tp = config.parallel.tp_size
         self._pspecs = param_specs(params)
         self._cspec = cache_spec(self.mcfg, self.tp)
+        self._sspec = scale_spec(self.mcfg, self.tp)
         self._decode_cache: dict[int, Any] = {}
         self._prefill_cache: dict[bool, Any] = {}
+        self._decode_q_cache: dict[int, Any] = {}
+        self._prefill_q_cache: dict[bool, Any] = {}
 
     # -- input conversion --------------------------------------------------
 
@@ -90,6 +93,42 @@ class ShardedStepFns:
         self._decode_cache[span] = fn
         return fn
 
+    # -- decode, int8 KV cache ---------------------------------------------
+
+    def decode_fn_q(self, params, k, v, ks, vs, tokens, tables, ctx, temp,
+                    top_p, top_ks, rng, span: int):
+        b = P(DATA_AXIS)
+        return self._decode_q_for(span)(
+            params, k, v, ks, vs, self._put(tokens, b),
+            self._put(tables, P(DATA_AXIS, None)), self._put(ctx, b),
+            self._put(temp, b), self._put(top_p, b), self._put(top_ks, b),
+            rng)
+
+    def _decode_q_for(self, span: int):
+        if span in self._decode_q_cache:
+            return self._decode_q_cache[span]
+        cfg, tp = self.mcfg, self.tp
+
+        def local_step(params, k, v, ks, vs, tokens, tables, ctx, temp,
+                       top_p, top_ks, rng):
+            toks, k, v, ks, vs = model_lib.decode_span(
+                cfg, params, k, v, tokens, tables, ctx, temp, top_p, rng,
+                span, tp_axis=MODEL_AXIS if tp > 1 else None, tp_size=tp,
+                k_scales=ks, v_scales=vs, top_ks=top_ks)
+            toks = jax.lax.all_gather(toks, DATA_AXIS, axis=0, tiled=True)
+            return toks, k, v, ks, vs
+
+        b = P(DATA_AXIS)
+        sm = _shard_map(
+            local_step, self.mesh,
+            in_specs=(self._pspecs, self._cspec, self._cspec, self._sspec,
+                      self._sspec, b, P(DATA_AXIS, None), b, b, b, b, P()),
+            out_specs=(P(), self._cspec, self._cspec, self._sspec,
+                       self._sspec))
+        fn = jax.jit(sm, donate_argnums=(1, 2, 3, 4))
+        self._decode_q_cache[span] = fn
+        return fn
+
     # -- prefill -----------------------------------------------------------
 
     def prefill_fn(self, params, k, v, tokens, tables, chunk_lens, history,
@@ -127,4 +166,44 @@ class ShardedStepFns:
             out_specs=(P(), self._cspec, self._cspec))
         fn = jax.jit(sm, donate_argnums=(1, 2))
         self._prefill_cache[has_history] = fn
+        return fn
+
+    # -- prefill, int8 KV cache --------------------------------------------
+
+    def prefill_fn_q(self, params, k, v, ks, vs, tokens, tables, chunk_lens,
+                     history, temp, top_p, top_ks, rng, has_history: bool):
+        b = P(DATA_AXIS)
+        b2 = P(DATA_AXIS, None)
+        return self._prefill_q_for(bool(has_history))(
+            params, k, v, ks, vs, self._put(tokens, b2),
+            self._put(tables, b2), self._put(chunk_lens, b),
+            self._put(history, b), self._put(temp, b), self._put(top_p, b),
+            self._put(top_ks, b), rng)
+
+    def _prefill_q_for(self, has_history: bool):
+        if has_history in self._prefill_q_cache:
+            return self._prefill_q_cache[has_history]
+        cfg, tp = self.mcfg, self.tp
+
+        def local_step(params, k, v, ks, vs, tokens, tables, chunk_lens,
+                       history, temp, top_p, top_ks, rng):
+            logits, k, v, ks, vs = model_lib.prefill_step(
+                cfg, params, k, v, tokens, tables, chunk_lens, history,
+                has_history, tp_axis=MODEL_AXIS if tp > 1 else None,
+                tp_size=tp, k_scales=ks, v_scales=vs)
+            toks = sample_tokens(logits, rng, temp, top_p,
+                                 top_k_per_seq=top_ks)
+            toks = jax.lax.all_gather(toks, DATA_AXIS, axis=0, tiled=True)
+            return toks, k, v, ks, vs
+
+        b = P(DATA_AXIS)
+        sm = _shard_map(
+            local_step, self.mesh,
+            in_specs=(self._pspecs, self._cspec, self._cspec, self._sspec,
+                      self._sspec, P(DATA_AXIS, None), P(DATA_AXIS, None),
+                      b, b, b, b, b, P()),
+            out_specs=(P(), self._cspec, self._cspec, self._sspec,
+                       self._sspec))
+        fn = jax.jit(sm, donate_argnums=(1, 2, 3, 4))
+        self._prefill_q_cache[has_history] = fn
         return fn

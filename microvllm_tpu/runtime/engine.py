@@ -102,6 +102,11 @@ class EngineMetrics:
     tokens_generated: int = 0
     tokens_prefilled: int = 0
     preemptions: int = 0
+    # decode fairness: slots served vs running sequences left out of a
+    # decode batch (tail beyond the bucket cap); with rotation the skip
+    # burden spreads evenly instead of starving the tail
+    decode_slots_served: int = 0
+    decode_slots_skipped: int = 0
     last_step: StepStats = field(default_factory=StepStats)
 
 
@@ -139,9 +144,6 @@ class InferenceEngine:
             self.mcfg, config.cache, dtype=kv_dtype)
         self.k_scales = self.v_scales = None
         if self.kv_quantized:
-            if config.parallel.world_size > 1:
-                raise NotImplementedError(
-                    "int8 KV cache + multi-device TP lands next round")
             self.k_scales, self.v_scales = model_lib.init_kv_scales(
                 self.mcfg, config.cache)
 
@@ -159,15 +161,26 @@ class InferenceEngine:
             from ..parallel.steps import ShardedStepFns
             if self._mesh is None:
                 self._mesh = make_mesh(config.parallel)
-            self.params, self.k_cache, self.v_cache = shard_engine_arrays(
-                self._mesh, self.mcfg, self.params, self.k_cache,
-                self.v_cache, config.parallel.tp_size)
+            if self.kv_quantized:
+                (self.params, self.k_cache, self.v_cache, self.k_scales,
+                 self.v_scales) = shard_engine_arrays(
+                    self._mesh, self.mcfg, self.params, self.k_cache,
+                    self.v_cache, config.parallel.tp_size,
+                    self.k_scales, self.v_scales)
+            else:
+                self.params, self.k_cache, self.v_cache = shard_engine_arrays(
+                    self._mesh, self.mcfg, self.params, self.k_cache,
+                    self.v_cache, config.parallel.tp_size)
             fns = ShardedStepFns(self._mesh, config, self.params)
             self._decode_fn = fns.decode_fn
             self._prefill_fn = fns.prefill_fn
+            self._decode_q_fn = fns.decode_fn_q
+            self._prefill_q_fn = fns.prefill_fn_q
         else:
             self._decode_fn = self._build_decode_fn()
             self._prefill_fn = self._build_prefill_fn()
+            self._decode_q_fn = partial(_decode_span_q_jit, self.mcfg)
+            self._prefill_q_fn = partial(_prefill_q_jit, self.mcfg)
 
     # ------------------------------------------------------------------
     # Compiled step functions
@@ -185,8 +198,8 @@ class InferenceEngine:
                      top_ks, span: int) -> np.ndarray:
         if self.kv_quantized:
             (toks, self.k_cache, self.v_cache, self.k_scales,
-             self.v_scales) = _decode_span_q_jit(
-                self.mcfg, self.params, self.k_cache, self.v_cache,
+             self.v_scales) = self._decode_q_fn(
+                self.params, self.k_cache, self.v_cache,
                 self.k_scales, self.v_scales, jnp.asarray(tokens),
                 jnp.asarray(tables), jnp.asarray(context),
                 jnp.asarray(temperature), jnp.asarray(top_p),
@@ -203,8 +216,8 @@ class InferenceEngine:
                       top_p, top_ks, has_history: bool) -> np.ndarray:
         if self.kv_quantized:
             (toks, self.k_cache, self.v_cache, self.k_scales,
-             self.v_scales) = _prefill_q_jit(
-                self.mcfg, self.params, self.k_cache, self.v_cache,
+             self.v_scales) = self._prefill_q_fn(
+                self.params, self.k_cache, self.v_cache,
                 self.k_scales, self.v_scales, jnp.asarray(tokens),
                 jnp.asarray(tables), jnp.asarray(chunk_lens),
                 jnp.asarray(history), jnp.asarray(temperature),
@@ -275,7 +288,8 @@ class InferenceEngine:
 
     def add_request(self, prompt: Optional[str] = None,
                     prompt_token_ids: Optional[list[int]] = None,
-                    sampling: Optional[SamplingParams] = None) -> int:
+                    sampling: Optional[SamplingParams] = None,
+                    priority: int = 0) -> int:
         if prompt_token_ids is None:
             if prompt is None:
                 raise ValueError("need prompt or prompt_token_ids")
@@ -285,6 +299,7 @@ class InferenceEngine:
         seq = Sequence(prompt_token_ids=prompt_token_ids,
                        sampling=sampling or SamplingParams(
                            max_new_tokens=self.config.default_max_new_tokens),
+                       priority=priority,
                        prompt_text=prompt)
         self.scheduler.add_request(seq)
         return seq.seq_id
@@ -487,6 +502,10 @@ class InferenceEngine:
             top_ks[i] = seq.sampling.top_k
             tables[i] = self.allocator.block_table_row(seq.seq_id)
 
+        self.metrics.decode_slots_served += len(seqs)
+        self.metrics.decode_slots_skipped += max(
+            0, len(self.scheduler.running) - len(seqs))
+
         span_tokens = self._call_decode(tokens, tables, context, temperature,
                                         top_p, top_ks, span)   # [B, span]
 
@@ -524,11 +543,12 @@ class InferenceEngine:
             self.unregister_stream_callback(seq.seq_id)
 
     def _pick_preemption_victim(self) -> Optional[Sequence]:
+        """Lowest priority first, then youngest within a priority class."""
         candidates = [s for s in self.scheduler.running
                       if self.allocator.has_seq(s.seq_id)]
         if not candidates:
             return None
-        return max(candidates, key=lambda s: s.arrival_time)  # youngest
+        return max(candidates, key=lambda s: (-s.priority, s.arrival_time))
 
     def _do_preempt(self, seq: Sequence) -> None:
         logger.warning("preempting seq %d (recompute)", seq.seq_id)
@@ -536,13 +556,21 @@ class InferenceEngine:
         self.scheduler.preempt(seq)
         self.metrics.preemptions += 1
 
+    @staticmethod
+    def _outranks(requester: Sequence, victim: Sequence) -> bool:
+        """Preemption order: priority beats age; equal priority -> elder wins."""
+        if requester.priority != victim.priority:
+            return requester.priority > victim.priority
+        return requester.arrival_time < victim.arrival_time
+
     def _preempt_for(self, num_tokens: int, requester: Sequence) -> bool:
-        """Free pages for a mid-prefill extension by preempting strictly
-        YOUNGER running sequences (age priority; never steal from elders)."""
+        """Free pages for a mid-prefill extension by preempting running
+        sequences the requester outranks (priority, then age — never steal
+        from a higher-priority or elder sequence)."""
         need = self.allocator.pages_needed(num_tokens)
         while self.allocator.num_free < need:
             victim = self._pick_preemption_victim()
-            if victim is None or victim.arrival_time <= requester.arrival_time:
+            if victim is None or not self._outranks(requester, victim):
                 return False
             self._do_preempt(victim)
         return True

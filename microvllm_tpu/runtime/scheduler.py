@@ -55,6 +55,7 @@ class Scheduler:
         self.prefilling: list[Sequence] = []
         self.running: list[Sequence] = []
         self.finished: dict[int, Sequence] = {}
+        self._rr_offsets: dict[int, int] = {}  # per-priority decode rotation
 
     # -- admission --------------------------------------------------------
 
@@ -220,8 +221,30 @@ class Scheduler:
         return ScheduledBatch("prefill", seqs, bs, bucket, sample_mask)
 
     def _form_decode_batch(self) -> ScheduledBatch:
+        """Pick up to `cap` running sequences: strict priority order, with
+        round-robin rotation inside the priority class that straddles the
+        cap — the tail beyond the largest decode bucket is never starved
+        (r1 took `running[:cap]`, starving the tail until elders finished;
+        reference anchor: SJF grouping `core/scheduler.py:67-94`, improved)."""
         cap = min(self.cfg.max_batch_size, self.cfg.decode_buckets[-1])
-        seqs = self.running[:cap]
+        if len(self.running) <= cap:
+            seqs = list(self.running)
+        else:
+            groups: dict[int, list[Sequence]] = {}
+            for s in self.running:
+                groups.setdefault(s.priority, []).append(s)
+            seqs = []
+            for pr in sorted(groups, reverse=True):
+                g = groups[pr]
+                take = cap - len(seqs)
+                if take <= 0:
+                    break
+                if len(g) <= take:
+                    seqs.extend(g)
+                else:
+                    off = self._rr_offsets.get(pr, 0) % len(g)
+                    seqs.extend((g + g)[off:off + take])
+                    self._rr_offsets[pr] = (off + take) % len(g)
         bs = pick_bucket(len(seqs), self.cfg.decode_buckets)
         return ScheduledBatch("decode", seqs, bs)
 

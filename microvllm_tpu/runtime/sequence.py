@@ -44,6 +44,7 @@ class SamplingParams:
 class Sequence:
     prompt_token_ids: list[int]
     sampling: SamplingParams = field(default_factory=SamplingParams)
+    priority: int = 0    # higher = scheduled first; ties broken by age
     seq_id: int = field(default_factory=lambda: next(_seq_counter))
     arrival_time: float = field(default_factory=time.monotonic)
     state: SeqState = SeqState.WAITING

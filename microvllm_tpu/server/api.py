@@ -37,6 +37,7 @@ class _PendingRequest:
     prompt: Optional[str]
     prompt_token_ids: Optional[list[int]]
     sampling: SamplingParams
+    priority: int = 0
     stream_queue: Optional[asyncio.Queue] = None   # set for streaming
     loop: Optional[asyncio.AbstractEventLoop] = None
     done: Optional[asyncio.Future] = None
@@ -104,7 +105,8 @@ class EngineServer:
                 seq_id = self.engine.add_request(
                     prompt=req.prompt,
                     prompt_token_ids=req.prompt_token_ids,
-                    sampling=req.sampling)
+                    sampling=req.sampling,
+                    priority=req.priority)
             except Exception as e:
                 if req.loop is not None:
                     if req.stream_queue is not None:
@@ -207,6 +209,13 @@ def _bad_request(msg: str) -> web.HTTPBadRequest:
 _SAMPLER_POOL = 64
 
 
+def _parse_priority(data: dict[str, Any]) -> int:
+    try:
+        return max(-10, min(10, int(data.get("priority", 0))))
+    except (TypeError, ValueError):
+        raise _bad_request("priority must be an integer")
+
+
 def _parse_sampling(data: dict[str, Any], default_max: int) -> SamplingParams:
     """Validate client sampling params (the reference passes them through
     unvalidated; see ADVICE r1 — top_p<=0 and top_k<=0 silently misbehaved).
@@ -274,6 +283,7 @@ def build_app(server: EngineServer) -> web.Application:
         loop = asyncio.get_running_loop()
         req = _PendingRequest(prompt=prompt, prompt_token_ids=ids,
                               sampling=_parse_sampling(data, default_max),
+                              priority=_parse_priority(data),
                               loop=loop, done=loop.create_future())
         t0 = time.monotonic()
         server.submit(req)
@@ -297,16 +307,17 @@ def build_app(server: EngineServer) -> web.Application:
                 content_type="application/json")
         loop = asyncio.get_running_loop()
         sampling = _parse_sampling(data, default_max)
+        prio = _parse_priority(data)
         reqs = []
         for item in items:
             if prompts is not None:
                 req = _PendingRequest(prompt=item, prompt_token_ids=None,
-                                      sampling=sampling, loop=loop,
-                                      done=loop.create_future())
+                                      sampling=sampling, priority=prio,
+                                      loop=loop, done=loop.create_future())
             else:
                 req = _PendingRequest(prompt=None, prompt_token_ids=item,
-                                      sampling=sampling, loop=loop,
-                                      done=loop.create_future())
+                                      sampling=sampling, priority=prio,
+                                      loop=loop, done=loop.create_future())
             server.submit(req)
             reqs.append(req)
         try:
@@ -323,6 +334,7 @@ def build_app(server: EngineServer) -> web.Application:
         q: asyncio.Queue = asyncio.Queue()
         req = _PendingRequest(prompt=prompt, prompt_token_ids=ids,
                               sampling=_parse_sampling(data, default_max),
+                              priority=_parse_priority(data),
                               stream_queue=q, loop=loop,
                               done=loop.create_future())
         server.submit(req)
@@ -392,6 +404,11 @@ def build_app(server: EngineServer) -> web.Application:
             "tokens_generated": m.tokens_generated,
             "tokens_prefilled": m.tokens_prefilled,
             "preemptions": m.preemptions,
+            "decode_slots_served": m.decode_slots_served,
+            "decode_slots_skipped": m.decode_slots_skipped,
+            "decode_fairness": round(
+                m.decode_slots_served
+                / max(1, m.decode_slots_served + m.decode_slots_skipped), 4),
             "last_step": {
                 "kind": m.last_step.kind,
                 "batch_size": m.last_step.batch_size,

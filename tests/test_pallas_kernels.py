@@ -426,6 +426,98 @@ def test_quant_matmul_stacked_matches_per_layer(bits):
         assert rel < 2e-2, (bits, l, rel)
 
 
+@pytest.mark.parametrize("bits", [8, 4])
+def test_quant_matmul_a8_matches_factored_oracle(bits):
+    """W4A8/W8A8 kernel vs the exact factored oracle
+    ``(x_q * x_s) @ dequant(w)`` — the per-group int8-dot + output-scale
+    decomposition is mathematically exact, so tolerance is just f32
+    accumulation order."""
+    from microvllm_tpu.ops.pallas.quant_matmul import (
+        quant_matmul_stacked_a8, quantize_activations)
+    from microvllm_tpu.ops.quant import quantize
+
+    L, K, N, M, gs = 2, 512, 384, 8, 128
+    ws = [jax.random.normal(jax.random.PRNGKey(l), (K, N), jnp.float32) * 0.05
+          for l in range(L)]
+    qts = [quantize(w, bits, gs) for w in ws]
+    q_stack = jnp.stack([t.q for t in qts])
+    s_stack = jnp.stack([t.scales_tiled for t in qts])
+    x = jax.random.normal(jax.random.PRNGKey(99), (M, K), jnp.float32)
+    x_q, x_s = quantize_activations(x, gs)
+    x_deq = (x_q.astype(jnp.float32).reshape(M, K // gs, gs)
+             * x_s[..., None]).reshape(M, K)
+    for l in range(L):
+        ref = x_deq @ qts[l].dequant(jnp.float32)
+        got = quant_matmul_stacked_a8(
+            x_q, x_s, q_stack, s_stack, jnp.int32(l), group_size=gs,
+            bits=bits, block_k=qts[l].block_k, block_m=8, block_n=128,
+            out_dtype=jnp.float32, interpret=True)
+        np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
+        # and vs the unquantized-activation product: bounded by int8
+        # activation quantization error
+        full = x @ qts[l].dequant(jnp.float32)
+        rel = float(jnp.linalg.norm(got - full) / jnp.linalg.norm(full))
+        assert rel < 2e-2, (bits, l, rel)
+
+
+def test_flash_prefill_int8_history_matches_ref():
+    """Quantized-history flash prefill (r1 fell back to the jnp path that
+    materializes [B,H,S,max_ctx] scores) vs the dequantizing reference."""
+    from microvllm_tpu.ops.attention import (chunked_prefill_attention_ref,
+                                             quantize_kv)
+    from microvllm_tpu.ops.pallas.prefill_attention import (
+        flash_prefill_attention)
+
+    L, B, KV, G, D, PS, NP, MP = 2, 2, 2, 3, 128, 16, 32, 8
+    H, S, layer = KV * G, 64, 1
+    kc = jnp.zeros((L, NP, KV, PS, D), jnp.int8)
+    vc = jnp.zeros((L, NP, KV, PS, D), jnp.int8)
+    ks = jnp.zeros((L, NP, KV, 128), jnp.float32)
+    vs = jnp.zeros((L, NP, KV, 128), jnp.float32)
+    bt = np.zeros((B, MP), np.int32)
+    hist = np.array([32, 16], np.int32)
+    chunk = np.array([64, 40], np.int32)
+    pg = 1
+    for b in range(B):
+        n = -(-(int(hist[b]) + int(chunk[b])) // PS)
+        bt[b, :n] = range(pg, pg + n)
+        pg += n
+    bt = jnp.asarray(bt)
+    for b in range(B):
+        hb = int(hist[b])
+        if hb == 0:
+            continue
+        kk = jax.random.normal(jax.random.PRNGKey(b + 1), (hb, KV, D))
+        vv = jax.random.normal(jax.random.PRNGKey(b + 9), (hb, KV, D))
+        k_q, k_s = quantize_kv(kk)       # [hb, KV, D], [hb, KV]
+        v_q, v_s = quantize_kv(vv)
+        pos = jnp.arange(hb, dtype=jnp.int32)
+        pages, offs = slot_coords(bt[b][None].repeat(hb, 0), pos, PS)
+        kc = kc.at[layer, pages, :, offs].set(k_q)
+        vc = vc.at[layer, pages, :, offs].set(v_q)
+        ks = ks.at[layer, pages, :, offs].set(k_s)
+        vs = vs.at[layer, pages, :, offs].set(v_s)
+
+    q = jax.random.normal(jax.random.PRNGKey(0), (B, S, H, D))
+    k = jax.random.normal(jax.random.PRNGKey(1), (B, S, KV, D))
+    v = jax.random.normal(jax.random.PRNGKey(2), (B, S, KV, D))
+    ref = chunked_prefill_attention_ref(q, k, v, kc[layer], vc[layer], bt,
+                                        jnp.asarray(hist), D ** -0.5,
+                                        ks[layer], vs[layer])
+    qk = q.reshape(B, S, KV, G, D).transpose(0, 2, 3, 1, 4)
+    got = flash_prefill_attention(
+        qk, k.transpose(0, 2, 1, 3), v.transpose(0, 2, 1, 3), kc, vc, bt,
+        jnp.asarray(hist), jnp.asarray(chunk), jnp.int32(layer),
+        scale=D ** -0.5, block_q=32, block_k=32, pages_per_chunk=2,
+        k_scales=ks, v_scales=vs, interpret=True)
+    got_std = got.transpose(0, 3, 1, 2, 4).reshape(B, S, H, D)
+    for b in range(B):
+        cl = int(chunk[b])
+        # kernel dequantizes through bf16 operands; oracle is fp32
+        np.testing.assert_allclose(got_std[b, :cl], ref[b, :cl],
+                                   rtol=3e-2, atol=3e-2)
+
+
 def test_fused_norm_kernels_match_jnp():
     from microvllm_tpu.ops.pallas.fused_norm import (
         rmsnorm_pallas, rmsnorm_residual_pallas, swiglu_pallas)

@@ -83,6 +83,41 @@ def test_sharded_engine_streaming_and_preemption():
     assert events[-1][1] is True
 
 
+@pytest.mark.parametrize("tp,dp", [(2, 1), (2, 2)])
+def test_sharded_engine_with_int8_kv(tp, dp):
+    """INT8 KV cache + TP (hard NotImplementedError in r1): sharded scale
+    pages, outputs match the single-device int8-KV engine exactly."""
+    from microvllm_tpu.config import QuantConfig
+    prompts = [[1, 2, 3, 4], [9, 8, 7], [5, 6], [11, 12, 13]]
+    sp = SamplingParams(temperature=0.0, max_new_tokens=5)
+    q = QuantConfig(kv_bits=8)
+
+    ref = InferenceEngine(tiny_cfg(quant=q))
+    ro = [s.output_token_ids for s in ref.generate(prompts, sampling=sp)]
+
+    eng = InferenceEngine(tiny_cfg(ParallelConfig(tp_size=tp, dp_size=dp),
+                                   quant=q))
+    assert eng.k_scales is not None
+    qo = [s.output_token_ids for s in eng.generate(prompts, sampling=sp)]
+    assert qo == ro
+
+
+def test_sharded_engine_int8_kv_and_int8_weights():
+    """The full BASELINE config shape: quantized weights + int8 KV + TP."""
+    from microvllm_tpu.config import QuantConfig
+    prompts = [[1, 2, 3, 4], [9, 8, 7]]
+    sp = SamplingParams(temperature=0.0, max_new_tokens=4)
+    q = QuantConfig(weight_bits=8, weight_group_size=64, kv_bits=8)
+
+    ref = InferenceEngine(tiny_cfg(quant=q))
+    ro = [s.output_token_ids for s in ref.generate(prompts, sampling=sp)]
+
+    eng = InferenceEngine(tiny_cfg(ParallelConfig(tp_size=2, dp_size=2),
+                                   quant=q))
+    qo = [s.output_token_ids for s in eng.generate(prompts, sampling=sp)]
+    assert qo == ro
+
+
 def test_sharded_engine_with_quantized_weights():
     from microvllm_tpu.config import QuantConfig
     prompts = [[1, 2, 3, 4], [9, 8, 7]]

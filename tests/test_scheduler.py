@@ -110,6 +110,40 @@ def test_abort():
     assert sid.is_finished
 
 
+def test_decode_rotation_no_starvation():
+    """With more running sequences than the largest decode bucket, rotation
+    must schedule every sequence within a bounded number of batches (r1 took
+    running[:cap], starving the tail)."""
+    s = make_sched()
+    seqs = [seq() for _ in range(12)]     # cap = 8
+    for q in seqs:
+        q.state = SeqState.RUNNING
+        s.running.append(q)
+    served = set()
+    for _ in range(3):                    # ceil(12/8) = 2 batches suffice
+        b = s._form_decode_batch()
+        assert len(b.seqs) <= 8
+        served.update(q.seq_id for q in b.seqs)
+    assert served == {q.seq_id for q in seqs}
+
+
+def test_decode_priority_always_included():
+    s = make_sched()
+    lo = [seq() for _ in range(10)]
+    hi = Sequence(prompt_token_ids=list(range(5)), priority=5)
+    for q in lo + [hi]:
+        q.state = SeqState.RUNNING
+        s.running.append(q)
+    for _ in range(4):
+        b = s._form_decode_batch()
+        assert hi in b.seqs               # high priority never rotated out
+    # and the low-priority pool still rotates fully
+    served = set()
+    for _ in range(3):
+        served.update(q.seq_id for q in s._form_decode_batch().seqs)
+    assert served == {q.seq_id for q in lo + [hi]}
+
+
 def test_mark_finished_removes_from_running():
     s = make_sched()
     q = seq()

@@ -22,6 +22,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+try:   # reuse compiled kernels across runs (axon remote compiles are slow)
+    jax.config.update("jax_compilation_cache_dir", "/tmp/mvt_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:
+    pass
+
 
 def on_tpu() -> bool:
     return jax.default_backend() not in ("cpu",)
@@ -141,6 +147,48 @@ def bench_qmm():
                   f"{t_xla:.3f} ms (roofline {bytes_w / 819e9 * 1e3:.3f} ms)")
 
 
+def bench_a8():
+    """W4A8/W8A8 stacked kernel vs the bf16-dequant stacked kernel at 7B
+    decode shapes (the single-stream roofline battleground, VERDICT r1 #1)."""
+    from microvllm_tpu.ops.pallas.quant_matmul import (
+        quant_matmul_stacked, quant_matmul_stacked_a8, quantize_activations)
+    from microvllm_tpu.ops.quant import quantize
+
+    K, N, gs, L = 3584, 18944, 128, 4   # 4 stacked layers is enough to time
+    key = jax.random.PRNGKey(0)
+    interp = not on_tpu()
+    for bits in (4, 8):
+        qts = [quantize(jax.random.normal(jax.random.PRNGKey(l), (K, N),
+                                          jnp.float32) * 0.02, bits, gs)
+               for l in range(L)]
+        q_stack = jnp.stack([t.q for t in qts])
+        s_stack = jnp.stack([t.scales_tiled for t in qts])
+        bk = qts[0].block_k
+        for M in (1, 8):
+            x = jax.random.normal(key, (M, K), jnp.bfloat16)
+            x_q, x_s = quantize_activations(x, gs)
+            got = quant_matmul_stacked_a8(
+                x_q, x_s, q_stack, s_stack, jnp.int32(1), group_size=gs,
+                bits=bits, block_k=bk, interpret=interp)
+            ref = x @ qts[1].dequant(jnp.bfloat16)
+            rel = float(jnp.linalg.norm((got - ref).astype(jnp.float32))
+                        / jnp.linalg.norm(ref.astype(jnp.float32)))
+            print(f"[a8 int{bits} M={M}] a8 vs dequant rel err: {rel:.4f}")
+            assert rel < 2e-2
+            if on_tpu():
+                t_a8 = timeit(
+                    lambda a, s, q2, s2: quant_matmul_stacked_a8(
+                        a, s, q2, s2, jnp.int32(1), group_size=gs, bits=bits,
+                        block_k=bk), x_q, x_s, q_stack, s_stack)
+                t_bf = timeit(
+                    lambda a, q2, s2: quant_matmul_stacked(
+                        a, q2, s2, jnp.int32(1), group_size=gs, bits=bits,
+                        block_k=bk), x, q_stack, s_stack)
+                bytes_w = K * N * (1 if bits == 8 else 0.5)
+                print(f"[a8 int{bits} M={M}] a8 {t_a8:.3f} ms, bf16-dequant "
+                      f"{t_bf:.3f} ms (roofline {bytes_w / 819e9 * 1e3:.3f} ms)")
+
+
 def bench_norm():
     from microvllm_tpu.ops.activations import swiglu
     from microvllm_tpu.ops.normalization import rmsnorm, rmsnorm_residual
@@ -171,13 +219,15 @@ def bench_norm():
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--section", default="all",
-                    choices=["all", "attn", "qmm", "norm"])
+                    choices=["all", "attn", "qmm", "a8", "norm"])
     args = ap.parse_args()
     print(f"backend: {jax.default_backend()}", flush=True)
     if args.section in ("all", "attn"):
         bench_attn()
     if args.section in ("all", "qmm"):
         bench_qmm()
+    if args.section in ("all", "a8"):
+        bench_a8()
     if args.section in ("all", "norm"):
         bench_norm()
     print("all kernel checks passed")
