@@ -33,7 +33,7 @@ def log(*a):
 
 def build_engine(model: str, bits: int, batch: int, kv_pages: int,
                  page_size: int, max_pages_per_seq: int, span: int,
-                 kv_bits: int = 16):
+                 kv_bits: int = 16, spec_k: int = 0, spec_steps: int = 4):
     from microvllm_tpu.config import (CacheConfig, EngineConfig, ModelConfig,
                                       PRESETS, QuantConfig, SchedulerConfig)
     from microvllm_tpu.runtime.engine import InferenceEngine
@@ -55,6 +55,8 @@ def build_engine(model: str, bits: int, batch: int, kv_pages: int,
         quant=QuantConfig(weight_bits=bits, kv_bits=kv_bits),
         max_model_len=page_size * max_pages_per_seq,
         seed=0,
+        spec_k=spec_k,
+        spec_steps=spec_steps,
     )
     t0 = time.monotonic()
     eng = InferenceEngine(cfg)
@@ -140,12 +142,22 @@ def main():
                     help="decode tokens per jitted multi-step span")
     ap.add_argument("--kv-bits", type=int, default=16,
                     help="16 (bf16 KV) or 8 (int8 KV cache)")
+    ap.add_argument("--spec-k", type=int, default=0,
+                    help="speculative draft tokens per verify (0 = off)")
+    ap.add_argument("--spec-steps", type=int, default=4,
+                    help="speculative rounds per device dispatch")
+    ap.add_argument("--platform", default=None, choices=["cpu", "tpu"],
+                    help="force a JAX backend (the sandbox registers the "
+                         "axon TPU at interpreter start; env vars are too "
+                         "late — this uses jax.config, which works)")
     args = ap.parse_args()
+    if args.platform == "cpu":
+        jax.config.update("jax_platforms", "cpu")
 
     log(f"devices: {jax.devices()}")
     eng = build_engine(args.model, args.bits, args.batch, args.kv_pages,
                        args.page_size, args.max_pages_per_seq, args.span,
-                       args.kv_bits)
+                       args.kv_bits, args.spec_k, args.spec_steps)
 
     # Single-stream first (the headline), then aggregate at --batch.
     single = bench_decode(eng, 1, args.steps, args.context)
@@ -158,6 +170,10 @@ def main():
     ttft = bench_ttft(eng, args.context)
     log(f"p50 TTFT @ {args.context} ctx: {ttft:.1f} ms")
     log(f"cache stats: {eng.cache_stats}")
+    if args.spec_k:
+        m = eng.metrics
+        acc = m.spec_drafts_accepted / max(1, m.spec_rounds * args.spec_k)
+        log(f"speculation: {m.spec_rounds} rounds, acceptance {acc:.2%}")
 
     kv_tag = f"_kv{args.kv_bits}" if args.kv_bits != 16 else ""
     print(json.dumps({

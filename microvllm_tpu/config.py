@@ -248,6 +248,13 @@ class EngineConfig:
     max_model_len: int = 2048            # clamp on prompt+generation length
     default_max_new_tokens: int = 512
     seed: int = 0
+    # Speculative decoding (greedy-only n-gram lookup; see
+    # models/speculative.py). spec_k = draft tokens verified per forward
+    # (0 = off); spec_steps = propose/verify rounds per device dispatch;
+    # spec_ngram = match length for the history lookup.
+    spec_k: int = 0
+    spec_steps: int = 4
+    spec_ngram: int = 2
 
     def replace(self, **kw) -> "EngineConfig":
         return dataclasses.replace(self, **kw)

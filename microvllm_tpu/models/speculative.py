@@ -1,0 +1,123 @@
+"""Speculative decoding: on-device n-gram proposals + batched verification.
+
+New capability vs the reference (which decodes strictly one token per
+forward). Greedy-only n-gram speculation ("prompt lookup"): propose the k
+tokens that followed the most recent occurrence of the current tail n-gram
+in the sequence's own history, then verify all k in ONE model forward over a
+``[B, k+1]`` window (chunked-prefill-shaped attention against the paged
+cache). The accepted prefix plus the model's own next token are emitted —
+outputs are bit-identical to non-speculative greedy, because every emitted
+token is either verified against or produced by the full model's argmax.
+
+The whole propose→verify→accept loop runs ON DEVICE inside a `lax.scan`
+(`spec_decode_span`), mirroring `transformer.decode_span`'s multi-step
+design: one host round-trip per span regardless of how many tokens are
+accepted — essential on hosts where dispatch latency is material.
+
+KV handling: verification writes all k+1 rows into the paged cache
+(slot-exact scatter); rejected rows sit beyond the accepted context length,
+are masked by every attention variant, and are overwritten when those
+positions are reached again. The engine reserves worst-case page growth
+up front and truncates the allocator to the accepted length afterwards
+(`PageAllocator.truncate`).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from ..config import ModelConfig
+from . import transformer as model_lib
+
+
+def ngram_propose(hist: jnp.ndarray, hist_lens: jnp.ndarray, k: int,
+                  n: int = 2) -> jnp.ndarray:
+    """Propose ``k`` draft tokens per sequence by n-gram lookup.
+
+    hist:      ``[B, L]`` int32 — prompt + generated tokens so far
+    hist_lens: ``[B]`` int32 — valid length of each row
+    Finds the LAST position i < hist_len - n with
+    ``hist[i:i+n] == hist[hist_len-n:hist_len]`` and proposes the k tokens
+    following it. Rows with no match propose the last token repeated (the
+    verification pass still yields its one guaranteed-correct token, so a
+    miss costs nothing but compute).
+    """
+    B, L = hist.shape
+    # tail n-gram per row
+    tail_idx = hist_lens[:, None] - n + jnp.arange(n, dtype=jnp.int32)[None, :]
+    tail = jnp.take_along_axis(hist, jnp.clip(tail_idx, 0, L - 1), axis=1)
+
+    pos = jnp.arange(L, dtype=jnp.int32)[None, :]               # [1, L]
+    eq = jnp.ones((B, L), bool)
+    for j in range(n):
+        # hist[:, i+j] aligned at i (zero-pad the tail shift)
+        shifted = jnp.pad(hist[:, j:], ((0, 0), (0, j)))
+        eq = eq & (shifted == tail[:, j:j + 1])
+    valid = pos < (hist_lens[:, None] - n)      # strictly before the tail gram
+    m = jnp.max(jnp.where(eq & valid, pos, -1), axis=1)         # [B]
+    found = m >= 0
+
+    src = m[:, None] + n + jnp.arange(k, dtype=jnp.int32)[None, :]
+    props = jnp.take_along_axis(hist, jnp.clip(src, 0, L - 1), axis=1)
+    last = jnp.take_along_axis(
+        hist, jnp.clip(hist_lens[:, None] - 1, 0, L - 1), axis=1)
+    # entries past the valid history read stale positions — fill with the
+    # last token instead (harmless: verification corrects them)
+    usable = found[:, None] & (src < hist_lens[:, None])
+    return jnp.where(usable, props, last).astype(jnp.int32)
+
+
+def spec_decode_span(cfg: ModelConfig, params, k_cache, v_cache,
+                     last_tokens: jnp.ndarray,    # [B] int32
+                     hist: jnp.ndarray,           # [B, Lmax] int32
+                     hist_lens: jnp.ndarray,      # [B] int32
+                     block_tables: jnp.ndarray,   # [B, max_pages]
+                     context_lens: jnp.ndarray,   # [B] tokens in cache
+                     num_steps: int, k: int, ngram: int = 2):
+    """Run ``num_steps`` propose→verify→accept rounds on device.
+
+    Returns (emitted ``[num_steps, B, k+1]`` int32, counts
+    ``[num_steps, B]`` int32 — valid tokens per round, in [1, k+1] — ,
+    new_k_cache, new_v_cache).
+    """
+    B = last_tokens.shape[0]
+    S = k + 1
+    Lmax = hist.shape[1]
+    steps_idx = jnp.arange(S, dtype=jnp.int32)[None, :]          # [1, S]
+
+    def body(carry, _):
+        last, ctx, hist, hlen, kc, vc = carry
+        props = ngram_propose(hist, hlen, k, ngram)              # [B, k]
+        window = jnp.concatenate([last[:, None], props], axis=1)  # [B, S]
+
+        preds, kc, vc = model_lib.prefill_step(
+            cfg, params, kc, vc, window, block_tables,
+            jnp.full((B,), S, jnp.int32), ctx,
+            has_history=True, all_greedy=True, slot_exact_store=True)
+
+        match = (props == preds[:, :-1]).astype(jnp.int32)       # [B, k]
+        a = jnp.sum(jnp.cumprod(match, axis=1), axis=1)          # [B] 0..k
+        bonus = jnp.take_along_axis(preds, a[:, None], axis=1)   # [B, 1]
+        props_pad = jnp.concatenate(
+            [props, jnp.zeros((B, 1), jnp.int32)], axis=1)       # [B, S]
+        emit = jnp.where(steps_idx < a[:, None], props_pad,
+                         jnp.where(steps_idx == a[:, None], bonus, -1))
+        n_emit = a + 1
+
+        # append emitted tokens to the on-device history
+        wpos = hlen[:, None] + steps_idx                         # [B, S]
+        wposc = jnp.clip(wpos, 0, Lmax - 1)
+        old = jnp.take_along_axis(hist, wposc, axis=1)
+        vals = jnp.where(steps_idx < n_emit[:, None], emit, old)
+        hist = hist.at[jnp.arange(B)[:, None], wposc].set(vals)
+
+        return ((bonus[:, 0], ctx + n_emit, hist, hlen + n_emit, kc, vc),
+                (emit, n_emit))
+
+    (_, _, _, _, k_cache, v_cache), (emitted, counts) = jax.lax.scan(
+        body, (last_tokens, context_lens, hist, hist_lens, k_cache, v_cache),
+        None, length=num_steps)
+    return emitted, counts, k_cache, v_cache

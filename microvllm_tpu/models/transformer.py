@@ -377,6 +377,8 @@ def prefill_step(cfg: ModelConfig, params: Params,
                  tp_axis: str | None = None, tp_size: int = 1,
                  k_scales: jnp.ndarray | None = None,
                  v_scales: jnp.ndarray | None = None,
+                 all_greedy: bool = False,
+                 slot_exact_store: bool = False,
                  ):
     """Prefill a ``[B, S]`` chunk, writing all KV into the paged cache.
 
@@ -387,7 +389,14 @@ def prefill_step(cfg: ModelConfig, params: Params,
     has_history:  static — False skips the attend-to-cache path entirely
                   (the common single-chunk prefill; saves a [B,H,S,max_ctx]
                   score tensor).
-    Returns (last-token logits ``[B, V]`` fp32, new_k, new_v).
+    all_greedy:   static — return per-position argmax tokens ``[B, S]``
+                  instead of last-token logits (speculative verification).
+    slot_exact_store: static — force the slot-exact scatter store even when
+                  the chunk is page-sized (speculative windows start at
+                  arbitrary, non-page-aligned history offsets; the bulk
+                  page-granular store would clobber neighbor slots).
+    Returns (last-token logits ``[B, V]`` fp32 — or greedy ids ``[B, S]``
+    when ``all_greedy`` — , new_k, new_v).
     """
     from ..ops.attention import use_pallas
 
@@ -403,7 +412,8 @@ def prefill_step(cfg: ModelConfig, params: Params,
     cos, sin = rope_cos_sin(positions, cfg.head_dim, cfg.rope_theta)
 
     quantized = k_scales is not None
-    pallas_store = use_pallas() and S % page_size == 0
+    pallas_store = (use_pallas() and S % page_size == 0
+                    and not slot_exact_store)
     pallas_attn = (use_pallas() and S % min(128, S) == 0
                    and S % min(256, S) == 0)
     if not pallas_store:
@@ -450,6 +460,15 @@ def prefill_step(cfg: ModelConfig, params: Params,
             vt = pad_head(v, d_pad).transpose(0, 2, 1, 3)
             kc, vc = store_kv_pages(kt, vt, kc, vc, block_tables,
                                     history_lens, chunk_lens, l)
+            return kc, vc, ks, vs
+        if slot_exact_store and use_pallas():
+            # speculative windows: arbitrary (mid-page) start offsets; RMW
+            # the touched pages instead of an XLA cache-copying scatter
+            from ..ops.pallas.kv_store import paged_append_rows
+            kt = pad_head(k, d_pad).transpose(0, 2, 1, 3)
+            vt = pad_head(v, d_pad).transpose(0, 2, 1, 3)
+            kc, vc = paged_append_rows(kt, vt, kc, vc, block_tables,
+                                       history_lens, l)
             return kc, vc, ks, vs
         kc = kc.at[l, flat_pages, :, flat_offsets].set(
             pad_head(k, d_pad).reshape(
@@ -511,13 +530,20 @@ def prefill_step(cfg: ModelConfig, params: Params,
         _layer_xs(params, cfg))
 
     h = rmsnorm(h, params["final_norm"], cfg.rms_norm_eps)
-    # Only the last valid token's logits are needed (next-token prediction).
-    last_idx = jnp.clip(chunk_lens - 1, 0, S - 1)
-    h_last = jnp.take_along_axis(h, last_idx[:, None, None], axis=1)[:, 0]
-    logits = _lm_logits(params, h_last, tp_axis)
+    if all_greedy:
+        # Per-position argmax (speculative verification): the [B, S, V]
+        # logits reduce to [B, S] on device; only ids leave the step.
+        out = jnp.argmax(_lm_logits(params, h, tp_axis), axis=-1)
+        out = out.astype(jnp.int32)
+    else:
+        # Only the last valid token's logits are needed (next-token
+        # prediction).
+        last_idx = jnp.clip(chunk_lens - 1, 0, S - 1)
+        h_last = jnp.take_along_axis(h, last_idx[:, None, None], axis=1)[:, 0]
+        out = _lm_logits(params, h_last, tp_axis)
     if not quantized:
-        return logits, k_cache, v_cache
-    return logits, k_cache, v_cache, k_scales, v_scales
+        return out, k_cache, v_cache
+    return out, k_cache, v_cache, k_scales, v_scales
 
 
 # ---------------------------------------------------------------------------

@@ -28,7 +28,11 @@ def _quant_linear(x: jnp.ndarray, w: QuantizedTensor, layer) -> jnp.ndarray:
 
     K, N = w.in_dim, w.out_dim
     lead = x.shape[:-1]
-    mode = os.environ.get("MVT_QMM", "a8")
+    # auto: W4A8 for int4 (e2e 77.5 vs 72.8 tok/s at 7B, RESULTS.md); int8
+    # keeps the bf16-dequant kernel (already 93% of its HBM roofline).
+    mode = os.environ.get("MVT_QMM", "auto")
+    if mode == "auto":
+        mode = "a8" if w.bits == 4 else "pallas"
     if use_pallas() and mode != "xla":
         # wide-N projections (lm_head) use bigger n-tiles: per-tile overhead
         # dominates at ~300 tiles otherwise

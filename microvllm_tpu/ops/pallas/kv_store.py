@@ -177,6 +177,134 @@ def store_kv_pages_q(
     return k_cache, v_cache, k_scales, v_scales
 
 
+def _append_rows_kernel(
+    # scalar prefetch
+    layer_ref,          # [1] int32
+    block_tables_ref,   # [B * max_pages] int32
+    start_ref,          # [B] int32 — first row's position (arbitrary offset)
+    # inputs
+    k_new_ref,          # [1, KV, S, D] VMEM block for b
+    v_new_ref,
+    k_hbm, v_hbm,       # [L, P, KV, ps, D] ANY (aliased)
+    # outputs (aliased)
+    k_out, v_out,
+    # scratch
+    page_buf,           # [2, KV, ps, D]
+    sems,               # [2] DMA
+    *,
+    page_size: int,
+    max_pages: int,
+    S: int,
+):
+    """RMW-append S rows starting at an ARBITRARY (non-page-aligned) slot:
+    for each touched page, read it, mask-insert the rows that land in it,
+    write it back — the multi-row generalization of the decode append's
+    single-row RMW (speculative verification windows start mid-page)."""
+    b = pl.program_id(0)
+    j = pl.program_id(1)
+    layer = layer_ref[0]
+    start = start_ref[b]
+    KV, D = k_new_ref.shape[1], k_new_ref.shape[3]
+
+    page_idx = start // page_size + j
+    page_lo = page_idx * page_size          # first position in this page
+    t_lo = page_lo - start                  # first row index landing here
+
+    # run only when this page overlaps [start, start+S) and is addressable
+    @pl.when((t_lo < S) & (page_idx < max_pages))
+    def _():
+        page = block_tables_ref[b * max_pages + page_idx]
+        k_in = pltpu.make_async_copy(
+            k_out.at[layer, page], page_buf.at[0], sems.at[0])
+        v_in = pltpu.make_async_copy(
+            v_out.at[layer, page], page_buf.at[1], sems.at[1])
+        k_in.start()
+        v_in.start()
+        k_in.wait()
+        v_in.wait()
+
+        slot_iota = jax.lax.broadcasted_iota(jnp.int32, (page_size, D), 0)
+        for t in range(S):
+            offset = start + t - page_lo
+            mask = slot_iota == offset           # empty when out of page
+            for h in range(KV):
+                page_buf[0, h] = jnp.where(
+                    mask, k_new_ref[0, h, t][None, :].astype(page_buf.dtype),
+                    page_buf[0, h])
+                page_buf[1, h] = jnp.where(
+                    mask, v_new_ref[0, h, t][None, :].astype(page_buf.dtype),
+                    page_buf[1, h])
+
+        k_back = pltpu.make_async_copy(
+            page_buf.at[0], k_out.at[layer, page], sems.at[0])
+        v_back = pltpu.make_async_copy(
+            page_buf.at[1], v_out.at[layer, page], sems.at[1])
+        k_back.start()
+        v_back.start()
+        k_back.wait()
+        v_back.wait()
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def paged_append_rows(
+    k_new: jnp.ndarray,         # [B, KV, S, D] (post-RoPE, padded D)
+    v_new: jnp.ndarray,
+    k_cache: jnp.ndarray,       # [L, P, KV, ps, D]
+    v_cache: jnp.ndarray,
+    block_tables: jnp.ndarray,  # [B, max_pages] int32
+    start_lens: jnp.ndarray,    # [B] int32 — position of row 0 (any offset)
+    layer: jnp.ndarray,
+    *,
+    interpret: bool = False,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Slot-exact append of S consecutive rows per sequence at arbitrary
+    offsets, caches aliased in->out (no copy)."""
+    B, KV, S, D = k_new.shape
+    L, P, _, page_size, _ = k_cache.shape
+    max_pages = block_tables.shape[1]
+    pages_touched = (S + page_size - 1) // page_size + 1
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(B, pages_touched),
+        in_specs=[
+            pl.BlockSpec((1, KV, S, D), lambda b, j, *_: (b, 0, 0, 0)),
+            pl.BlockSpec((1, KV, S, D), lambda b, j, *_: (b, 0, 0, 0)),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, KV, page_size, D), k_cache.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+
+    kernel = functools.partial(_append_rows_kernel, page_size=page_size,
+                               max_pages=max_pages, S=S)
+    k_cache, v_cache = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct(k_cache.shape, k_cache.dtype),
+            jax.ShapeDtypeStruct(v_cache.shape, v_cache.dtype),
+        ],
+        # flat inputs: 0-2 scalars, 3=k_new, 4=v_new, 5=k_cache, 6=v_cache
+        input_output_aliases={5: 0, 6: 1},
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            has_side_effects=True,
+        ),
+        interpret=interpret,
+    )(jnp.atleast_1d(layer).astype(jnp.int32), block_tables.reshape(-1),
+      start_lens, k_new.astype(k_cache.dtype), v_new.astype(v_cache.dtype),
+      k_cache, v_cache)
+    return k_cache, v_cache
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def store_kv_pages(
     k_new: jnp.ndarray,         # [B, KV, S, D] (transposed chunk, padded D)

@@ -58,6 +58,14 @@ def _prefill_jit(cfg, params, k_cache, v_cache, tokens, block_tables,
     return next_tokens, k_cache, v_cache
 
 
+@partial(jax.jit, static_argnums=(0, 9, 10, 11), donate_argnums=(2, 3))
+def _spec_span_jit(cfg, params, k_cache, v_cache, last, hist, hist_lens,
+                   tables, ctx, num_steps, k, ngram):
+    from ..models.speculative import spec_decode_span
+    return spec_decode_span(cfg, params, k_cache, v_cache, last, hist,
+                            hist_lens, tables, ctx, num_steps, k, ngram)
+
+
 # INT8-KV-cache variants: scale pages ride along and are donated too.
 @partial(jax.jit, static_argnums=(0, 13), donate_argnums=(2, 3, 4, 5))
 def _decode_span_q_jit(cfg, params, k_cache, v_cache, k_scales, v_scales,
@@ -102,6 +110,9 @@ class EngineMetrics:
     tokens_generated: int = 0
     tokens_prefilled: int = 0
     preemptions: int = 0
+    # speculative decoding acceptance telemetry
+    spec_rounds: int = 0          # propose/verify rounds executed
+    spec_drafts_accepted: int = 0  # accepted draft tokens (excl. bonus)
     # decode fairness: slots served vs running sequences left out of a
     # decode batch (tail beyond the bucket cap); with rotation the skip
     # burden spreads evenly instead of starving the tail
@@ -249,6 +260,9 @@ class InferenceEngine:
             for span in sorted(set(scfg.decode_spans)):
                 self._run_decode_shapes(bs, span)
                 n_decode += 1
+            if self.config.spec_k > 0 and self.config.parallel.world_size == 1:
+                self._run_spec_shapes(bs)
+                n_decode += 1
         shapes = prefill_shapes
         if shapes is None:
             shapes = [(bs, cl) for bs in scfg.prefill_batch_buckets
@@ -268,6 +282,18 @@ class InferenceEngine:
         f = np.ones(bs, dtype=np.float32)
         k64 = np.full(bs, 64, dtype=np.int32)
         self._call_decode(z, tables, z, f, f, k64, span)
+
+    def _run_spec_shapes(self, bs: int) -> None:
+        cfg = self.config
+        reserve = cfg.spec_steps * (cfg.spec_k + 1)
+        z = np.zeros(bs, dtype=np.int32)
+        _, _, self.k_cache, self.v_cache = _spec_span_jit(
+            self.mcfg, self.params, self.k_cache, self.v_cache,
+            jnp.asarray(z),
+            jnp.zeros((bs, cfg.max_model_len + reserve), jnp.int32),
+            jnp.asarray(z),
+            jnp.zeros((bs, cfg.cache.max_pages_per_seq), jnp.int32),
+            jnp.asarray(z), cfg.spec_steps, cfg.spec_k, cfg.spec_ngram)
 
     def _run_prefill_shapes(self, bs: int, chunk: int,
                             has_history: bool = False) -> None:
@@ -453,11 +479,104 @@ class InferenceEngine:
                 return span
         return spans[0]
 
+    def _spec_eligible(self, seqs: list[Sequence]) -> bool:
+        cfg = self.config
+        if cfg.spec_k <= 0 or self.kv_quantized:
+            return False
+        if cfg.parallel.world_size > 1:
+            return False
+        if any(s.sampling.temperature > 0.0 for s in seqs):
+            return False   # greedy-only (bit-identical guarantee)
+        reserve = cfg.spec_steps * (cfg.spec_k + 1)
+        max_ctx = cfg.cache.max_context
+        return all(self.allocator.seq_len(s.seq_id) + reserve <= max_ctx
+                   for s in seqs)
+
+    def _spec_decode(self, batch: ScheduledBatch,
+                     seqs: list[Sequence]) -> int:
+        """n-gram speculative decode span (models/speculative.py): reserve
+        worst-case pages, run propose/verify rounds on device, apply the
+        emitted tokens, truncate the allocator to the accepted length."""
+        cfg = self.config
+        B = batch.batch_size
+        k, steps, ngram = cfg.spec_k, cfg.spec_steps, cfg.spec_ngram
+        S = k + 1
+        reserve = steps * S
+
+        ready: list[Sequence] = []
+        for seq in seqs:
+            if not self.allocator.has_seq(seq.seq_id):
+                continue
+            while True:
+                try:
+                    self.allocator.extend(seq.seq_id, reserve)
+                    ready.append(seq)
+                    break
+                except OutOfPagesError:
+                    victim = self._pick_preemption_victim()
+                    if victim is None or victim is seq:
+                        self._do_preempt(seq)
+                        break
+                    self._do_preempt(victim)
+                    if victim in ready:
+                        ready.remove(victim)
+        seqs = [s for s in ready if not s.is_finished]
+        if not seqs:
+            return 0
+
+        Lmax = cfg.max_model_len + reserve
+        last = np.zeros(B, dtype=np.int32)
+        hist = np.zeros((B, Lmax), dtype=np.int32)
+        hist_lens = np.zeros(B, dtype=np.int32)
+        ctx0 = np.zeros(B, dtype=np.int32)
+        tables = np.zeros((B, cfg.cache.max_pages_per_seq), np.int32)
+        for i, seq in enumerate(seqs):
+            ids = seq.prompt_token_ids + seq.output_token_ids
+            hist[i, :len(ids)] = ids
+            hist_lens[i] = len(ids)
+            last[i] = seq.last_token_id
+            ctx0[i] = self.allocator.seq_len(seq.seq_id) - reserve
+            tables[i] = self.allocator.block_table_row(seq.seq_id)
+
+        emitted, counts, self.k_cache, self.v_cache = _spec_span_jit(
+            self.mcfg, self.params, self.k_cache, self.v_cache,
+            jnp.asarray(last), jnp.asarray(hist), jnp.asarray(hist_lens),
+            jnp.asarray(tables), jnp.asarray(ctx0), steps, k, ngram)
+        emitted = np.asarray(emitted)     # [steps, B, S]
+        counts = np.asarray(counts)       # [steps, B]
+
+        produced = 0
+        for i, seq in enumerate(seqs):
+            applied = 0
+            for t in range(steps):
+                cnt = int(counts[t, i])
+                for j in range(cnt):
+                    self._apply_token(seq, int(emitted[t, i, j]))
+                    produced += 1
+                    if seq.is_finished:
+                        break
+                applied += cnt
+                if seq.is_finished:
+                    break
+            self.metrics.spec_rounds += t + 1
+            self.metrics.spec_drafts_accepted += applied - (t + 1)
+            if not seq.is_finished:
+                # drop the unused reservation + any rejected-slot tail
+                self.allocator.truncate(seq.seq_id,
+                                        int(ctx0[i]) + applied)
+        self.metrics.last_step.span = steps * S
+        return produced
+
     def _decode(self, batch: ScheduledBatch) -> int:
         B = batch.batch_size
         seqs = [s for s in batch.seqs if self.allocator.has_seq(s.seq_id)]
         if not seqs:
             return 0
+        if self._spec_eligible(seqs):
+            self.metrics.decode_slots_served += len(seqs)
+            self.metrics.decode_slots_skipped += max(
+                0, len(self.scheduler.running) - len(seqs))
+            return self._spec_decode(batch, seqs)
         span = self._pick_span(seqs)
 
         # Reserve `span` token slots per sequence; preempt the globally

@@ -111,6 +111,17 @@ class PageAllocator:
             table.append(self._free.popleft())
         self._lens[seq_id] = new_len
 
+    def truncate(self, seq_id: int, new_len: int) -> None:
+        """Shrink a sequence to ``new_len`` tokens, freeing tail pages
+        (speculative decoding reserves worst-case growth, then truncates to
+        the accepted length)."""
+        table = self._tables[seq_id]
+        assert new_len <= self._lens[seq_id], (new_len, self._lens[seq_id])
+        keep = self.pages_needed(new_len)
+        while len(table) > keep:
+            self._free.append(table.pop())
+        self._lens[seq_id] = new_len
+
     def free(self, seq_id: int) -> None:
         pages = self._tables.pop(seq_id, None)
         if pages:

@@ -60,6 +60,9 @@ def _load_lib() -> Optional[ctypes.CDLL]:
                                      ctypes.c_int64]
     lib.mvt_alloc_append_token.restype = ctypes.c_int32
     lib.mvt_alloc_append_token.argtypes = [ctypes.c_void_p, ctypes.c_int64]
+    lib.mvt_alloc_truncate.restype = ctypes.c_int32
+    lib.mvt_alloc_truncate.argtypes = [ctypes.c_void_p, ctypes.c_int64,
+                                       ctypes.c_int64]
     lib.mvt_alloc_free.argtypes = [ctypes.c_void_p, ctypes.c_int64]
     lib.mvt_alloc_reset.argtypes = [ctypes.c_void_p]
     lib.mvt_alloc_block_table_row.argtypes = [
@@ -141,6 +144,12 @@ class NativePageAllocator:
     def append_token(self, seq_id: int) -> None:
         self._check(self._lib.mvt_alloc_append_token(self._h, seq_id),
                     "append_token", seq_id)
+
+    def truncate(self, seq_id: int, new_len: int) -> None:
+        rc = self._lib.mvt_alloc_truncate(self._h, seq_id, new_len)
+        if rc != 0:
+            raise AssertionError(
+                f"truncate: bad state for seq {seq_id} (rc={rc})")
 
     def free(self, seq_id: int) -> None:
         self._lib.mvt_alloc_free(self._h, seq_id)

@@ -488,6 +488,10 @@ def main() -> None:
     ap.add_argument("--prefill-buckets", default=None, help="comma list")
     ap.add_argument("--warmup", action="store_true",
                     help="pre-compile all buckets before serving")
+    ap.add_argument("--spec-k", type=int, default=0,
+                    help="speculative draft tokens per verify (0 = off; "
+                         "greedy requests only)")
+    ap.add_argument("--spec-steps", type=int, default=4)
     args = ap.parse_args()
 
     logging.basicConfig(level=logging.INFO)
@@ -524,6 +528,8 @@ def main() -> None:
         scheduler=sched,
         quant=QuantConfig(weight_bits=args.bits, kv_bits=args.kv_bits),
         max_model_len=args.max_model_len,
+        spec_k=args.spec_k,
+        spec_steps=args.spec_steps,
     )
     serve(cfg, host=args.host, port=args.port, tokenizer=tokenizer,
           params=params, warmup=args.warmup)

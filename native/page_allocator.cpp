@@ -99,6 +99,23 @@ int32_t mvt_alloc_append_token(void* h, int64_t seq_id) {
   return mvt_alloc_extend(h, seq_id, 1);
 }
 
+// Shrink a sequence to new_len tokens, returning now-unneeded tail pages to
+// the free list (speculative decoding reserves worst-case growth up front,
+// then truncates to the accepted length).
+int32_t mvt_alloc_truncate(void* h, int64_t seq_id, int64_t new_len) {
+  auto* a = static_cast<Allocator*>(h);
+  auto it = a->tables.find(seq_id);
+  if (it == a->tables.end()) return -3;
+  if (new_len > a->lens[seq_id]) return -4;
+  int64_t keep = a->pages_needed(new_len);
+  while (static_cast<int64_t>(it->second.size()) > keep) {
+    a->free_pages.push_back(it->second.back());
+    it->second.pop_back();
+  }
+  a->lens[seq_id] = new_len;
+  return 0;
+}
+
 void mvt_alloc_free(void* h, int64_t seq_id) {
   auto* a = static_cast<Allocator*>(h);
   auto it = a->tables.find(seq_id);

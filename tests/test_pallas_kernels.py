@@ -460,6 +460,36 @@ def test_quant_matmul_a8_matches_factored_oracle(bits):
         assert rel < 2e-2, (bits, l, rel)
 
 
+@pytest.mark.parametrize("start,S", [(5, 8), (12, 8), (16, 4), (30, 5)])
+def test_paged_append_rows_matches_scatter(start, S):
+    """Slot-exact multi-row append at arbitrary (mid-page / page-crossing)
+    offsets vs an explicit scatter oracle; whole-cache equality catches
+    neighbor-slot corruption from the page RMW."""
+    from microvllm_tpu.ops.pallas.kv_store import paged_append_rows
+
+    L, B, KV, D, PS, NP, MP = 2, 2, 2, 128, 16, 16, 4
+    rng = jax.random.PRNGKey(0)
+    kc = jax.random.normal(rng, (L, NP, KV, PS, D))
+    vc = jax.random.normal(jax.random.PRNGKey(1), (L, NP, KV, PS, D))
+    bt = jnp.array([[1, 2, 3, 0], [5, 6, 7, 0]], dtype=jnp.int32)
+    starts = jnp.array([start, start // 2], jnp.int32)
+    k_new = jax.random.normal(jax.random.PRNGKey(2), (B, KV, S, D))
+    v_new = jax.random.normal(jax.random.PRNGKey(3), (B, KV, S, D))
+
+    ko, vo = kc, vc
+    for b in range(B):
+        for t in range(S):
+            pos = int(starts[b]) + t
+            page = int(bt[b, pos // PS])
+            ko = ko.at[1, page, :, pos % PS].set(k_new[b, :, t])
+            vo = vo.at[1, page, :, pos % PS].set(v_new[b, :, t])
+
+    kc2, vc2 = paged_append_rows(k_new, v_new, kc, vc, bt, starts,
+                                 jnp.int32(1), interpret=True)
+    np.testing.assert_allclose(kc2, ko, rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(vc2, vo, rtol=1e-6, atol=1e-6)
+
+
 def test_flash_prefill_int8_history_matches_ref():
     """Quantized-history flash prefill (r1 fell back to the jnp path that
     materializes [B,H,S,max_ctx] scores) vs the dequantizing reference."""

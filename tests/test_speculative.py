@@ -1,0 +1,121 @@
+"""Speculative decoding: proposals, verification, and the bit-identical
+guarantee vs non-speculative greedy decoding."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from microvllm_tpu.config import (CacheConfig, EngineConfig, ModelConfig,
+                                  SchedulerConfig)
+from microvllm_tpu.models.speculative import ngram_propose
+from microvllm_tpu.runtime.engine import InferenceEngine
+from microvllm_tpu.runtime.sequence import SamplingParams
+
+
+def test_ngram_propose_finds_last_match():
+    #        0  1  2  3  4  5  6  7  8
+    hist = [[5, 6, 7, 8, 1, 5, 6, 9, 5],   # tail gram (9,5)? len=9 tail=[9,5]
+            [1, 2, 3, 1, 2, 4, 1, 2, 0]]   # len=8, tail=[1,2] -> match at 3
+    hist = jnp.asarray(np.array(hist, np.int32))
+    lens = jnp.asarray(np.array([9, 8], np.int32))
+    props = np.asarray(ngram_propose(hist, lens, k=3, n=2))
+    # row 0: no earlier (9,5) -> fallback = last token repeated
+    assert list(props[0]) == [5, 5, 5]
+    # row 1: last match of (1,2) before the tail is at i=3 -> proposes 4,1,2
+    assert list(props[1]) == [4, 1, 2]
+
+
+def test_ngram_propose_handles_empty_history():
+    hist = jnp.zeros((1, 16), jnp.int32)
+    props = np.asarray(ngram_propose(hist, jnp.array([0], jnp.int32), k=4))
+    assert props.shape == (1, 4)     # no crash; content irrelevant
+
+
+def _cfg(spec_k=0, **kw):
+    return EngineConfig(
+        model=ModelConfig.tiny(),
+        cache=CacheConfig(num_pages=64, page_size=16, max_pages_per_seq=8),
+        scheduler=SchedulerConfig(
+            max_batch_size=4, max_prefill_tokens=256, prefill_wait_s=0.0,
+            decode_buckets=(1, 2, 4), prefill_len_buckets=(16, 32),
+            prefill_batch_buckets=(1, 2), decode_spans=(1, 4)),
+        max_model_len=128,
+        default_max_new_tokens=8,
+        spec_k=spec_k,
+        **kw,
+    )
+
+
+@pytest.mark.parametrize("nsteps,k", [(2, 3), (4, 4)])
+def test_spec_outputs_bit_identical_to_greedy(nsteps, k):
+    """The core speculation contract: greedy outputs are unchanged."""
+    prompts = [[1, 2, 3, 4, 5], [9, 8, 7], [4, 4, 4, 4]]
+    sp = SamplingParams(temperature=0.0, max_new_tokens=24)
+
+    ref = InferenceEngine(_cfg())
+    ro = [s.output_token_ids for s in ref.generate(prompts, sampling=sp)]
+
+    eng = InferenceEngine(_cfg(spec_k=k, spec_steps=nsteps))
+    so = [s.output_token_ids for s in eng.generate(prompts, sampling=sp)]
+
+    assert so == ro
+    assert eng.metrics.spec_rounds > 0
+    # pages fully released afterwards (truncate + free worked)
+    assert eng.cache_stats.used_pages == 0
+
+
+def test_spec_with_eos_mid_span():
+    """EOS produced inside a speculative span finishes the sequence and
+    discards the tail, like decode_span."""
+
+    class Tok:
+        eos_token_id = None
+
+    eng = InferenceEngine(_cfg(spec_k=3, spec_steps=4))
+    ref = InferenceEngine(_cfg())
+    sp = SamplingParams(temperature=0.0, max_new_tokens=50)
+    r = ref.generate([[3, 1, 4, 1, 5]], sampling=sp)[0]
+    # pick an eos that appears in the reference output to force a mid-span stop
+    eos = r.output_token_ids[len(r.output_token_ids) // 2]
+    sp2 = SamplingParams(temperature=0.0, max_new_tokens=50,
+                         stop_token_ids=(int(eos),))
+    ref2 = InferenceEngine(_cfg())
+    expect = ref2.generate([[3, 1, 4, 1, 5]], sampling=sp2)[0]
+    got = eng.generate([[3, 1, 4, 1, 5]], sampling=sp2)[0]
+    assert got.output_token_ids == expect.output_token_ids
+    assert got.finish_reason == expect.finish_reason
+    assert eng.cache_stats.used_pages == 0
+
+
+def test_spec_mixed_with_sampling_falls_back():
+    """A batch containing a stochastic request must not use speculation
+    (greedy-only gate) — and still completes."""
+    eng = InferenceEngine(_cfg(spec_k=3))
+    seqs = eng.generate(
+        [[1, 2, 3], [7, 8, 9]],
+        sampling=SamplingParams(temperature=0.8, max_new_tokens=6))
+    assert all(len(s.output_token_ids) == 6 for s in seqs)
+    assert eng.metrics.spec_rounds == 0
+
+
+def test_allocator_truncate_python_and_native():
+    from microvllm_tpu.config import CacheConfig
+    from microvllm_tpu.runtime.kv_cache import PageAllocator
+    from microvllm_tpu.runtime.native_alloc import (NativePageAllocator,
+                                                    native_available)
+
+    cfg = CacheConfig(num_pages=16, page_size=4, max_pages_per_seq=8)
+    allocs = [PageAllocator(cfg)]
+    if native_available():
+        allocs.append(NativePageAllocator(cfg))
+    for a in allocs:
+        a.allocate(1, 3)
+        a.extend(1, 10)            # 13 tokens -> 4 pages
+        free_before = a.num_free
+        a.truncate(1, 5)           # -> 2 pages
+        assert a.seq_len(1) == 5
+        assert a.num_free == free_before + 2
+        row = a.block_table_row(1)
+        assert (row[2:] == 0).all()
+        a.free(1)

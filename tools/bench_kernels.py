@@ -57,8 +57,11 @@ def timeit(fn, *args, iters=20, inner=10, _raw=False):
         for _ in range(inner):
             out = fn(*a)
             lead = jax.tree_util.tree_leaves(out)[0]
-            # perturb the first arg with a data-dependent zero
-            a[0] = a[0] + (lead.ravel()[0] * 0).astype(a[0].dtype)
+            # data-dependent no-op via a runtime-false predicate: `x + 0`
+            # folds for integer dtypes (the whole chain then CSEs into one
+            # call and under-reports 10x), a runtime `where` cannot fold
+            pred = lead.ravel()[0].astype(jnp.float32) > 1e30
+            a[0] = jnp.where(pred, a[0] + jnp.ones_like(a[0]), a[0])
         # return a scalar: the tunnel reads back ~4 bytes, not the output
         # (multi-MB readbacks at ~200 MB/s would swamp the measurement)
         return jnp.sum(jax.tree_util.tree_leaves(out)[0].astype(jnp.float32))
