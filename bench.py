@@ -97,10 +97,11 @@ def bench_decode(eng, batch: int, steps: int, context: int) -> float:
     for _ in range(steps):
         produced += eng.step()
     dt = time.monotonic() - t0
-    # drain
-    for s in list(eng.scheduler.running):
-        eng.allocator.free(s.seq_id)
-        eng.scheduler.mark_finished(s)
+    # drain: live sequences may sit in running OR (after a capacity
+    # preemption) waiting/prefilling — abort them all
+    for s in (list(eng.scheduler.running) + list(eng.scheduler.prefilling)
+              + list(eng.scheduler.waiting)):
+        eng.abort_request(s.seq_id)
     eng.scheduler.pop_finished()
     return produced / dt
 

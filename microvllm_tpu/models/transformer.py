@@ -296,9 +296,14 @@ def decode_step(cfg: ModelConfig, params: Params,
 
         normed2, resid = rmsnorm_residual(attn_out, hid, lp["mlp_norm"],
                                           cfg.rms_norm_eps)
-        mlp = _maybe_psum(
-            linear(_swiglu_proj(normed2, w, l), w("w_down"), layer=l),
-            tp_axis)
+        mlp = None
+        if tp_axis is None:
+            from ..ops.linear import fused_mlp
+            mlp = fused_mlp(normed2, w("w_gate_up"), w("w_down"), l)
+        if mlp is None:
+            mlp = _maybe_psum(
+                linear(_swiglu_proj(normed2, w, l), w("w_down"), layer=l),
+                tp_axis)
         return (resid + mlp, kc, vc, ks, vs), None
 
     (h, k_cache, v_cache, k_scales, v_scales), _ = jax.lax.scan(

@@ -72,6 +72,49 @@ def _quant_linear(x: jnp.ndarray, w: QuantizedTensor, layer) -> jnp.ndarray:
     return jnp.einsum("...i,io->...o", x, w.dequant(x.dtype))
 
 
+def fused_mlp(x: jnp.ndarray, w_gu, w_dn, layer) -> jnp.ndarray | None:
+    """One-kernel W4A8 gate_up+SwiGLU+down when the shapes allow it
+    (`ops/pallas/fused_mlp.py`); returns None when not applicable and the
+    caller falls back to the separate-projection path."""
+    import os
+
+    from .attention import use_pallas
+    from .quant import QuantizedTensor
+
+    if os.environ.get("MVT_FUSED_MLP", "1") == "0" or not use_pallas():
+        return None
+    if os.environ.get("MVT_QMM", "auto") not in ("auto", "a8"):
+        return None
+    if not (isinstance(w_gu, QuantizedTensor)
+            and isinstance(w_dn, QuantizedTensor)
+            and w_gu.stacked and w_dn.stacked
+            and w_gu.bits == w_dn.bits
+            and w_gu.group_size == w_dn.group_size):
+        return None
+    gs = w_gu.group_size
+    K = w_gu.in_dim
+    I = w_gu.out_dim // 2
+    tile = w_dn.block_k
+    if I % tile or tile % gs or K % gs or w_dn.in_dim != I:
+        return None
+    lead = x.shape[:-1]
+    rows = 1
+    for d in lead:
+        rows *= d
+    if rows > 64:
+        return None   # prefill-sized batches: x would not fit in VMEM
+
+    from .pallas.fused_mlp import fused_mlp_a8
+    from .pallas.quant_matmul import quantize_activations
+
+    x2 = x.reshape(rows, K)
+    x_q, x_s = quantize_activations(x2, gs)
+    y = fused_mlp_a8(x_q, x_s, w_gu.q, w_gu.scales_tiled, w_dn.q,
+                     w_dn.scales_tiled, layer, group_size=gs,
+                     bits=w_gu.bits, tile_i=tile, out_dtype=x.dtype)
+    return y.reshape(*lead, w_dn.out_dim)
+
+
 def linear(x: jnp.ndarray, w, bias=None, layer=None) -> jnp.ndarray:
     """``x @ w (+ bias)`` where ``w`` is a plain ``[in, out]`` array or a
     :class:`QuantizedTensor` (possibly layer-stacked, selected by ``layer``).

@@ -158,6 +158,15 @@ class InferenceEngine:
             self.k_scales, self.v_scales = model_lib.init_kv_scales(
                 self.mcfg, config.cache)
 
+        # Effective length cap: a sequence must always FINISH (emitting its
+        # last token) while it can still reserve the smallest decode span —
+        # otherwise a seq at exact cache capacity with only large span
+        # buckets compiled enters an infinite preempt/recompute loop (the
+        # allocator can never grant the span; found by the r2 spec bench).
+        min_span = min(config.scheduler.decode_spans)
+        self._len_cap = min(config.max_model_len,
+                            config.cache.max_context - min_span + 1)
+
         from .native_alloc import make_allocator
         self.allocator = make_allocator(config.cache)  # C++ when buildable
         self.scheduler = Scheduler(config.scheduler, config.max_model_len,
@@ -642,7 +651,7 @@ class InferenceEngine:
 
     def _apply_token(self, seq: Sequence, token_id: int) -> None:
         finished = seq.append_output(token_id, self.eos_token_id)
-        if seq.num_tokens >= self.config.max_model_len and not finished:
+        if seq.num_tokens >= self._len_cap and not finished:
             seq.finish(FinishReason.LENGTH)
             finished = True
         # Bookkeeping precedes the callback so a consumer seeing
