@@ -236,6 +236,14 @@ class SchedulerConfig:
     # the largest bucket all batch members have page capacity for; (1,) gives
     # per-token latency.
     decode_spans: tuple[int, ...] = (1, 2, 4, 8, 16)
+    # Adaptive span for interactive streams: when set and the decode batch
+    # contains a streaming (SSE) consumer, the span is capped at this value
+    # while the load is light (running sequences <= stream_span_uncap_at) —
+    # tokens reach the client in bursts of at most `stream_span_cap` instead
+    # of max(decode_spans). Under heavier load the cap lifts and large spans
+    # amortize the host round-trip across the whole batch.
+    stream_span_cap: Optional[int] = None
+    stream_span_uncap_at: int = 8
 
 
 @dataclass(frozen=True)

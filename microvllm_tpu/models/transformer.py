@@ -278,8 +278,22 @@ def decode_step(cfg: ModelConfig, params: Params,
         hid, kc, vc, ks, vs = carry
         l, lp = xs
         w = _weight_getter(lp, stacked)
-        normed = rmsnorm(hid, lp["attn_norm"], cfg.rms_norm_eps)
-        q, k, v = _qkv(normed, w, lp, l, q_dim, n_kv * cfg.head_dim)
+
+        # norm + activation-quantization fused into the a8 qkv kernel when
+        # available (single-rank quantized path); else the classic chain
+        from ..ops.linear import fused_mlp_block, quant_linear_normed
+        qkv = None
+        if tp_axis is None and w("wqkv") is not None:
+            qkv = quant_linear_normed(hid, w("wqkv"), lp["attn_norm"],
+                                      cfg.rms_norm_eps, l,
+                                      bias=lp.get("bqkv"))
+        if qkv is not None:
+            kv_dim_l = n_kv * cfg.head_dim
+            q, k, v = (qkv[..., :q_dim], qkv[..., q_dim:q_dim + kv_dim_l],
+                       qkv[..., q_dim + kv_dim_l:])
+        else:
+            normed = rmsnorm(hid, lp["attn_norm"], cfg.rms_norm_eps)
+            q, k, v = _qkv(normed, w, lp, l, q_dim, n_kv * cfg.head_dim)
         q = q.reshape(B, n_heads, cfg.head_dim)
         k = k.reshape(B, n_kv, cfg.head_dim)
         v = v.reshape(B, n_kv, cfg.head_dim)
@@ -291,20 +305,28 @@ def decode_step(cfg: ModelConfig, params: Params,
             pad_head(q, d_pad), pad_head(k, d_pad), pad_head(v, d_pad),
             kc, vc, block_tables, context_lens, l, scale, ks, vs)
         attn = attn[..., : cfg.head_dim]
-        attn_out = _maybe_psum(
-            linear(attn.reshape(B, q_dim), w("wo"), layer=l), tp_axis)
-
-        normed2, resid = rmsnorm_residual(attn_out, hid, lp["mlp_norm"],
-                                          cfg.rms_norm_eps)
-        mlp = None
+        attn_flat = attn.reshape(B, q_dim)
+        attn_out = None
         if tp_axis is None:
-            from ..ops.linear import fused_mlp
-            mlp = fused_mlp(normed2, w("w_gate_up"), w("w_down"), l)
-        if mlp is None:
+            attn_out = quant_linear_normed(attn_flat, w("wo"), None,
+                                           cfg.rms_norm_eps, l)
+        if attn_out is None:
+            attn_out = _maybe_psum(linear(attn_flat, w("wo"), layer=l),
+                                   tp_axis)
+
+        new_hid = None
+        if tp_axis is None:
+            new_hid = fused_mlp_block(attn_out, hid, lp["mlp_norm"],
+                                      cfg.rms_norm_eps, w("w_gate_up"),
+                                      w("w_down"), l)
+        if new_hid is None:
+            normed2, resid = rmsnorm_residual(attn_out, hid, lp["mlp_norm"],
+                                              cfg.rms_norm_eps)
             mlp = _maybe_psum(
                 linear(_swiglu_proj(normed2, w, l), w("w_down"), layer=l),
                 tp_axis)
-        return (resid + mlp, kc, vc, ks, vs), None
+            new_hid = resid + mlp
+        return (new_hid, kc, vc, ks, vs), None
 
     (h, k_cache, v_cache, k_scales, v_scales), _ = jax.lax.scan(
         body, (h, k_cache, v_cache, k_scales, v_scales),

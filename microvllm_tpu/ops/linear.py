@@ -72,47 +72,90 @@ def _quant_linear(x: jnp.ndarray, w: QuantizedTensor, layer) -> jnp.ndarray:
     return jnp.einsum("...i,io->...o", x, w.dequant(x.dtype))
 
 
-def fused_mlp(x: jnp.ndarray, w_gu, w_dn, layer) -> jnp.ndarray | None:
-    """One-kernel W4A8 gate_up+SwiGLU+down when the shapes allow it
-    (`ops/pallas/fused_mlp.py`); returns None when not applicable and the
-    caller falls back to the separate-projection path."""
+def _a8_fusion_ok(*ws) -> bool:
     import os
 
     from .attention import use_pallas
     from .quant import QuantizedTensor
 
-    if os.environ.get("MVT_FUSED_MLP", "1") == "0" or not use_pallas():
-        return None
+    if not use_pallas():
+        return False
     if os.environ.get("MVT_QMM", "auto") not in ("auto", "a8"):
+        return False
+    return all(isinstance(w, QuantizedTensor) and w.stacked for w in ws)
+
+
+def fused_mlp_block(attn_out: jnp.ndarray, hid: jnp.ndarray, norm_w, eps,
+                    w_gu, w_dn, layer) -> jnp.ndarray | None:
+    """One-kernel post-attention half of a decoder layer: residual add +
+    rmsnorm + gate_up + SwiGLU + down + residual add
+    (`ops/pallas/fused_mlp.py::fused_mlp_block`); returns None when not
+    applicable and the caller falls back to separate projections."""
+    import os
+
+    if os.environ.get("MVT_FUSED_MLP", "1") == "0":
         return None
-    if not (isinstance(w_gu, QuantizedTensor)
-            and isinstance(w_dn, QuantizedTensor)
-            and w_gu.stacked and w_dn.stacked
-            and w_gu.bits == w_dn.bits
-            and w_gu.group_size == w_dn.group_size):
+    if not _a8_fusion_ok(w_gu, w_dn):
+        return None
+    if w_gu.bits != w_dn.bits or w_gu.group_size != w_dn.group_size:
         return None
     gs = w_gu.group_size
     K = w_gu.in_dim
     I = w_gu.out_dim // 2
     tile = w_dn.block_k
-    if I % tile or tile % gs or K % gs or w_dn.in_dim != I:
+    if I % tile or tile % gs or K % gs or w_dn.in_dim != I or K > 128 * gs:
         return None
-    lead = x.shape[:-1]
+    lead = attn_out.shape[:-1]
     rows = 1
     for d in lead:
         rows *= d
     if rows > 64:
         return None   # prefill-sized batches: x would not fit in VMEM
 
-    from .pallas.fused_mlp import fused_mlp_a8
-    from .pallas.quant_matmul import quantize_activations
+    from .pallas.fused_mlp import fused_mlp_block as _kernel
 
-    x2 = x.reshape(rows, K)
-    x_q, x_s = quantize_activations(x2, gs)
-    y = fused_mlp_a8(x_q, x_s, w_gu.q, w_gu.scales_tiled, w_dn.q,
-                     w_dn.scales_tiled, layer, group_size=gs,
-                     bits=w_gu.bits, tile_i=tile, out_dtype=x.dtype)
+    y = _kernel(attn_out.reshape(rows, K), hid.reshape(rows, K),
+                norm_w, w_gu.q, w_gu.scales_tiled, w_dn.q,
+                w_dn.scales_tiled, layer, group_size=gs, bits=w_gu.bits,
+                tile_i=tile, eps=float(eps), out_dtype=attn_out.dtype)
     return y.reshape(*lead, w_dn.out_dim)
+
+
+def quant_linear_normed(x: jnp.ndarray, w, norm_w, eps, layer,
+                        bias=None) -> jnp.ndarray | None:
+    """``rmsnorm(x) @ w`` (or plain ``x @ w`` when norm_w is None) with the
+    norm + int8 activation quantization fused into the a8 kernel; returns
+    None when not applicable."""
+    import os
+
+    if os.environ.get("MVT_FUSED_NORM_QMM", "1") == "0":
+        return None
+    if not _a8_fusion_ok(w):
+        return None
+    gs = w.group_size
+    K, N = w.in_dim, w.out_dim
+    if K % gs or K > 128 * gs or (K // w.block_k) * (w.block_k // gs) == 0:
+        return None
+    lead = x.shape[:-1]
+    rows = 1
+    for d in lead:
+        rows *= d
+    if rows > 256:
+        return None
+
+    from .pallas.quant_matmul import quant_matmul_stacked_a8_fused
+
+    has_norm = norm_w is not None
+    nw = norm_w if has_norm else jnp.ones((K,), jnp.float32)
+    y = quant_matmul_stacked_a8_fused(
+        x.reshape(rows, K), nw, w.q, w.scales_tiled, layer,
+        group_size=gs, bits=w.bits, block_k=w.block_k,
+        block_n=2048 if N >= 32768 else 512,
+        has_norm=has_norm, eps=float(eps), out_dtype=x.dtype)
+    y = y.reshape(*lead, N)
+    if bias is not None:
+        y = y + bias.astype(y.dtype)
+    return y
 
 
 def linear(x: jnp.ndarray, w, bias=None, layer=None) -> jnp.ndarray:

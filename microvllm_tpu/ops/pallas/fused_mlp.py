@@ -115,6 +115,163 @@ def _fused_mlp_kernel(layer_ref, x_ref, xs_ref, qg_ref, qu_ref, sg_ref,
         o_ref[...] = acc_ref[...].astype(o_ref.dtype)
 
 
+def _fused_mlp_resid_kernel(layer_ref, attn_ref, hid_ref, nw_ref, qg_ref,
+                            qu_ref, sg_ref, su_ref, qd_ref, sd_ref, o_ref,
+                            acc_ref, xq_scr, xs_scr, *, group_size: int,
+                            bits: int, K: int, TI: int, H: int,
+                            n_tiles: int, eps: float):
+    """Full MLP block in one kernel: the first grid step computes
+    ``resid = attn_out + hid``, rmsnorms it, and int8-quantizes into
+    scratch; the last step emits ``resid + mlp`` — the whole
+    post-attention half of a decoder layer is one launch."""
+    i = pl.program_id(0)
+    gs = group_size
+    G_k = K // gs
+
+    @pl.when(i == 0)
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+        r = (attn_ref[...].astype(jnp.float32)
+             + hid_ref[...].astype(jnp.float32))
+        var = jnp.mean(r * r, axis=-1, keepdims=True)
+        x = r * jax.lax.rsqrt(var + eps) * nw_ref[0][None, :]
+        for g in range(G_k):
+            seg = x[:, g * gs:(g + 1) * gs]
+            s = jnp.maximum(
+                jnp.max(jnp.abs(seg), axis=-1, keepdims=True) / 127.0,
+                1e-10)
+            xq_scr[:, g * gs:(g + 1) * gs] = jnp.clip(
+                jnp.round(seg / s), -127, 127).astype(jnp.int8)
+            xs_scr[:, g] = s[:, 0]
+
+    gpt = G_k // sg_ref.shape[1]
+
+    if bits == 4:
+        wg = _unpack4(qg_ref[0], gs, K, TI)
+        wu = _unpack4(qu_ref[0], gs, K, TI)
+    else:
+        wg = qg_ref[0]
+        wu = qu_ref[0]
+
+    x_q = xq_scr[...]
+    xs = xs_scr[...]
+
+    def xrow(g):
+        return xs[:, g][:, None]
+
+    def wrow(ref):
+        return lambda g: ref[0, g // gpt, g % gpt][None, :]
+
+    g_acc = _group_dots(x_q, wg, xrow, wrow(sg_ref), gs)
+    u_acc = _group_dots(x_q, wu, xrow, wrow(su_ref), gs)
+    a = g_acc * jax.nn.sigmoid(g_acc) * u_acc
+
+    a_absmax = jnp.max(jnp.abs(a), axis=-1, keepdims=True)
+    a_s = jnp.maximum(a_absmax / 127.0, 1e-10)
+    a_q = jnp.clip(jnp.round(a / a_s), -127, 127).astype(jnp.int8)
+
+    if bits == 4:
+        wd = _unpack4(qd_ref[0], gs, TI, H)
+    else:
+        wd = qd_ref[0]
+    acc_ref[...] += _group_dots(
+        a_q, wd, lambda g: a_s, lambda g: sd_ref[0, 0, g][None, :], gs)
+
+    @pl.when(i == n_tiles - 1)
+    def _():
+        resid = (attn_ref[...].astype(jnp.float32)
+                 + hid_ref[...].astype(jnp.float32))
+        o_ref[...] = (resid + acc_ref[...]).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("group_size", "bits", "tile_i", "eps", "out_dtype",
+                     "interpret"))
+def fused_mlp_block(
+    attn_out: jnp.ndarray,       # [M, H] bf16 (o-proj output)
+    hid: jnp.ndarray,            # [M, H] bf16 (layer input / residual)
+    norm_w: jnp.ndarray,         # [H] mlp rmsnorm weight
+    q_gu: jnp.ndarray,           # [L, K(/2), 2*I] int8 (stacked gate|up)
+    s_gu_tiled: jnp.ndarray,
+    q_dn: jnp.ndarray,           # [L, I(/2), H] int8 (stacked down)
+    s_dn_tiled: jnp.ndarray,
+    layer: jnp.ndarray,
+    *,
+    group_size: int,
+    bits: int,
+    tile_i: int = 512,
+    eps: float = 1e-6,
+    out_dtype=jnp.bfloat16,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """``resid + swiglu_mlp(rmsnorm(resid))`` where ``resid = attn_out +
+    hid`` — one launch for the entire post-attention half of the layer."""
+    M, K = attn_out.shape
+    L, _, two_i = q_gu.shape
+    I = two_i // 2
+    H = q_dn.shape[2]
+    assert H == K
+    pack = 2 if bits == 4 else 1
+    TI = min(tile_i, I)
+    assert I % TI == 0 and TI % group_size == 0 and K % group_size == 0
+    n_tiles = I // TI
+    n_kg, srows = s_gu_tiled.shape[1], s_gu_tiled.shape[2]
+    n_kd, srows_d = s_dn_tiled.shape[1], s_dn_tiled.shape[2]
+    assert I // n_kd == TI, "down block_k must equal tile_i"
+    assert K // group_size <= 128
+
+    Mp = max(8, M)
+
+    def pad(z):
+        return z if M == Mp else jnp.zeros((Mp, K), z.dtype).at[:M].set(z)
+
+    nw = jnp.asarray(norm_w, jnp.float32).reshape(1, K)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((Mp, K), lambda i, lr: (0, 0)),
+            pl.BlockSpec((Mp, K), lambda i, lr: (0, 0)),
+            pl.BlockSpec((1, K), lambda i, lr: (0, 0)),
+            pl.BlockSpec((1, K // pack, TI), lambda i, lr: (lr[0], 0, i)),
+            pl.BlockSpec((1, K // pack, TI),
+                         lambda i, lr, _n=n_tiles: (lr[0], 0, _n + i)),
+            pl.BlockSpec((1, n_kg, srows, TI), lambda i, lr: (lr[0], 0, 0, i)),
+            pl.BlockSpec((1, n_kg, srows, TI),
+                         lambda i, lr, _n=n_tiles: (lr[0], 0, 0, _n + i)),
+            pl.BlockSpec((1, TI // pack, H), lambda i, lr: (lr[0], i, 0)),
+            pl.BlockSpec((1, 1, srows_d, H), lambda i, lr: (lr[0], i, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((Mp, H), lambda i, lr: (0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((Mp, H), jnp.float32),
+            pltpu.VMEM((Mp, K), jnp.int8),
+            pltpu.VMEM((Mp, 128), jnp.float32),
+        ],
+    )
+
+    kernel = functools.partial(
+        _fused_mlp_resid_kernel, group_size=group_size, bits=bits, K=K,
+        TI=TI, H=H, n_tiles=n_tiles, eps=eps)
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((Mp, H), out_dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * M * (K * 2 * I + I * H),
+            bytes_accessed=int((K * 2 * I + I * H) / pack + 4 * M * K),
+            transcendentals=M * (I + K),
+        ),
+        interpret=interpret,
+    )(jnp.atleast_1d(layer).astype(jnp.int32), pad(attn_out), pad(hid), nw,
+      q_gu, q_gu, s_gu_tiled, s_gu_tiled, q_dn, s_dn_tiled)
+    return out[:M]
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("group_size", "bits", "tile_i", "out_dtype",

@@ -202,6 +202,143 @@ def _qmm_stacked_a8_kernel(layer_ref, x_ref, xs_ref, q_ref, s_ref, o_ref,
         o_ref[...] = acc_ref[...].astype(o_ref.dtype)
 
 
+def _qmm_a8_fused_kernel(layer_ref, x_ref, nw_ref, q_ref, s_ref, o_ref,
+                         acc_ref, xq_scr, xs_scr, *, group_size: int,
+                         groups_per_tile: int, n_k: int, bits: int,
+                         has_norm: bool, eps: float):
+    """a8 matmul with the rmsnorm + activation-quantization PROLOGUE fused
+    in: the first grid step normalizes and int8-quantizes the raw bf16
+    activations into scratch (tiled per k-block so later steps index the
+    leading scratch dim dynamically — no dynamic lane offsets), replacing
+    two XLA dispatches per projection."""
+    m = pl.program_id(0)
+    n = pl.program_id(1)
+    k = pl.program_id(2)
+    gs = group_size
+
+    @pl.when((m == 0) & (n == 0) & (k == 0))
+    def _():
+        x = x_ref[...].astype(jnp.float32)          # [Mp, K]
+        if has_norm:
+            var = jnp.mean(x * x, axis=-1, keepdims=True)
+            x = x * jax.lax.rsqrt(var + eps) * nw_ref[0][None, :]
+        for kb in range(n_k):
+            for g2 in range(groups_per_tile):
+                lo = (kb * groups_per_tile + g2) * gs
+                seg = x[:, lo:lo + gs]
+                s = jnp.maximum(
+                    jnp.max(jnp.abs(seg), axis=-1, keepdims=True) / 127.0,
+                    1e-10)
+                xq_scr[kb, :, g2 * gs:(g2 + 1) * gs] = jnp.clip(
+                    jnp.round(seg / s), -127, 127).astype(jnp.int8)
+                xs_scr[kb, :, g2] = s[:, 0]
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    tn = q_ref.shape[-1]
+    if bits == 4:
+        p = q_ref[0].astype(jnp.int32)
+        half_g = gs // 2
+        p = p.reshape(groups_per_tile, half_g, tn)
+        lo4 = (p << 28) >> 28
+        hi4 = p >> 4
+        w = jnp.concatenate([lo4, hi4], axis=1).astype(jnp.int8)
+    else:
+        w = q_ref[0].reshape(groups_per_tile, gs, tn)
+    ws = s_ref[0, 0, :groups_per_tile, :]
+
+    acc = acc_ref[...]
+    for g in range(groups_per_tile):
+        xg = xq_scr[k, :, g * gs:(g + 1) * gs]
+        r = jax.lax.dot_general(
+            xg, w[g], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)
+        scale = xs_scr[k, :, g][:, None] * ws[g][None, :]
+        acc = acc + r.astype(jnp.float32) * scale
+    acc_ref[...] = acc
+
+    @pl.when(k == n_k - 1)
+    def _():
+        o_ref[...] = acc_ref[...].astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("group_size", "bits", "block_k", "block_m", "block_n",
+                     "has_norm", "eps", "out_dtype", "interpret"))
+def quant_matmul_stacked_a8_fused(
+    x: jnp.ndarray,            # [M, K] bf16/f32 RAW activations
+    norm_w: jnp.ndarray,       # [K] f32 rmsnorm weight (ignored w/o has_norm)
+    q: jnp.ndarray,            # [L, K(/2), N] int8 (layer-stacked)
+    scales_tiled: jnp.ndarray, # [L, n_k, srows, N] f32
+    layer: jnp.ndarray,
+    *,
+    group_size: int,
+    bits: int,
+    block_k: int,
+    block_m: int = 256,
+    block_n: int = 512,
+    has_norm: bool = True,
+    eps: float = 1e-6,
+    out_dtype=jnp.bfloat16,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """``rmsnorm(x) @ dequant(q[layer])`` (or plain quantized matmul when
+    ``has_norm`` is False) with in-kernel int8 activation quantization."""
+    M, K = x.shape
+    L, _, N = q.shape
+    pack = 2 if bits == 4 else 1
+    Mp = max(8, M)
+    assert M <= 256, "prologue fusion assumes a single m-block"
+    block_m = Mp
+    block_n = min(block_n, N)
+    assert K % block_k == 0 and block_k % group_size == 0, (K, block_k)
+    n_k = K // block_k
+    gpt = block_k // group_size
+    srows = scales_tiled.shape[2]
+
+    x_pad = x if M == Mp else jnp.zeros((Mp, K), x.dtype).at[:M].set(x)
+    nw = jnp.asarray(norm_w, jnp.float32).reshape(1, K)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(1, pl.cdiv(N, block_n), n_k),
+        in_specs=[
+            pl.BlockSpec((Mp, K), lambda m, n, k, lr: (0, 0)),
+            pl.BlockSpec((1, K), lambda m, n, k, lr: (0, 0)),
+            pl.BlockSpec((1, block_k // pack, block_n),
+                         lambda m, n, k, lr: (lr[0], k, n)),
+            pl.BlockSpec((1, 1, srows, block_n),
+                         lambda m, n, k, lr: (lr[0], k, 0, n)),
+        ],
+        out_specs=pl.BlockSpec((Mp, block_n), lambda m, n, k, lr: (0, n)),
+        scratch_shapes=[
+            pltpu.VMEM((Mp, block_n), jnp.float32),
+            pltpu.VMEM((n_k, Mp, block_k), jnp.int8),
+            pltpu.VMEM((n_k, Mp, 128), jnp.float32),
+        ],
+    )
+
+    kernel = functools.partial(
+        _qmm_a8_fused_kernel, group_size=group_size, groups_per_tile=gpt,
+        n_k=n_k, bits=bits, has_norm=has_norm, eps=eps)
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((Mp, N), out_dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary", "arbitrary")),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * M * K * N,
+            bytes_accessed=int(M * K + K * N / pack + M * N * 2),
+            transcendentals=0),
+        interpret=interpret,
+    )(jnp.atleast_1d(layer).astype(jnp.int32), x_pad, nw, q, scales_tiled)
+    return out[:M]
+
+
 def quantize_activations(x: jnp.ndarray, group_size: int
                          ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Per-(row, contraction-group) symmetric int8 activation quantization.

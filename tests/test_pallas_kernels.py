@@ -601,6 +601,85 @@ def test_fused_mlp_a8_matches_oracle(bits, M):
     assert rel < (0.3 if bits == 4 else 0.15), rel
 
 
+@pytest.mark.parametrize("bits,M", [(4, 1), (8, 8)])
+def test_fused_mlp_block_matches_composition(bits, M):
+    """The all-in-one MLP block (resid add + rmsnorm + MLP + resid add)
+    vs composing the tested pieces in jnp."""
+    from microvllm_tpu.ops.normalization import rmsnorm
+    from microvllm_tpu.ops.pallas.fused_mlp import (fused_mlp_a8,
+                                                    fused_mlp_block)
+    from microvllm_tpu.ops.pallas.quant_matmul import quantize_activations
+    from microvllm_tpu.ops.quant import quantize
+
+    L, K, I, H, gs, eps = 2, 256, 512, 256, 128, 1e-6
+    kg = jax.random.PRNGKey
+    gu = [jnp.concatenate([jax.random.normal(kg(10 + l), (K, I)) * 0.05,
+                           jax.random.normal(kg(20 + l), (K, I)) * 0.05], 1)
+          for l in range(L)]
+    dn = [jax.random.normal(kg(30 + l), (I, H)) * 0.05 for l in range(L)]
+    q_gu = [quantize(w, bits, gs) for w in gu]
+    q_dn = [quantize(w, bits, gs) for w in dn]
+    TI = q_dn[0].block_k
+    attn = jax.random.normal(kg(1), (M, K))
+    hid = jax.random.normal(kg(2), (M, K))
+    nw = jax.random.normal(kg(3), (K,)) * 0.1 + 1.0
+
+    got = fused_mlp_block(
+        attn, hid, nw, jnp.stack([t.q for t in q_gu]),
+        jnp.stack([t.scales_tiled for t in q_gu]),
+        jnp.stack([t.q for t in q_dn]),
+        jnp.stack([t.scales_tiled for t in q_dn]),
+        jnp.int32(1), group_size=gs, bits=bits, tile_i=TI, eps=eps,
+        out_dtype=jnp.float32, interpret=True)
+
+    # composition oracle: resid + fused_mlp_a8(quantize(rmsnorm(resid)))
+    resid = attn + hid
+    normed = rmsnorm(resid.astype(jnp.float32), nw, eps)
+    x_q, x_s = quantize_activations(normed, gs)
+    mlp = fused_mlp_a8(
+        x_q, x_s, jnp.stack([t.q for t in q_gu]),
+        jnp.stack([t.scales_tiled for t in q_gu]),
+        jnp.stack([t.q for t in q_dn]),
+        jnp.stack([t.scales_tiled for t in q_dn]),
+        jnp.int32(1), group_size=gs, bits=bits, tile_i=TI,
+        out_dtype=jnp.float32, interpret=True)
+    np.testing.assert_allclose(got, resid + mlp, rtol=2e-3, atol=2e-3)
+
+
+@pytest.mark.parametrize("bits,M,has_norm", [(4, 1, True), (8, 8, True),
+                                             (4, 8, False)])
+def test_quant_matmul_a8_fused_prologue(bits, M, has_norm):
+    """In-kernel rmsnorm + activation quantization == XLA norm/quantize
+    followed by the plain a8 kernel."""
+    from microvllm_tpu.ops.normalization import rmsnorm
+    from microvllm_tpu.ops.pallas.quant_matmul import (
+        quant_matmul_stacked_a8, quant_matmul_stacked_a8_fused,
+        quantize_activations)
+    from microvllm_tpu.ops.quant import quantize
+
+    L, K, N, gs, eps = 2, 512, 384, 128, 1e-6
+    ws = [jax.random.normal(jax.random.PRNGKey(l), (K, N), jnp.float32) * 0.05
+          for l in range(L)]
+    qts = [quantize(w, bits, gs) for w in ws]
+    q_stack = jnp.stack([t.q for t in qts])
+    s_stack = jnp.stack([t.scales_tiled for t in qts])
+    x = jax.random.normal(jax.random.PRNGKey(99), (M, K), jnp.float32)
+    nw = jax.random.normal(jax.random.PRNGKey(5), (K,)) * 0.1 + 1.0
+
+    got = quant_matmul_stacked_a8_fused(
+        x, nw, q_stack, s_stack, jnp.int32(1), group_size=gs, bits=bits,
+        block_k=qts[0].block_k, has_norm=has_norm, eps=eps,
+        out_dtype=jnp.float32, interpret=True)
+
+    xin = rmsnorm(x, nw, eps).astype(jnp.float32) if has_norm else x
+    x_q, x_s = quantize_activations(xin, gs)
+    ref = quant_matmul_stacked_a8(
+        x_q, x_s, q_stack, s_stack, jnp.int32(1), group_size=gs, bits=bits,
+        block_k=qts[0].block_k, block_m=8, block_n=128,
+        out_dtype=jnp.float32, interpret=True)
+    np.testing.assert_allclose(got, ref, rtol=2e-3, atol=2e-3)
+
+
 def test_fused_norm_kernels_match_jnp():
     from microvllm_tpu.ops.pallas.fused_norm import (
         rmsnorm_pallas, rmsnorm_residual_pallas, swiglu_pallas)
