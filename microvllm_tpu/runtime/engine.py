@@ -469,10 +469,39 @@ class InferenceEngine:
 
     # -- decode ------------------------------------------------------------
 
+    def _span_cap(self, seqs: list[Sequence]) -> int:
+        """Adaptive upper bound on the decode span (both are optional;
+        default = largest configured span):
+
+        * never overshoot the soonest ``max_new_tokens`` finish — EOS-at-cap
+          discards the span tail, so pick the smallest bucket covering the
+          minimum remaining budget in the batch;
+        * ``stream_span_cap``: interactive SSE consumers get tokens in small
+          bursts while load is light (running <= stream_span_uncap_at);
+          under heavier load the cap lifts and throughput wins.
+        """
+        scfg = self.config.scheduler
+        spans = sorted(scfg.decode_spans)
+        cap = spans[-1]
+        remaining = min(s.sampling.max_new_tokens - len(s.output_token_ids)
+                        for s in seqs)
+        if remaining < cap:
+            cap = next(sp for sp in spans if sp >= remaining)
+        if (scfg.stream_span_cap is not None
+                and len(self.scheduler.running) <= scfg.stream_span_uncap_at
+                and any(s.seq_id in self._stream_callbacks for s in seqs)):
+            eligible = [sp for sp in spans if sp <= scfg.stream_span_cap]
+            if eligible:
+                cap = min(cap, eligible[-1])
+        return cap
+
     def _pick_span(self, seqs: list[Sequence]) -> int:
         """Largest decode-span bucket every batch member has page capacity
-        for (the pooled free-page count must cover everyone's growth)."""
+        for (the pooled free-page count must cover everyone's growth),
+        bounded by the adaptive cap (`_span_cap`)."""
         spans = sorted(self.config.scheduler.decode_spans)
+        cap = self._span_cap(seqs)
+        spans = [sp for sp in spans if sp <= cap] or spans[:1]
         max_ctx = self.config.cache.max_context
         for span in reversed(spans):
             extra_pages = 0

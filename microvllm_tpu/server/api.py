@@ -488,6 +488,9 @@ def main() -> None:
     ap.add_argument("--prefill-buckets", default=None, help="comma list")
     ap.add_argument("--warmup", action="store_true",
                     help="pre-compile all buckets before serving")
+    ap.add_argument("--stream-span-cap", type=int, default=None,
+                    help="cap decode span for SSE streams under light load "
+                         "(smaller token bursts; see SchedulerConfig)")
     ap.add_argument("--spec-k", type=int, default=0,
                     help="speculative draft tokens per verify (0 = off; "
                          "greedy requests only)")
@@ -520,6 +523,7 @@ def main() -> None:
         decode_spans=_csv(args.decode_spans, SchedulerConfig().decode_spans),
         prefill_len_buckets=_csv(args.prefill_buckets,
                                  SchedulerConfig().prefill_len_buckets),
+        stream_span_cap=args.stream_span_cap,
     )
     cfg = EngineConfig(
         model=mcfg,

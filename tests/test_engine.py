@@ -131,3 +131,52 @@ def test_int8_kv_engine_matches_bf16_greedy():
     qo = [s.output_token_ids for s in qe.generate(prompts, sampling=sp)]
     assert qo == ro
     assert qe.cache_stats.num_seqs == 0
+
+
+def test_adaptive_span_caps_at_max_new_tokens():
+    """The span never overshoots the soonest max_new_tokens finish: a seq
+    that needs 2 more tokens must not trigger a 4-token span (the tail
+    would be computed and discarded)."""
+    eng = tiny_engine(
+        scheduler=SchedulerConfig(
+            max_batch_size=8, max_prefill_tokens=256, prefill_wait_s=0.0,
+            decode_buckets=(1, 2, 4, 8), prefill_len_buckets=(16, 32, 64),
+            prefill_batch_buckets=(1, 2, 4), decode_spans=(1, 2, 4, 8)))
+    eng.add_request(prompt_token_ids=[1, 2, 3], sampling=greedy(3))
+    spans_used = []
+    while not eng.scheduler.is_finished():
+        eng.step()
+        if eng.metrics.last_step.kind == "decode":
+            spans_used.append(eng.metrics.last_step.span)
+    seq = eng.scheduler.pop_finished()[0]
+    assert len(seq.output_token_ids) == 3
+    # 1 token sampled at prefill; remaining budget 2 -> the smallest
+    # covering bucket (2), never the default max span 8
+    assert spans_used == [2]
+
+
+def test_adaptive_span_unit():
+    """_span_cap: remaining-budget rounding and the SSE stream cap."""
+    eng = tiny_engine(
+        scheduler=SchedulerConfig(
+            max_batch_size=8, max_prefill_tokens=256, prefill_wait_s=0.0,
+            decode_buckets=(1, 2, 4, 8), prefill_len_buckets=(16, 32, 64),
+            prefill_batch_buckets=(1, 2, 4), decode_spans=(1, 2, 4, 8),
+            stream_span_cap=2, stream_span_uncap_at=1))
+    sid = eng.add_request(prompt_token_ids=[1, 2, 3], sampling=greedy(100))
+    eng.step()   # prefill -> running
+    [seq] = eng.scheduler.running
+    # plenty of budget, no stream callback: full span
+    assert eng._span_cap([seq]) == 8
+    # remaining budget 3 -> smallest covering bucket (4)
+    seq.sampling.max_new_tokens = len(seq.output_token_ids) + 3
+    assert eng._span_cap([seq]) == 4
+    seq.sampling.max_new_tokens = 100
+    # streaming consumer under light load -> capped at 2
+    eng.register_stream_callback(sid, lambda s, t, f: None)
+    assert eng._span_cap([seq]) == 2
+    # heavy load (running > uncap threshold) -> cap lifts
+    eng.scheduler.running.append(seq)   # fake a second running seq
+    assert eng._span_cap([seq]) == 8
+    eng.scheduler.running.pop()
+    eng.abort_request(sid)
