@@ -134,11 +134,11 @@ def main():
     ap.add_argument("--model", default="qwen2.5-7b")
     ap.add_argument("--bits", type=int, default=4)
     ap.add_argument("--batch", type=int, default=8)
-    ap.add_argument("--steps", type=int, default=5)
+    ap.add_argument("--steps", type=int, default=12)
     ap.add_argument("--context", type=int, default=256)
     ap.add_argument("--page-size", type=int, default=64)
     ap.add_argument("--kv-pages", type=int, default=200)
-    ap.add_argument("--max-pages-per-seq", type=int, default=8)
+    ap.add_argument("--max-pages-per-seq", type=int, default=16)
     ap.add_argument("--span", type=int, default=32,
                     help="decode tokens per jitted multi-step span")
     ap.add_argument("--kv-bits", type=int, default=16,

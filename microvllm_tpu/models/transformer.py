@@ -332,8 +332,19 @@ def decode_step(cfg: ModelConfig, params: Params,
         body, (h, k_cache, v_cache, k_scales, v_scales),
         _layer_xs(params, cfg))
 
-    h = rmsnorm(h, params["final_norm"], cfg.rms_norm_eps)
-    logits = _lm_logits(params, h, tp_axis)
+    logits = None
+    if tp_axis is None and params.get("lm_head") is not None:
+        # single-rank quantized path: final rmsnorm + activation quant fused
+        # into the a8 lm_head kernel (the biggest single non-layer cost)
+        from ..ops.linear import quant_linear_normed
+        logits = quant_linear_normed(h, params["lm_head"],
+                                     params["final_norm"], cfg.rms_norm_eps,
+                                     None)
+        if logits is not None:
+            logits = logits.astype(jnp.float32)
+    if logits is None:
+        h = rmsnorm(h, params["final_norm"], cfg.rms_norm_eps)
+        logits = _lm_logits(params, h, tp_axis)
     if k_scales is None:
         return logits, k_cache, v_cache
     return logits, k_cache, v_cache, k_scales, v_scales

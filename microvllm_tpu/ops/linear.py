@@ -34,23 +34,32 @@ def _quant_linear(x: jnp.ndarray, w: QuantizedTensor, layer) -> jnp.ndarray:
     if mode == "auto":
         mode = "a8" if w.bits == 4 else "pallas"
     if use_pallas() and mode != "xla":
-        # wide-N projections (lm_head) use bigger n-tiles: per-tile overhead
-        # dominates at ~300 tiles otherwise
-        block_n = 2048 if N >= 32768 else 512
-        if w.stacked:
-            assert layer is not None, "stacked quantized weight needs layer"
+        # Tile widths: narrow projections (qkv/o) take the whole N in one
+        # tile — per-grid-step overhead dominates their tiny DMA blocks
+        # otherwise; wide-N (lm_head) uses big tiles for the same reason.
+        block_n = N if N <= 6144 else (2048 if N >= 32768 else 512)
+        if w.stacked or (mode == "a8" and w.scales_tiled is not None):
             if mode == "a8":
                 # W4A8/W8A8: int8 activations -> int8 MXU dots per scale
-                # group; removes the VPU full-tile dequant floor.
+                # group; removes the VPU full-tile dequant floor. Non-stacked
+                # weights (lm_head) ride the same kernel as a 1-layer stack
+                # (the leading-dim reshape is a free bitcast).
                 from .pallas.quant_matmul import (quant_matmul_stacked_a8,
                                                   quantize_activations)
+                if w.stacked:
+                    assert layer is not None, "stacked weight needs layer"
+                    q, st = w.q, w.scales_tiled
+                else:
+                    q, st = w.q[None], w.scales_tiled[None]
+                    layer = jnp.int32(0)
                 x2 = x.reshape(-1, K)
                 x_q, x_s = quantize_activations(x2, w.group_size)
                 y = quant_matmul_stacked_a8(
-                    x_q, x_s, w.q, w.scales_tiled, layer,
+                    x_q, x_s, q, st, layer,
                     group_size=w.group_size, bits=w.bits, block_k=w.block_k,
                     block_n=block_n, out_dtype=x.dtype)
                 return y.reshape(*lead, N)
+            assert layer is not None, "stacked quantized weight needs layer"
             from .pallas.quant_matmul import quant_matmul_stacked
 
             y = quant_matmul_stacked(
@@ -82,7 +91,8 @@ def _a8_fusion_ok(*ws) -> bool:
         return False
     if os.environ.get("MVT_QMM", "auto") not in ("auto", "a8"):
         return False
-    return all(isinstance(w, QuantizedTensor) and w.stacked for w in ws)
+    return all(isinstance(w, QuantizedTensor) and w.scales_tiled is not None
+               for w in ws)
 
 
 def fused_mlp_block(attn_out: jnp.ndarray, hid: jnp.ndarray, norm_w, eps,
@@ -96,6 +106,8 @@ def fused_mlp_block(attn_out: jnp.ndarray, hid: jnp.ndarray, norm_w, eps,
     if os.environ.get("MVT_FUSED_MLP", "1") == "0":
         return None
     if not _a8_fusion_ok(w_gu, w_dn):
+        return None
+    if not (w_gu.stacked and w_dn.stacked):
         return None
     if w_gu.bits != w_dn.bits or w_gu.group_size != w_dn.group_size:
         return None
@@ -145,12 +157,19 @@ def quant_linear_normed(x: jnp.ndarray, w, norm_w, eps, layer,
 
     from .pallas.quant_matmul import quant_matmul_stacked_a8_fused
 
+    if w.stacked:
+        assert layer is not None, "stacked quantized weight needs layer"
+        q, st = w.q, w.scales_tiled
+    else:
+        # non-stacked (lm_head): ride the same kernel as a 1-layer stack
+        q, st = w.q[None], w.scales_tiled[None]
+        layer = jnp.int32(0)
     has_norm = norm_w is not None
     nw = norm_w if has_norm else jnp.ones((K,), jnp.float32)
     y = quant_matmul_stacked_a8_fused(
-        x.reshape(rows, K), nw, w.q, w.scales_tiled, layer,
+        x.reshape(rows, K), nw, q, st, layer,
         group_size=gs, bits=w.bits, block_k=w.block_k,
-        block_n=2048 if N >= 32768 else 512,
+        block_n=N if N <= 6144 else (2048 if N >= 32768 else 512),
         has_norm=has_norm, eps=float(eps), out_dtype=x.dtype)
     y = y.reshape(*lead, N)
     if bias is not None:

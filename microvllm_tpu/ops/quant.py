@@ -58,12 +58,14 @@ def tile_scales_for_kernel(scales: jnp.ndarray, group_size: int,
 
 
 def default_block_k(K: int, group_size: int, tp: int = 1) -> int:
-    """Largest contraction tile <= 512 that divides K (and the per-rank
+    """Largest contraction tile <= 1024 that divides K (and the per-rank
     K/tp shard, so the tiled-scale layout shards evenly under row-parallel
-    TP) while holding whole groups."""
+    TP) while holding whole groups. Bigger k-tiles mean fewer grid steps —
+    per-step overhead is the floor for decode-sized m (e.g. K=3584 gets
+    896 -> 4 steps instead of 512 -> 7)."""
     local_k = K // tp if tp > 1 and K % tp == 0 else K
     best = group_size
-    for mult in range(min(512 // group_size, local_k // group_size), 0, -1):
+    for mult in range(min(1024 // group_size, local_k // group_size), 0, -1):
         if local_k % (mult * group_size) == 0:
             best = mult * group_size
             break

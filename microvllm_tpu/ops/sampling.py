@@ -38,22 +38,31 @@ def sample_tokens(logits: jnp.ndarray, rng: jax.Array,
     # epsilon floor so at least the top candidate survives meaningfully.
     top_p = jnp.clip(top_p, 1e-6, 1.0)
 
-    vals, idxs = jax.lax.top_k(logits, top_k)              # [B, K], descending
-    t = jnp.maximum(temperature, 1e-5)[:, None]
-    scaled = vals / t
+    def _stochastic(_) -> jnp.ndarray:
+        vals, idxs = jax.lax.top_k(logits, top_k)          # [B, K], descending
+        t = jnp.maximum(temperature, 1e-5)[:, None]
+        scaled = vals / t
 
-    if top_k_per_seq is not None:
-        rank = jnp.arange(top_k, dtype=jnp.int32)[None, :]
-        scaled = jnp.where(rank < jnp.maximum(top_k_per_seq, 1)[:, None],
-                           scaled, NEG_INF)
+        if top_k_per_seq is not None:
+            rank = jnp.arange(top_k, dtype=jnp.int32)[None, :]
+            scaled = jnp.where(rank < jnp.maximum(top_k_per_seq, 1)[:, None],
+                               scaled, NEG_INF)
 
-    probs = jax.nn.softmax(scaled, axis=-1)
-    cumulative = jnp.cumsum(probs, axis=-1)
-    # Keep tokens whose cumulative mass *before* them is < top_p; the first
-    # candidate always survives.
-    keep = (cumulative - probs) < top_p[:, None]
-    masked = jnp.where(keep, scaled, NEG_INF)
+        probs = jax.nn.softmax(scaled, axis=-1)
+        cumulative = jnp.cumsum(probs, axis=-1)
+        # Keep tokens whose cumulative mass *before* them is < top_p; the
+        # first candidate always survives.
+        keep = (cumulative - probs) < top_p[:, None]
+        masked = jnp.where(keep, scaled, NEG_INF)
 
-    choice = jax.random.categorical(rng, masked, axis=-1)  # [B]
-    sampled = jnp.take_along_axis(idxs, choice[:, None], axis=-1)[:, 0]
-    return jnp.where(temperature <= 0.0, greedy, sampled.astype(jnp.int32))
+        choice = jax.random.categorical(rng, masked, axis=-1)  # [B]
+        sampled = jnp.take_along_axis(idxs, choice[:, None], axis=-1)[:, 0]
+        return jnp.where(temperature <= 0.0, greedy,
+                         sampled.astype(jnp.int32))
+
+    # All-greedy batches (the common serving + benchmark case) skip the
+    # vocab-wide top_k sort entirely: argmax is a linear reduce, top_k over
+    # a 152k vocab is not. The predicate is dynamic, so one compiled
+    # program serves both cases.
+    return jax.lax.cond(jnp.any(temperature > 0.0), _stochastic,
+                        lambda _: greedy, operand=None)
