@@ -6,8 +6,11 @@ tokens that followed the most recent occurrence of the current tail n-gram
 in the sequence's own history, then verify all k in ONE model forward over a
 ``[B, k+1]`` window (chunked-prefill-shaped attention against the paged
 cache). The accepted prefix plus the model's own next token are emitted —
-outputs are bit-identical to non-speculative greedy, because every emitted
-token is either verified against or produced by the full model's argmax.
+every emitted token is either verified against or produced by the full
+model's argmax, so outputs are bit-identical to greedy decoding through the
+same (prefill-path) forward. Note the multi-step decode path may disagree
+on near-ties: its kernels reduce in a different order (identical on CPU
+where both use the jnp reference paths — tests/test_speculative.py).
 
 The whole propose→verify→accept loop runs ON DEVICE inside a `lax.scan`
 (`spec_decode_span`), mirroring `transformer.decode_span`'s multi-step

@@ -522,8 +522,23 @@ def prefill_step(cfg: ModelConfig, params: Params,
         hid, kc, vc, ks, vs = carry
         l, lp = xs
         w = _weight_getter(lp, stacked)
-        normed = rmsnorm(hid, lp["attn_norm"], cfg.rms_norm_eps)
-        q, k, v = _qkv(normed, w, lp, l, q_dim, n_kv * cfg.head_dim)
+        # Same kernel fusions as decode_step; quant_linear_normed /
+        # fused_mlp_block gate themselves on row count, so short chunks
+        # (speculative verify windows, small prefills) take the fused
+        # launches and big chunks keep the MXU-bound wide-matmul path.
+        from ..ops.linear import fused_mlp_block, quant_linear_normed
+        qkv = None
+        if tp_axis is None and w("wqkv") is not None:
+            qkv = quant_linear_normed(hid, w("wqkv"), lp["attn_norm"],
+                                      cfg.rms_norm_eps, l,
+                                      bias=lp.get("bqkv"))
+        if qkv is not None:
+            kv_dim_l = n_kv * cfg.head_dim
+            q, k, v = (qkv[..., :q_dim], qkv[..., q_dim:q_dim + kv_dim_l],
+                       qkv[..., q_dim + kv_dim_l:])
+        else:
+            normed = rmsnorm(hid, lp["attn_norm"], cfg.rms_norm_eps)
+            q, k, v = _qkv(normed, w, lp, l, q_dim, n_kv * cfg.head_dim)
         q = q.reshape(B, S, n_heads, cfg.head_dim)
         k = k.reshape(B, S, n_kv, cfg.head_dim)
         v = v.reshape(B, S, n_kv, cfg.head_dim)
@@ -554,31 +569,63 @@ def prefill_step(cfg: ModelConfig, params: Params,
 
         kc, vc, ks, vs = store_chunk(kc, vc, ks, vs, l, k, v)
 
-        attn_out = _maybe_psum(
-            linear(attn.reshape(B, S, q_dim), w("wo"), layer=l), tp_axis)
-        normed2, resid = rmsnorm_residual(attn_out, hid, lp["mlp_norm"],
-                                          cfg.rms_norm_eps)
-        mlp = _maybe_psum(
-            linear(_swiglu_proj(normed2, w, l), w("w_down"), layer=l),
-            tp_axis)
-        return (resid + mlp, kc, vc, ks, vs), None
+        attn_flat = attn.reshape(B, S, q_dim)
+        attn_out = None
+        if tp_axis is None:
+            attn_out = quant_linear_normed(attn_flat, w("wo"), None,
+                                           cfg.rms_norm_eps, l)
+        if attn_out is None:
+            attn_out = _maybe_psum(linear(attn_flat, w("wo"), layer=l),
+                                   tp_axis)
+        new_hid = None
+        if tp_axis is None:
+            new_hid = fused_mlp_block(attn_out, hid, lp["mlp_norm"],
+                                      cfg.rms_norm_eps, w("w_gate_up"),
+                                      w("w_down"), l)
+        if new_hid is None:
+            normed2, resid = rmsnorm_residual(attn_out, hid, lp["mlp_norm"],
+                                              cfg.rms_norm_eps)
+            mlp = _maybe_psum(
+                linear(_swiglu_proj(normed2, w, l), w("w_down"), layer=l),
+                tp_axis)
+            new_hid = resid + mlp
+        return (new_hid, kc, vc, ks, vs), None
 
     (h, k_cache, v_cache, k_scales, v_scales), _ = jax.lax.scan(
         body, (h, k_cache, v_cache, k_scales, v_scales),
         _layer_xs(params, cfg))
 
-    h = rmsnorm(h, params["final_norm"], cfg.rms_norm_eps)
+    from ..ops.linear import quant_linear_normed as _qln
+
+    def _fused_logits(hh):
+        """Final rmsnorm + a8 lm_head in one launch (None -> fall back)."""
+        if tp_axis is not None or params.get("lm_head") is None:
+            return None
+        y = _qln(hh, params["lm_head"], params["final_norm"],
+                 cfg.rms_norm_eps, None)
+        return None if y is None else y.astype(jnp.float32)
+
     if all_greedy:
         # Per-position argmax (speculative verification): the [B, S, V]
         # logits reduce to [B, S] on device; only ids leave the step.
-        out = jnp.argmax(_lm_logits(params, h, tp_axis), axis=-1)
-        out = out.astype(jnp.int32)
+        logits = _fused_logits(h)
+        if logits is None:
+            logits = _lm_logits(
+                params, rmsnorm(h, params["final_norm"], cfg.rms_norm_eps),
+                tp_axis)
+        out = jnp.argmax(logits, axis=-1).astype(jnp.int32)
     else:
         # Only the last valid token's logits are needed (next-token
-        # prediction).
+        # prediction); rmsnorm is per-position so select-then-norm is
+        # equivalent to norm-then-select.
         last_idx = jnp.clip(chunk_lens - 1, 0, S - 1)
         h_last = jnp.take_along_axis(h, last_idx[:, None, None], axis=1)[:, 0]
-        out = _lm_logits(params, h_last, tp_axis)
+        out = _fused_logits(h_last)
+        if out is None:
+            out = _lm_logits(
+                params,
+                rmsnorm(h_last, params["final_norm"], cfg.rms_norm_eps),
+                tp_axis)
     if not quantized:
         return out, k_cache, v_cache
     return out, k_cache, v_cache, k_scales, v_scales

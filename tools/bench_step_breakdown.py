@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import argparse
 import dataclasses
+import functools
 import sys
 import time
 
@@ -55,14 +56,15 @@ def time_span(mcfg, bits: int, batch: int, span: int, context: int,
         tables[i] = np.arange(i * max_pages, (i + 1) * max_pages)
     ctx = np.full(B, context, np.int32)
     toks = np.ones(B, np.int32)
-    f = np.ones(B, np.float32)
+    temp = np.zeros(B, np.float32)    # greedy, matching bench.py (the
+    f = np.ones(B, np.float32)        # sampler's all-greedy fast path)
     k64 = np.full(B, 64, np.int32)
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(1, 2))
     def step(params, kc, vc, rng):
         out, kc, vc = model_lib.decode_span(
             mcfg, params, kc, vc, jnp.asarray(toks), jnp.asarray(tables),
-            jnp.asarray(ctx), jnp.asarray(f), jnp.asarray(f), rng, span,
+            jnp.asarray(ctx), jnp.asarray(temp), jnp.asarray(f), rng, span,
             top_ks=jnp.asarray(k64))
         return out, kc, vc
 
