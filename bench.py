@@ -138,9 +138,11 @@ def main():
     ap.add_argument("--context", type=int, default=256)
     ap.add_argument("--page-size", type=int, default=64)
     ap.add_argument("--kv-pages", type=int, default=200)
-    ap.add_argument("--max-pages-per-seq", type=int, default=16)
-    ap.add_argument("--span", type=int, default=32,
-                    help="decode tokens per jitted multi-step span")
+    ap.add_argument("--max-pages-per-seq", type=int, default=32)
+    ap.add_argument("--span", type=int, default=64,
+                    help="decode tokens per jitted multi-step span (the "
+                         "tunnel's ~28 ms RTT is amortized across the span; "
+                         "serving uses adaptive spans instead)")
     ap.add_argument("--kv-bits", type=int, default=16,
                     help="16 (bf16 KV) or 8 (int8 KV cache)")
     ap.add_argument("--spec-k", type=int, default=0,
