@@ -35,9 +35,15 @@ def _quant_linear(x: jnp.ndarray, w: QuantizedTensor, layer) -> jnp.ndarray:
         mode = "a8" if w.bits == 4 else "pallas"
     if use_pallas() and mode != "xla":
         # Tile widths: narrow projections (qkv/o) take the whole N in one
-        # tile — per-grid-step overhead dominates their tiny DMA blocks
-        # otherwise; wide-N (lm_head) uses big tiles for the same reason.
-        block_n = N if N <= 6144 else (2048 if N >= 32768 else 512)
+        # tile at decode-size m — per-grid-step overhead dominates their
+        # tiny DMA blocks otherwise; wide-N (lm_head) uses big tiles for
+        # the same reason. At prefill-size m the [block_m, N] accumulator
+        # would blow the 16 MB scoped-VMEM limit, so tile normally.
+        rows = 1
+        for d in lead:
+            rows *= d
+        block_n = (N if (N <= 6144 and rows <= 64)
+                   else (2048 if N >= 32768 else 512))
         if w.stacked or (mode == "a8" and w.scales_tiled is not None):
             if mode == "a8":
                 # W4A8/W8A8: int8 activations -> int8 MXU dots per scale
@@ -169,7 +175,8 @@ def quant_linear_normed(x: jnp.ndarray, w, norm_w, eps, layer,
     y = quant_matmul_stacked_a8_fused(
         x.reshape(rows, K), nw, q, st, layer,
         group_size=gs, bits=w.bits, block_k=w.block_k,
-        block_n=N if N <= 6144 else (2048 if N >= 32768 else 512),
+        block_n=(N if (N <= 6144 and rows <= 64)
+                 else (2048 if N >= 32768 else 512)),
         has_norm=has_norm, eps=float(eps), out_dtype=x.dtype)
     y = y.reshape(*lead, N)
     if bias is not None:
