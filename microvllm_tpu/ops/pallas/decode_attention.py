@@ -464,36 +464,40 @@ def _decode_append_kernel_q(
         for cp in chunk_copies(slot, c):
             cp.wait()
 
+        T = pages_per_chunk * page_size
         out_m, out_l, out_acc = [], [], []
         for h in range(KV):
-            mh, lh, ah = m[h], l[h], acc[h]
-            # per-page blocks: scale vectors stay in lanes (no relayout)
-            for i in range(pages_per_chunk):
-                kh = k_buf[slot, i, h].astype(jnp.bfloat16)   # [ps, D]
-                vh = v_buf[slot, i, h].astype(jnp.bfloat16)
-                ks = ks_buf[slot, i, h, :page_size].reshape(1, page_size)
-                vs = vs_buf[slot, i, h, :page_size].reshape(1, page_size)
-                s = jax.lax.dot_general(
-                    q[h], kh, (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32)
-                s = s * ks * scale                            # dequant K
-                pos = ((c * pages_per_chunk + i) * page_size
-                       + jax.lax.broadcasted_iota(
-                           jnp.int32, (G, page_size), 1))
-                s = jnp.where(pos <= ctx, s, MASK_VALUE)
-                mh2 = jnp.maximum(mh, jnp.max(s, axis=-1, keepdims=True))
-                p = jnp.exp(s - mh2)
-                alpha = jnp.exp(mh - mh2)
-                lh = lh * alpha + jnp.sum(p, axis=-1, keepdims=True)
-                pv = jax.lax.dot_general(
-                    (p * vs).astype(jnp.bfloat16), vh,      # dequant V
-                    (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)
-                ah = ah * alpha + pv
-                mh = mh2
-            out_m.append(mh)
+            # Chunk-wide processing (one K dot, one online-softmax update,
+            # one V dot per chunk). The per-token dequant scales live in
+            # 128-lane page rows; lane-CONCAT of per-page [1, ps] slices
+            # builds the chunk vector without any sublane<->lane relayout.
+            # (The r1 per-page loop issued ~15 small VPU ops per page —
+            # op-issue-bound at long context, 537 vs 666 tok/s b8 @ 3800.)
+            kh = k_buf[slot, :, h].reshape(T, D).astype(jnp.bfloat16)
+            vh = v_buf[slot, :, h].reshape(T, D).astype(jnp.bfloat16)
+            s = jax.lax.dot_general(
+                q[h], kh, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)           # [G, T]
+            ks_c = jnp.concatenate(
+                [ks_buf[slot, i, h, :page_size].reshape(1, page_size)
+                 for i in range(pages_per_chunk)], axis=1)    # [1, T]
+            vs_c = jnp.concatenate(
+                [vs_buf[slot, i, h, :page_size].reshape(1, page_size)
+                 for i in range(pages_per_chunk)], axis=1)
+            s = s * ks_c * scale                              # dequant K
+            pos = c * T + jax.lax.broadcasted_iota(jnp.int32, (G, T), 1)
+            s = jnp.where(pos <= ctx, s, MASK_VALUE)
+            mh2 = jnp.maximum(m[h], jnp.max(s, axis=-1, keepdims=True))
+            p = jnp.exp(s - mh2)
+            alpha = jnp.exp(m[h] - mh2)
+            lh = l[h] * alpha + jnp.sum(p, axis=-1, keepdims=True)
+            pv = jax.lax.dot_general(
+                (p * vs_c).astype(jnp.bfloat16), vh,          # dequant V
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            out_m.append(mh2)
             out_l.append(lh)
-            out_acc.append(ah)
+            out_acc.append(acc[h] * alpha + pv)
         return tuple(out_m), tuple(out_l), tuple(out_acc)
 
     init = (
