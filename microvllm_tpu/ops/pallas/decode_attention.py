@@ -244,11 +244,38 @@ def _decode_append_kernel(
     # ---- append the new token's K/V rows into their page -----------------
     # DMA slices must be sublane-aligned, so a single-row write is illegal;
     # instead: read the whole target page, insert the row with a masked
-    # select in VMEM, write the whole page back (32 KB round trip — noise
-    # next to the attention reads).
+    # select in VMEM, write the whole page back. The round trip is OVERLAPPED
+    # with the attention's chunk streaming: chunk-0 DMAs start first, and
+    # only the chunk that actually contains the append page waits on the
+    # write semaphores (serializing the RMW up front cost ~8 us x B grid
+    # programs per call — the dominant attention cost at batch 8).
     page_idx = ctx // page_size
     offset = ctx % page_size
     page = block_tables_ref[b * max_pages + page_idx]
+    append_chunk = page_idx // pages_per_chunk
+
+    # Read through the (aliased) OUTPUT refs so the just-appended row is
+    # visible in interpret mode too (compiled mode: same buffer either way).
+    def chunk_copies(slot, c):
+        copies = []
+        for i in range(pages_per_chunk):
+            pg = block_tables_ref[b * max_pages + c * pages_per_chunk + i]
+            copies.append(pltpu.make_async_copy(
+                k_out.at[layer, pg], k_buf.at[slot, i], k_sems.at[slot]))
+            copies.append(pltpu.make_async_copy(
+                v_out.at[layer, pg], v_buf.at[slot, i], v_sems.at[slot]))
+        return copies
+
+    def wait_append_writes():
+        pltpu.make_async_copy(page_buf.at[0], k_out.at[layer, page],
+                              w_sems.at[0]).wait()
+        pltpu.make_async_copy(page_buf.at[1], v_out.at[layer, page],
+                              w_sems.at[1]).wait()
+
+    @pl.when((num_chunks > 0) & (append_chunk != 0))
+    def _start_first_early():
+        for cp in chunk_copies(0, 0):
+            cp.start()
 
     k_page_in = pltpu.make_async_copy(
         k_out.at[layer, page], page_buf.at[0], w_sems.at[0])
@@ -269,30 +296,14 @@ def _decode_append_kernel(
             slot_mask, kv_new_ref[0, 1, h][None, :].astype(page_buf.dtype),
             page_buf[1, h])
 
-    k_page_out = pltpu.make_async_copy(
-        page_buf.at[0], k_out.at[layer, page], w_sems.at[0])
-    v_page_out = pltpu.make_async_copy(
-        page_buf.at[1], v_out.at[layer, page], w_sems.at[1])
-    k_page_out.start()
-    v_page_out.start()
-    k_page_out.wait()
-    v_page_out.wait()
+    pltpu.make_async_copy(page_buf.at[0], k_out.at[layer, page],
+                          w_sems.at[0]).start()
+    pltpu.make_async_copy(page_buf.at[1], v_out.at[layer, page],
+                          w_sems.at[1]).start()
 
-    # ---- stream pages and accumulate flash-style -------------------------
-    # Read through the (aliased) OUTPUT refs so the just-appended row is
-    # visible in interpret mode too (compiled mode: same buffer either way).
-    def chunk_copies(slot, c):
-        copies = []
-        for i in range(pages_per_chunk):
-            pg = block_tables_ref[b * max_pages + c * pages_per_chunk + i]
-            copies.append(pltpu.make_async_copy(
-                k_out.at[layer, pg], k_buf.at[slot, i], k_sems.at[slot]))
-            copies.append(pltpu.make_async_copy(
-                v_out.at[layer, pg], v_buf.at[slot, i], v_sems.at[slot]))
-        return copies
-
-    @pl.when(num_chunks > 0)
-    def _start_first():
+    @pl.when((num_chunks > 0) & (append_chunk == 0))
+    def _start_first_after_append():
+        wait_append_writes()
         for cp in chunk_copies(0, 0):
             cp.start()
 
@@ -304,6 +315,10 @@ def _decode_append_kernel(
 
         @pl.when(c + 1 < num_chunks)
         def _start_next():
+            @pl.when(append_chunk == c + 1)
+            def _():
+                wait_append_writes()
+
             for cp in chunk_copies(jax.lax.rem(c + 1, 2), c + 1):
                 cp.start()
 
@@ -311,37 +326,47 @@ def _decode_append_kernel(
             cp.wait()
 
         pos = c * chunk_tokens + jax.lax.broadcasted_iota(
-            jnp.int32, (G, chunk_tokens), 1)
+            jnp.int32, (Gp, chunk_tokens), 1)
         valid = pos <= ctx                            # includes the new token
 
-        out_m, out_l, out_acc = [], [], []
-        for h in range(KV):
-            kh = k_buf[slot, :, h].reshape(chunk_tokens, D)
-            vh = v_buf[slot, :, h].reshape(chunk_tokens, D)
-            s = jax.lax.dot_general(
-                q[h], kh, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32) * scale
-            s = jnp.where(valid, s, MASK_VALUE)
-            mh2 = jnp.maximum(m[h], jnp.max(s, axis=-1, keepdims=True))
-            p = jnp.exp(s - mh2)
-            alpha = jnp.exp(m[h] - mh2)
-            lh2 = l[h] * alpha + jnp.sum(p, axis=-1, keepdims=True)
-            pv = jax.lax.dot_general(
-                p.astype(vh.dtype), vh, (((1,), (0,)), ((), ())),
+        # Per-head K dots (each KV head has its own K matrix), then ONE
+        # head-stacked [KV*Gp, T] online-softmax update per chunk — the
+        # VPU op-issue count (mask/max/exp/sum) drops KV-fold, which is
+        # the kernel's bound once DMA streams are double-buffered. G is
+        # padded to a sublane multiple (8) so the per-head slices are
+        # aligned (Mosaic rejects 7-offset sublane slices).
+        s = jnp.concatenate([
+            jax.lax.dot_general(
+                qp[h], k_buf[slot, :, h].reshape(chunk_tokens, D),
+                (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32)
-            out_m.append(mh2)
-            out_l.append(lh2)
-            out_acc.append(acc[h] * alpha + pv)
-        return tuple(out_m), tuple(out_l), tuple(out_acc)
+            for h in range(KV)], axis=0) * scale       # [KV*Gp, T]
+        s = jnp.where(jnp.tile(valid, (KV, 1)), s, MASK_VALUE)
+        m2 = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+        p = jnp.exp(s - m2)                            # [KV*Gp, T]
+        alpha = jnp.exp(m - m2)
+        l2 = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        pb = p.astype(v_buf.dtype)
+        pv = jnp.concatenate([
+            jax.lax.dot_general(
+                pb[h * Gp:(h + 1) * Gp],
+                v_buf[slot, :, h].reshape(chunk_tokens, D),
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            for h in range(KV)], axis=0)               # [KV*Gp, D]
+        return m2, l2, acc * alpha + pv
 
+    Gp = -(-G // 8) * 8
+    qp = jnp.pad(q, ((0, 0), (0, Gp - G), (0, 0))) if Gp != G else q
     init = (
-        tuple(jnp.full((G, 1), MASK_VALUE, jnp.float32) for _ in range(KV)),
-        tuple(jnp.zeros((G, 1), jnp.float32) for _ in range(KV)),
-        tuple(jnp.zeros((G, D), jnp.float32) for _ in range(KV)),
+        jnp.full((KV * Gp, 1), MASK_VALUE, jnp.float32),
+        jnp.zeros((KV * Gp, 1), jnp.float32),
+        jnp.zeros((KV * Gp, D), jnp.float32),
     )
     m, l, acc = jax.lax.fori_loop(0, num_chunks, body, init)
+    out = acc / jnp.maximum(l, 1e-30)                  # [KV*Gp, D]
     for h in range(KV):
-        o_ref[0, h] = (acc[h] / jnp.maximum(l[h], 1e-30)).astype(o_ref.dtype)
+        o_ref[0, h] = out[h * Gp:(h + 1) * Gp][:G].astype(o_ref.dtype)
 
 
 def _decode_append_kernel_q(
@@ -379,8 +404,39 @@ def _decode_append_kernel_q(
     page_idx = ctx // page_size
     offset = ctx % page_size
     page = block_tables_ref[b * max_pages + page_idx]
+    append_chunk = page_idx // pages_per_chunk
 
-    # ---- read-modify-write the target page (values + scales) -------------
+    def chunk_copies(slot, c):
+        copies = []
+        for i in range(pages_per_chunk):
+            pg = block_tables_ref[b * max_pages + c * pages_per_chunk + i]
+            copies.append(pltpu.make_async_copy(
+                k_out.at[layer, pg], k_buf.at[slot, i], k_sems.at[slot]))
+            copies.append(pltpu.make_async_copy(
+                v_out.at[layer, pg], v_buf.at[slot, i], v_sems.at[slot]))
+            copies.append(pltpu.make_async_copy(
+                ks_out.at[layer, pg], ks_buf.at[slot, i], ks_sems.at[slot]))
+            copies.append(pltpu.make_async_copy(
+                vs_out.at[layer, pg], vs_buf.at[slot, i], vs_sems.at[slot]))
+        return copies
+
+    def wait_append_writes():
+        pltpu.make_async_copy(page_buf.at[0], k_out.at[layer, page],
+                              w_sems.at[0]).wait()
+        pltpu.make_async_copy(page_buf.at[1], v_out.at[layer, page],
+                              w_sems.at[1]).wait()
+        pltpu.make_async_copy(spage_buf.at[0], ks_out.at[layer, page],
+                              w_sems.at[2]).wait()
+        pltpu.make_async_copy(spage_buf.at[1], vs_out.at[layer, page],
+                              w_sems.at[3]).wait()
+
+    # ---- read-modify-write the target page (values + scales), overlapped
+    # with the chunk streaming (see the bf16 kernel) ----------------------
+    @pl.when((num_chunks > 0) & (append_chunk != 0))
+    def _start_first_early():
+        for cp in chunk_copies(0, 0):
+            cp.start()
+
     kp_in = pltpu.make_async_copy(k_out.at[layer, page], page_buf.at[0],
                                   w_sems.at[0])
     vp_in = pltpu.make_async_copy(v_out.at[layer, page], page_buf.at[1],
@@ -427,26 +483,11 @@ def _decode_append_kernel_q(
                                     w_sems.at[3])
     for cp in (kp_out, vp_out, ksp_out, vsp_out):
         cp.start()
-    for cp in (kp_out, vp_out, ksp_out, vsp_out):
-        cp.wait()
 
     # ---- stream pages + online softmax with lane-scaled dequant ----------
-    def chunk_copies(slot, c):
-        copies = []
-        for i in range(pages_per_chunk):
-            pg = block_tables_ref[b * max_pages + c * pages_per_chunk + i]
-            copies.append(pltpu.make_async_copy(
-                k_out.at[layer, pg], k_buf.at[slot, i], k_sems.at[slot]))
-            copies.append(pltpu.make_async_copy(
-                v_out.at[layer, pg], v_buf.at[slot, i], v_sems.at[slot]))
-            copies.append(pltpu.make_async_copy(
-                ks_out.at[layer, pg], ks_buf.at[slot, i], ks_sems.at[slot]))
-            copies.append(pltpu.make_async_copy(
-                vs_out.at[layer, pg], vs_buf.at[slot, i], vs_sems.at[slot]))
-        return copies
-
-    @pl.when(num_chunks > 0)
-    def _start_first():
+    @pl.when((num_chunks > 0) & (append_chunk == 0))
+    def _start_first_after_append():
+        wait_append_writes()
         for cp in chunk_copies(0, 0):
             cp.start()
 
@@ -458,6 +499,10 @@ def _decode_append_kernel_q(
 
         @pl.when(c + 1 < num_chunks)
         def _start_next():
+            @pl.when(append_chunk == c + 1)
+            def _():
+                wait_append_writes()
+
             for cp in chunk_copies(jax.lax.rem(c + 1, 2), c + 1):
                 cp.start()
 
@@ -465,49 +510,53 @@ def _decode_append_kernel_q(
             cp.wait()
 
         T = pages_per_chunk * page_size
-        out_m, out_l, out_acc = [], [], []
-        for h in range(KV):
-            # Chunk-wide processing (one K dot, one online-softmax update,
-            # one V dot per chunk). The per-token dequant scales live in
-            # 128-lane page rows; lane-CONCAT of per-page [1, ps] slices
-            # builds the chunk vector without any sublane<->lane relayout.
-            # (The r1 per-page loop issued ~15 small VPU ops per page —
-            # op-issue-bound at long context, 537 vs 666 tok/s b8 @ 3800.)
-            kh = k_buf[slot, :, h].reshape(T, D).astype(jnp.bfloat16)
-            vh = v_buf[slot, :, h].reshape(T, D).astype(jnp.bfloat16)
-            s = jax.lax.dot_general(
-                q[h], kh, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)           # [G, T]
-            ks_c = jnp.concatenate(
-                [ks_buf[slot, i, h, :page_size].reshape(1, page_size)
+
+        def chunk_scales(buf, h):
+            # Per-token dequant scales live in 128-lane page rows; lane-
+            # CONCAT of per-page [1, ps] slices builds the chunk vector
+            # without any sublane<->lane relayout.
+            return jnp.concatenate(
+                [buf[slot, i, h, :page_size].reshape(1, page_size)
                  for i in range(pages_per_chunk)], axis=1)    # [1, T]
-            vs_c = jnp.concatenate(
-                [vs_buf[slot, i, h, :page_size].reshape(1, page_size)
-                 for i in range(pages_per_chunk)], axis=1)
-            s = s * ks_c * scale                              # dequant K
-            pos = c * T + jax.lax.broadcasted_iota(jnp.int32, (G, T), 1)
-            s = jnp.where(pos <= ctx, s, MASK_VALUE)
-            mh2 = jnp.maximum(m[h], jnp.max(s, axis=-1, keepdims=True))
-            p = jnp.exp(s - mh2)
-            alpha = jnp.exp(m[h] - mh2)
-            lh = l[h] * alpha + jnp.sum(p, axis=-1, keepdims=True)
-            pv = jax.lax.dot_general(
-                (p * vs_c).astype(jnp.bfloat16), vh,          # dequant V
+
+        # Per-head K dots with lane-wise K dequant, then ONE head-stacked
+        # [KV*Gp, T] online-softmax update per chunk (see the bf16 kernel;
+        # the r1 per-page loop issued ~15 small VPU ops per page).
+        s = jnp.concatenate([
+            jax.lax.dot_general(
+                qp[h],
+                k_buf[slot, :, h].reshape(T, D).astype(jnp.bfloat16),
+                (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            * chunk_scales(ks_buf, h)
+            for h in range(KV)], axis=0) * scale              # [KV*Gp, T]
+        pos = c * T + jax.lax.broadcasted_iota(jnp.int32, (KV * Gp, T), 1)
+        s = jnp.where(pos <= ctx, s, MASK_VALUE)
+        m2 = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+        p = jnp.exp(s - m2)
+        alpha = jnp.exp(m - m2)
+        l2 = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        pv = jnp.concatenate([
+            jax.lax.dot_general(
+                (p[h * Gp:(h + 1) * Gp]
+                 * chunk_scales(vs_buf, h)).astype(jnp.bfloat16),
+                v_buf[slot, :, h].reshape(T, D).astype(jnp.bfloat16),
                 (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
-            out_m.append(mh2)
-            out_l.append(lh)
-            out_acc.append(acc[h] * alpha + pv)
-        return tuple(out_m), tuple(out_l), tuple(out_acc)
+            for h in range(KV)], axis=0)                      # [KV*Gp, D]
+        return m2, l2, acc * alpha + pv
 
+    Gp = -(-G // 8) * 8
+    qp = jnp.pad(q, ((0, 0), (0, Gp - G), (0, 0))) if Gp != G else q
     init = (
-        tuple(jnp.full((G, 1), MASK_VALUE, jnp.float32) for _ in range(KV)),
-        tuple(jnp.zeros((G, 1), jnp.float32) for _ in range(KV)),
-        tuple(jnp.zeros((G, D), jnp.float32) for _ in range(KV)),
+        jnp.full((KV * Gp, 1), MASK_VALUE, jnp.float32),
+        jnp.zeros((KV * Gp, 1), jnp.float32),
+        jnp.zeros((KV * Gp, D), jnp.float32),
     )
     m, l, acc = jax.lax.fori_loop(0, num_chunks, body, init)
+    out = acc / jnp.maximum(l, 1e-30)                  # [KV*Gp, D]
     for h in range(KV):
-        o_ref[0, h] = (acc[h] / jnp.maximum(l[h], 1e-30)).astype(o_ref.dtype)
+        o_ref[0, h] = out[h * Gp:(h + 1) * Gp][:G].astype(o_ref.dtype)
 
 
 @functools.partial(

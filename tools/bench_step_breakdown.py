@@ -38,12 +38,14 @@ except Exception:
 
 
 def time_span(mcfg, bits: int, batch: int, span: int, context: int,
-              page_size: int = 64, max_pages: int = 8) -> float:
+              page_size: int = 64, max_pages: int | None = None) -> float:
     """Median ms per decode span for one jitted program."""
     from microvllm_tpu.config import CacheConfig
     from microvllm_tpu.models import transformer as model_lib
     from microvllm_tpu.ops.quant import quantize_params  # noqa: F401
 
+    if max_pages is None:
+        max_pages = max(8, -(-(context + span + 1) // page_size))
     ccfg = CacheConfig(num_pages=batch * max_pages + 8, page_size=page_size,
                       max_pages_per_seq=max_pages)
     params = model_lib.init_params(mcfg, jax.random.PRNGKey(0),
