@@ -36,7 +36,7 @@ def on_tpu() -> bool:
 _FLOOR_MS = None
 
 
-def dispatch_floor(inner=10) -> float:
+def dispatch_floor(inner=64) -> float:
     """Per-call overhead of the harness itself (tunnel RTT / inner),
     measured once with a trivial op and subtracted from kernel timings."""
     global _FLOOR_MS
@@ -46,7 +46,10 @@ def dispatch_floor(inner=10) -> float:
     return _FLOOR_MS
 
 
-def timeit(fn, *args, iters=20, inner=10, _raw=False):
+def timeit(fn, *args, iters=12, inner=64, _raw=False):
+    # inner=64: the ~28 ms tunnel RTT amortizes to ~0.4 ms/call; at the
+    # r1 default of 10 the RTT jitter swamped sub-0.1 ms kernels and the
+    # floor subtraction clamped everything to 0.001.
     """Median ms per call: `inner` data-dependent calls inside one jit (the
     dependency defeats CSE), one host sync per timed iteration. The ~28 ms
     tunnel RTT is amortized as RTT/inner."""
