@@ -166,6 +166,29 @@ class QuantConfig:
 
 
 # ---------------------------------------------------------------------------
+# LoRA config (multi-adapter serving)
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class LoRAConfig:
+    """Multi-LoRA serving: up to ``max_adapters`` low-rank adapters live on
+    device as ``[L, N, K, r]`` stacks; each request selects one by id and
+    the batched delta is gathered inside the jitted step (new capability —
+    the reference serves exactly one set of weights). Adapter slot 0 is
+    all-zero (the base model). Targets: the fused qkv and o projections.
+    """
+
+    rank: int = 16
+    max_adapters: int = 8         # including slot 0 (= base)
+    alpha: float = 16.0           # delta scaling = alpha / rank
+
+    @property
+    def scaling(self) -> float:
+        return self.alpha / self.rank
+
+
+# ---------------------------------------------------------------------------
 # Parallelism config
 # ---------------------------------------------------------------------------
 
@@ -253,6 +276,7 @@ class EngineConfig:
     scheduler: SchedulerConfig = field(default_factory=SchedulerConfig)
     quant: QuantConfig = field(default_factory=QuantConfig)
     parallel: ParallelConfig = field(default_factory=ParallelConfig)
+    lora: Optional[LoRAConfig] = None   # multi-LoRA serving (None = off)
     max_model_len: int = 2048            # clamp on prompt+generation length
     default_max_new_tokens: int = 512
     seed: int = 0
@@ -285,6 +309,12 @@ class EngineConfig:
             if m.num_heads % tp != 0:
                 raise ValueError(
                     f"num_heads {m.num_heads} not divisible by tp_size {tp}")
+        if self.lora is not None:
+            if self.parallel.world_size > 1:
+                raise ValueError("LoRA serving is single-rank for now "
+                                 "(adapter stacks are not sharded)")
+            if self.lora.rank < 1 or self.lora.max_adapters < 2:
+                raise ValueError("LoRA needs rank >= 1, max_adapters >= 2")
 
 
 def pick_bucket(n: int, buckets: Sequence[int]) -> int:

@@ -228,6 +228,24 @@ def _qkv(normed, w, lp, l, q_dim, kv_dim):
             linear(normed, w("wv"), lp.get("bv"), layer=l))
 
 
+def lora_delta(x: jnp.ndarray, A: jnp.ndarray, Bm: jnp.ndarray,
+               adapter_ids: jnp.ndarray, scaling: float) -> jnp.ndarray:
+    """Batched multi-LoRA delta ``scaling * (x @ A[id]) @ B[id]``.
+
+    x: ``[B, K]`` or ``[B, S, K]``; A: ``[N, K, r]``; Bm: ``[N, r, M]``;
+    adapter_ids: ``[B]`` int32 (0 = the all-zero base slot). The per-row
+    gather + two skinny einsums stay tiny next to the base matmul
+    (r ~ 16), so XLA fuses them into the surrounding step.
+    """
+    Asel = A[adapter_ids]                              # [B, K, r]
+    Bsel = Bm[adapter_ids]                             # [B, r, M]
+    if x.ndim == 2:
+        t = jnp.einsum("bk,bkr->br", x, Asel)
+        return jnp.einsum("br,brm->bm", t, Bsel) * scaling
+    t = jnp.einsum("bsk,bkr->bsr", x, Asel)
+    return jnp.einsum("bsr,brm->bsm", t, Bsel) * scaling
+
+
 def _swiglu_proj(normed, w, l):
     """silu(gate) * up — one fused gate|up matmul when available."""
     if w("w_gate_up") is not None:
@@ -250,6 +268,8 @@ def decode_step(cfg: ModelConfig, params: Params,
                 tp_axis: str | None = None, tp_size: int = 1,
                 k_scales: jnp.ndarray | None = None,
                 v_scales: jnp.ndarray | None = None,
+                adapter_ids: jnp.ndarray | None = None,
+                lora_scaling: float = 1.0,
                 ):
     """One decode step for a fixed-size batch.
 
@@ -261,6 +281,9 @@ def decode_step(cfg: ModelConfig, params: Params,
     tp_axis/tp_size: set when called inside shard_map — params/caches are
                    then per-rank shards (heads divided by tp_size) and the
                    row-parallel projections psum over ``tp_axis``.
+    adapter_ids:   optional ``[B]`` int32 — per-row LoRA adapter slot
+                   (params["layers"] then carries lora_{qkv,o}_{a,b}
+                   stacks; slot 0 is the all-zero base).
     Returns (logits ``[B, V]`` fp32, new_k_cache, new_v_cache).
     """
     scale = cfg.head_dim ** -0.5
@@ -287,13 +310,26 @@ def decode_step(cfg: ModelConfig, params: Params,
             qkv = quant_linear_normed(hid, w("wqkv"), lp["attn_norm"],
                                       cfg.rms_norm_eps, l,
                                       bias=lp.get("bqkv"))
+        kv_dim_l = n_kv * cfg.head_dim
         if qkv is not None:
-            kv_dim_l = n_kv * cfg.head_dim
+            if adapter_ids is not None and "lora_qkv_a" in lp:
+                # LoRA rides the fused base matmul: recompute the (cheap)
+                # norm for the delta input only
+                normed = rmsnorm(hid, lp["attn_norm"], cfg.rms_norm_eps)
+                qkv = qkv + lora_delta(normed, lp["lora_qkv_a"],
+                                       lp["lora_qkv_b"], adapter_ids,
+                                       lora_scaling)
             q, k, v = (qkv[..., :q_dim], qkv[..., q_dim:q_dim + kv_dim_l],
                        qkv[..., q_dim + kv_dim_l:])
         else:
             normed = rmsnorm(hid, lp["attn_norm"], cfg.rms_norm_eps)
-            q, k, v = _qkv(normed, w, lp, l, q_dim, n_kv * cfg.head_dim)
+            q, k, v = _qkv(normed, w, lp, l, q_dim, kv_dim_l)
+            if adapter_ids is not None and "lora_qkv_a" in lp:
+                d = lora_delta(normed, lp["lora_qkv_a"], lp["lora_qkv_b"],
+                               adapter_ids, lora_scaling)
+                q = q + d[..., :q_dim]
+                k = k + d[..., q_dim:q_dim + kv_dim_l]
+                v = v + d[..., q_dim + kv_dim_l:]
         q = q.reshape(B, n_heads, cfg.head_dim)
         k = k.reshape(B, n_kv, cfg.head_dim)
         v = v.reshape(B, n_kv, cfg.head_dim)
@@ -313,6 +349,10 @@ def decode_step(cfg: ModelConfig, params: Params,
         if attn_out is None:
             attn_out = _maybe_psum(linear(attn_flat, w("wo"), layer=l),
                                    tp_axis)
+        if adapter_ids is not None and "lora_o_a" in lp:
+            attn_out = attn_out + lora_delta(
+                attn_flat, lp["lora_o_a"], lp["lora_o_b"], adapter_ids,
+                lora_scaling)
 
         new_hid = None
         if tp_axis is None:
@@ -365,6 +405,8 @@ def decode_span(cfg: ModelConfig, params: Params,
                 k_scales: jnp.ndarray | None = None,
                 v_scales: jnp.ndarray | None = None,
                 top_ks: jnp.ndarray | None = None,
+                adapter_ids: jnp.ndarray | None = None,
+                lora_scaling: float = 1.0,
                 ):
     """Run ``num_steps`` decode steps entirely on device, feeding each
     sampled token into the next step (no host round-trips — the TPU
@@ -384,11 +426,13 @@ def decode_span(cfg: ModelConfig, params: Params,
         if quantized:
             logits, kc, vc, ks, vs = decode_step(
                 cfg, params, kc, vc, toks, block_tables, ctx, tp_axis,
-                tp_size, ks, vs)
+                tp_size, ks, vs, adapter_ids=adapter_ids,
+                lora_scaling=lora_scaling)
         else:
             logits, kc, vc = decode_step(
                 cfg, params, kc, vc, toks, block_tables, ctx, tp_axis,
-                tp_size)
+                tp_size, adapter_ids=adapter_ids,
+                lora_scaling=lora_scaling)
         key, sub = jax.random.split(key)
         nxt = sample_tokens(logits, sub, temperature, top_p,
                             top_k_per_seq=top_ks)
@@ -416,6 +460,8 @@ def prefill_step(cfg: ModelConfig, params: Params,
                  k_scales: jnp.ndarray | None = None,
                  v_scales: jnp.ndarray | None = None,
                  all_greedy: bool = False,
+                 adapter_ids: jnp.ndarray | None = None,
+                 lora_scaling: float = 1.0,
                  slot_exact_store: bool = False,
                  ):
     """Prefill a ``[B, S]`` chunk, writing all KV into the paged cache.
@@ -532,13 +578,24 @@ def prefill_step(cfg: ModelConfig, params: Params,
             qkv = quant_linear_normed(hid, w("wqkv"), lp["attn_norm"],
                                       cfg.rms_norm_eps, l,
                                       bias=lp.get("bqkv"))
+        kv_dim_l = n_kv * cfg.head_dim
         if qkv is not None:
-            kv_dim_l = n_kv * cfg.head_dim
+            if adapter_ids is not None and "lora_qkv_a" in lp:
+                normed = rmsnorm(hid, lp["attn_norm"], cfg.rms_norm_eps)
+                qkv = qkv + lora_delta(normed, lp["lora_qkv_a"],
+                                       lp["lora_qkv_b"], adapter_ids,
+                                       lora_scaling)
             q, k, v = (qkv[..., :q_dim], qkv[..., q_dim:q_dim + kv_dim_l],
                        qkv[..., q_dim + kv_dim_l:])
         else:
             normed = rmsnorm(hid, lp["attn_norm"], cfg.rms_norm_eps)
-            q, k, v = _qkv(normed, w, lp, l, q_dim, n_kv * cfg.head_dim)
+            q, k, v = _qkv(normed, w, lp, l, q_dim, kv_dim_l)
+            if adapter_ids is not None and "lora_qkv_a" in lp:
+                d = lora_delta(normed, lp["lora_qkv_a"], lp["lora_qkv_b"],
+                               adapter_ids, lora_scaling)
+                q = q + d[..., :q_dim]
+                k = k + d[..., q_dim:q_dim + kv_dim_l]
+                v = v + d[..., q_dim + kv_dim_l:]
         q = q.reshape(B, S, n_heads, cfg.head_dim)
         k = k.reshape(B, S, n_kv, cfg.head_dim)
         v = v.reshape(B, S, n_kv, cfg.head_dim)
@@ -577,6 +634,10 @@ def prefill_step(cfg: ModelConfig, params: Params,
         if attn_out is None:
             attn_out = _maybe_psum(linear(attn_flat, w("wo"), layer=l),
                                    tp_axis)
+        if adapter_ids is not None and "lora_o_a" in lp:
+            attn_out = attn_out + lora_delta(
+                attn_flat, lp["lora_o_a"], lp["lora_o_b"], adapter_ids,
+                lora_scaling)
         new_hid = None
         if tp_axis is None:
             new_hid = fused_mlp_block(attn_out, hid, lp["mlp_norm"],

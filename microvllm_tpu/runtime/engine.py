@@ -37,22 +37,26 @@ StreamCallback = Callable[[int, int, bool], None]  # (seq_id, token_id, finished
 # Module-level jitted steps with the (hashable, frozen) ModelConfig as a
 # static argument: the XLA compilation cache is then shared across engine
 # instances and shape buckets within a process.
-@partial(jax.jit, static_argnums=(0, 11), donate_argnums=(2, 3))
+@partial(jax.jit, static_argnums=(0, 11), static_argnames=("lora_scaling",),
+         donate_argnums=(2, 3))
 def _decode_span_jit(cfg, params, k_cache, v_cache, tokens, block_tables,
                      context_lens, temperature, top_p, top_ks, rng,
-                     num_steps):
+                     num_steps, adapter_ids=None, lora_scaling=1.0):
     return model_lib.decode_span(
         cfg, params, k_cache, v_cache, tokens, block_tables, context_lens,
-        temperature, top_p, rng, num_steps, top_ks=top_ks)
+        temperature, top_p, rng, num_steps, top_ks=top_ks,
+        adapter_ids=adapter_ids, lora_scaling=lora_scaling)
 
 
-@partial(jax.jit, static_argnums=(0, 12), donate_argnums=(2, 3))
+@partial(jax.jit, static_argnums=(0, 12), static_argnames=("lora_scaling",),
+         donate_argnums=(2, 3))
 def _prefill_jit(cfg, params, k_cache, v_cache, tokens, block_tables,
                  chunk_lens, history_lens, temperature, top_p, top_ks, rng,
-                 has_history):
+                 has_history, adapter_ids=None, lora_scaling=1.0):
     logits, k_cache, v_cache = model_lib.prefill_step(
         cfg, params, k_cache, v_cache, tokens, block_tables,
-        chunk_lens, history_lens, has_history)
+        chunk_lens, history_lens, has_history,
+        adapter_ids=adapter_ids, lora_scaling=lora_scaling)
     next_tokens = sample_tokens(logits, rng, temperature, top_p,
                                 top_k_per_seq=top_ks)
     return next_tokens, k_cache, v_cache
@@ -67,24 +71,30 @@ def _spec_span_jit(cfg, params, k_cache, v_cache, last, hist, hist_lens,
 
 
 # INT8-KV-cache variants: scale pages ride along and are donated too.
-@partial(jax.jit, static_argnums=(0, 13), donate_argnums=(2, 3, 4, 5))
+@partial(jax.jit, static_argnums=(0, 13), static_argnames=("lora_scaling",),
+         donate_argnums=(2, 3, 4, 5))
 def _decode_span_q_jit(cfg, params, k_cache, v_cache, k_scales, v_scales,
                        tokens, block_tables, context_lens, temperature,
-                       top_p, top_ks, rng, num_steps):
+                       top_p, top_ks, rng, num_steps, adapter_ids=None,
+                       lora_scaling=1.0):
     return model_lib.decode_span(
         cfg, params, k_cache, v_cache, tokens, block_tables, context_lens,
         temperature, top_p, rng, num_steps,
-        k_scales=k_scales, v_scales=v_scales, top_ks=top_ks)
+        k_scales=k_scales, v_scales=v_scales, top_ks=top_ks,
+        adapter_ids=adapter_ids, lora_scaling=lora_scaling)
 
 
-@partial(jax.jit, static_argnums=(0, 14), donate_argnums=(2, 3, 4, 5))
+@partial(jax.jit, static_argnums=(0, 14), static_argnames=("lora_scaling",),
+         donate_argnums=(2, 3, 4, 5))
 def _prefill_q_jit(cfg, params, k_cache, v_cache, k_scales, v_scales, tokens,
                    block_tables, chunk_lens, history_lens, temperature,
-                   top_p, top_ks, rng, has_history):
+                   top_p, top_ks, rng, has_history, adapter_ids=None,
+                   lora_scaling=1.0):
     logits, k_cache, v_cache, k_scales, v_scales = model_lib.prefill_step(
         cfg, params, k_cache, v_cache, tokens, block_tables,
         chunk_lens, history_lens, has_history,
-        k_scales=k_scales, v_scales=v_scales)
+        k_scales=k_scales, v_scales=v_scales,
+        adapter_ids=adapter_ids, lora_scaling=lora_scaling)
     next_tokens = sample_tokens(logits, rng, temperature, top_p,
                                 top_k_per_seq=top_ks)
     return next_tokens, k_cache, v_cache, k_scales, v_scales
@@ -148,6 +158,25 @@ class InferenceEngine:
                                      config.quant.weight_group_size,
                                      tp=config.parallel.tp_size)
         self.params = params
+
+        # Multi-LoRA serving: adapter stacks live in params["layers"] as
+        # plain [L, N, K, r] arrays (scanned per layer like norms/biases);
+        # slot 0 stays all-zero = the base model. New capability vs the
+        # reference (one fixed set of weights, `core/model_loader.py`).
+        self._lora_slots_used = 1 if config.lora else 0
+        if config.lora is not None:
+            lc = config.lora
+            m = self.mcfg
+            L, H, r, N = m.num_layers, m.hidden_size, lc.rank, lc.max_adapters
+            qkv_out = m.q_dim + 2 * m.kv_dim
+            dt = m.jax_dtype
+            layers = dict(self.params["layers"])
+            layers["lora_qkv_a"] = jnp.zeros((L, N, H, r), dt)
+            layers["lora_qkv_b"] = jnp.zeros((L, N, r, qkv_out), dt)
+            layers["lora_o_a"] = jnp.zeros((L, N, m.q_dim, r), dt)
+            layers["lora_o_b"] = jnp.zeros((L, N, r, H), dt)
+            self.params = dict(self.params)
+            self.params["layers"] = layers
 
         self.kv_quantized = config.quant.quantize_kv
         kv_dtype = jnp.int8 if self.kv_quantized else self.mcfg.jax_dtype
@@ -214,8 +243,17 @@ class InferenceEngine:
 
     # Unified call helpers: hide the (optional) scale-page plumbing.
 
+    def _lora_kw(self, adapter_ids) -> dict:
+        """kwargs threading LoRA state into the jitted steps (empty when
+        LoRA is off or the step fns don't take them — the sharded TP fns)."""
+        if self.config.lora is None or self.config.parallel.world_size > 1:
+            return {}
+        return {"adapter_ids": jnp.asarray(adapter_ids),
+                "lora_scaling": float(self.config.lora.scaling)}
+
     def _call_decode(self, tokens, tables, context, temperature, top_p,
-                     top_ks, span: int) -> np.ndarray:
+                     top_ks, span: int, adapter_ids=None) -> np.ndarray:
+        kw = self._lora_kw(adapter_ids) if adapter_ids is not None else {}
         if self.kv_quantized:
             (toks, self.k_cache, self.v_cache, self.k_scales,
              self.v_scales) = self._decode_q_fn(
@@ -223,17 +261,19 @@ class InferenceEngine:
                 self.k_scales, self.v_scales, jnp.asarray(tokens),
                 jnp.asarray(tables), jnp.asarray(context),
                 jnp.asarray(temperature), jnp.asarray(top_p),
-                jnp.asarray(top_ks), self._step_rng(), span)
+                jnp.asarray(top_ks), self._step_rng(), span, **kw)
         else:
             toks, self.k_cache, self.v_cache = self._decode_fn(
                 self.params, self.k_cache, self.v_cache, jnp.asarray(tokens),
                 jnp.asarray(tables), jnp.asarray(context),
                 jnp.asarray(temperature), jnp.asarray(top_p),
-                jnp.asarray(top_ks), self._step_rng(), span)
+                jnp.asarray(top_ks), self._step_rng(), span, **kw)
         return np.asarray(toks)
 
     def _call_prefill(self, tokens, tables, chunk_lens, history, temperature,
-                      top_p, top_ks, has_history: bool) -> np.ndarray:
+                      top_p, top_ks, has_history: bool,
+                      adapter_ids=None) -> np.ndarray:
+        kw = self._lora_kw(adapter_ids) if adapter_ids is not None else {}
         if self.kv_quantized:
             (toks, self.k_cache, self.v_cache, self.k_scales,
              self.v_scales) = self._prefill_q_fn(
@@ -242,14 +282,14 @@ class InferenceEngine:
                 jnp.asarray(tables), jnp.asarray(chunk_lens),
                 jnp.asarray(history), jnp.asarray(temperature),
                 jnp.asarray(top_p), jnp.asarray(top_ks), self._step_rng(),
-                has_history)
+                has_history, **kw)
         else:
             toks, self.k_cache, self.v_cache = self._prefill_fn(
                 self.params, self.k_cache, self.v_cache, jnp.asarray(tokens),
                 jnp.asarray(tables), jnp.asarray(chunk_lens),
                 jnp.asarray(history), jnp.asarray(temperature),
                 jnp.asarray(top_p), jnp.asarray(top_ks), self._step_rng(),
-                has_history)
+                has_history, **kw)
         return np.asarray(toks)
 
     def warmup(self, decode_buckets: Optional[Seq[int]] = None,
@@ -290,7 +330,8 @@ class InferenceEngine:
         tables = np.zeros((bs, self.config.cache.max_pages_per_seq), np.int32)
         f = np.ones(bs, dtype=np.float32)
         k64 = np.full(bs, 64, dtype=np.int32)
-        self._call_decode(z, tables, z, f, f, k64, span)
+        self._call_decode(z, tables, z, f, f, k64, span,
+                          adapter_ids=z if self.config.lora else None)
 
     def _run_spec_shapes(self, bs: int) -> None:
         cfg = self.config
@@ -311,7 +352,8 @@ class InferenceEngine:
         z = np.zeros(bs, dtype=np.int32)
         f = np.ones(bs, dtype=np.float32)
         k64 = np.full(bs, 64, dtype=np.int32)
-        self._call_prefill(tokens, tables, z, z, f, f, k64, has_history)
+        self._call_prefill(tokens, tables, z, z, f, f, k64, has_history,
+                           adapter_ids=z if self.config.lora else None)
 
     def _step_rng(self) -> jax.Array:
         self._rng, sub = jax.random.split(self._rng)
@@ -324,20 +366,55 @@ class InferenceEngine:
     def add_request(self, prompt: Optional[str] = None,
                     prompt_token_ids: Optional[list[int]] = None,
                     sampling: Optional[SamplingParams] = None,
-                    priority: int = 0) -> int:
+                    priority: int = 0, adapter_id: int = 0) -> int:
         if prompt_token_ids is None:
             if prompt is None:
                 raise ValueError("need prompt or prompt_token_ids")
             if self.tokenizer is None:
                 raise ValueError("no tokenizer configured; pass prompt_token_ids")
             prompt_token_ids = list(self.tokenizer.encode(prompt))
+        if adapter_id != 0 and not (
+                self.config.lora is not None
+                and 0 < adapter_id < self._lora_slots_used):
+            raise ValueError(f"adapter {adapter_id} not loaded")
         seq = Sequence(prompt_token_ids=prompt_token_ids,
                        sampling=sampling or SamplingParams(
                            max_new_tokens=self.config.default_max_new_tokens),
                        priority=priority,
+                       adapter_id=adapter_id,
                        prompt_text=prompt)
         self.scheduler.add_request(seq)
         return seq.seq_id
+
+    def load_adapter(self, adapter, slot: Optional[int] = None) -> int:
+        """Install a LoRA adapter and return its slot id.
+
+        ``adapter``: dict with per-layer stacks ``qkv_a [L, H, r]``,
+        ``qkv_b [L, r, q_dim+2*kv_dim]``, ``o_a [L, q_dim, r]``,
+        ``o_b [L, r, H]`` (torch-style per-matrix checkpoints should be
+        stacked by the caller). Slot 0 is reserved for the base model.
+        """
+        if self.config.lora is None:
+            raise ValueError("engine built without LoRAConfig")
+        if slot is None:
+            slot = self._lora_slots_used
+        if not 1 <= slot < self.config.lora.max_adapters:
+            raise ValueError(f"adapter slot {slot} out of range "
+                             f"[1, {self.config.lora.max_adapters})")
+        layers = dict(self.params["layers"])
+        for name in ("qkv_a", "qkv_b", "o_a", "o_b"):
+            key = f"lora_{name}"
+            stack = layers[key]
+            new = jnp.asarray(adapter[name], stack.dtype)
+            if new.shape != (stack.shape[0],) + stack.shape[2:]:
+                raise ValueError(
+                    f"{name}: expected {(stack.shape[0],) + stack.shape[2:]},"
+                    f" got {new.shape}")
+            layers[key] = stack.at[:, slot].set(new)
+        self.params = dict(self.params)
+        self.params["layers"] = layers
+        self._lora_slots_used = max(self._lora_slots_used, slot + 1)
+        return slot
 
     def abort_request(self, seq_id: int) -> bool:
         ok = self.scheduler.abort(seq_id)
@@ -440,6 +517,7 @@ class InferenceEngine:
         top_p = np.ones(B, dtype=np.float32)
         top_ks = np.full(B, 64, dtype=np.int32)
         tables = np.zeros((B, self.config.cache.max_pages_per_seq), np.int32)
+        adapters = np.zeros(B, dtype=np.int32)
 
         for i, seq in enumerate(seqs):
             target = self.scheduler._prefill_target(seq)
@@ -453,10 +531,12 @@ class InferenceEngine:
             top_p[i] = seq.sampling.top_p
             top_ks[i] = seq.sampling.top_k
             tables[i] = self.allocator.block_table_row(seq.seq_id)
+            adapters[i] = seq.adapter_id
 
-        next_tokens = self._call_prefill(tokens, tables, chunk_lens, history,
-                                         temperature, top_p, top_ks,
-                                         bool(history.any()))
+        next_tokens = self._call_prefill(
+            tokens, tables, chunk_lens, history, temperature, top_p, top_ks,
+            bool(history.any()),
+            adapter_ids=adapters if self.config.lora else None)
 
         self.scheduler.on_prefill_done(batch)
         produced = 0
@@ -525,6 +605,8 @@ class InferenceEngine:
             return False
         if any(s.sampling.temperature > 0.0 for s in seqs):
             return False   # greedy-only (bit-identical guarantee)
+        if any(s.adapter_id != 0 for s in seqs):
+            return False   # spec span doesn't thread adapter ids (yet)
         reserve = cfg.spec_steps * (cfg.spec_k + 1)
         max_ctx = cfg.cache.max_context
         return all(self.allocator.seq_len(s.seq_id) + reserve <= max_ctx
@@ -648,6 +730,7 @@ class InferenceEngine:
         top_p = np.ones(B, dtype=np.float32)
         top_ks = np.full(B, 64, dtype=np.int32)
         tables = np.zeros((B, self.config.cache.max_pages_per_seq), np.int32)
+        adapters = np.zeros(B, dtype=np.int32)
 
         for i, seq in enumerate(seqs):
             tokens[i] = seq.last_token_id
@@ -658,13 +741,15 @@ class InferenceEngine:
             top_p[i] = seq.sampling.top_p
             top_ks[i] = seq.sampling.top_k
             tables[i] = self.allocator.block_table_row(seq.seq_id)
+            adapters[i] = seq.adapter_id
 
         self.metrics.decode_slots_served += len(seqs)
         self.metrics.decode_slots_skipped += max(
             0, len(self.scheduler.running) - len(seqs))
 
-        span_tokens = self._call_decode(tokens, tables, context, temperature,
-                                        top_p, top_ks, span)   # [B, span]
+        span_tokens = self._call_decode(
+            tokens, tables, context, temperature, top_p, top_ks, span,
+            adapter_ids=adapters if self.config.lora else None)  # [B, span]
 
         produced = 0
         for i, seq in enumerate(seqs):

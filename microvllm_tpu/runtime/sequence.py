@@ -45,6 +45,7 @@ class Sequence:
     prompt_token_ids: list[int]
     sampling: SamplingParams = field(default_factory=SamplingParams)
     priority: int = 0    # higher = scheduled first; ties broken by age
+    adapter_id: int = 0  # LoRA adapter slot (0 = base model)
     seq_id: int = field(default_factory=lambda: next(_seq_counter))
     arrival_time: float = field(default_factory=time.monotonic)
     state: SeqState = SeqState.WAITING

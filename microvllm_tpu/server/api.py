@@ -38,6 +38,7 @@ class _PendingRequest:
     prompt_token_ids: Optional[list[int]]
     sampling: SamplingParams
     priority: int = 0
+    adapter_id: int = 0
     stream_queue: Optional[asyncio.Queue] = None   # set for streaming
     loop: Optional[asyncio.AbstractEventLoop] = None
     done: Optional[asyncio.Future] = None
@@ -106,7 +107,8 @@ class EngineServer:
                     prompt=req.prompt,
                     prompt_token_ids=req.prompt_token_ids,
                     sampling=req.sampling,
-                    priority=req.priority)
+                    priority=req.priority,
+                    adapter_id=req.adapter_id)
             except Exception as e:
                 if req.loop is not None:
                     if req.stream_queue is not None:
@@ -216,6 +218,18 @@ def _parse_priority(data: dict[str, Any]) -> int:
         raise _bad_request("priority must be an integer")
 
 
+def _parse_adapter(data: dict[str, Any]) -> int:
+    """LoRA adapter slot ("adapter": int, 0 = base). Unknown slots are
+    rejected by engine.add_request and surfaced as an error."""
+    try:
+        a = int(data.get("adapter", 0))
+    except (TypeError, ValueError):
+        raise _bad_request("adapter must be an integer")
+    if a < 0:
+        raise _bad_request("adapter must be >= 0")
+    return a
+
+
 def _parse_sampling(data: dict[str, Any], default_max: int) -> SamplingParams:
     """Validate client sampling params (the reference passes them through
     unvalidated; see ADVICE r1 — top_p<=0 and top_k<=0 silently misbehaved).
@@ -284,6 +298,7 @@ def build_app(server: EngineServer) -> web.Application:
         req = _PendingRequest(prompt=prompt, prompt_token_ids=ids,
                               sampling=_parse_sampling(data, default_max),
                               priority=_parse_priority(data),
+                              adapter_id=_parse_adapter(data),
                               loop=loop, done=loop.create_future())
         t0 = time.monotonic()
         server.submit(req)
@@ -308,15 +323,18 @@ def build_app(server: EngineServer) -> web.Application:
         loop = asyncio.get_running_loop()
         sampling = _parse_sampling(data, default_max)
         prio = _parse_priority(data)
+        adapter = _parse_adapter(data)
         reqs = []
         for item in items:
             if prompts is not None:
                 req = _PendingRequest(prompt=item, prompt_token_ids=None,
                                       sampling=sampling, priority=prio,
+                                      adapter_id=adapter,
                                       loop=loop, done=loop.create_future())
             else:
                 req = _PendingRequest(prompt=None, prompt_token_ids=item,
                                       sampling=sampling, priority=prio,
+                                      adapter_id=adapter,
                                       loop=loop, done=loop.create_future())
             server.submit(req)
             reqs.append(req)
@@ -335,6 +353,7 @@ def build_app(server: EngineServer) -> web.Application:
         req = _PendingRequest(prompt=prompt, prompt_token_ids=ids,
                               sampling=_parse_sampling(data, default_max),
                               priority=_parse_priority(data),
+                              adapter_id=_parse_adapter(data),
                               stream_queue=q, loop=loop,
                               done=loop.create_future())
         server.submit(req)
