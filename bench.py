@@ -48,7 +48,7 @@ def build_engine(model: str, bits: int, batch: int, kv_pages: int,
         scheduler=SchedulerConfig(
             max_batch_size=batch,
             decode_buckets=(batch,),
-            prefill_len_buckets=(128, 512),
+            prefill_len_buckets=(128, 256, 512),
             prefill_batch_buckets=(1, batch) if batch > 1 else (1,),
             prefill_wait_s=0.0,
             decode_spans=(span,)),
