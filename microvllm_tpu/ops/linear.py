@@ -95,10 +95,19 @@ def _a8_fusion_ok(*ws) -> bool:
 
     if not use_pallas():
         return False
-    if os.environ.get("MVT_QMM", "auto") not in ("auto", "a8"):
+    mode = os.environ.get("MVT_QMM", "auto")
+    if mode not in ("auto", "a8"):
         return False
-    return all(isinstance(w, QuantizedTensor) and w.scales_tiled is not None
-               for w in ws)
+    if not all(isinstance(w, QuantizedTensor) and w.scales_tiled is not None
+               for w in ws):
+        return False
+    # Match _quant_linear's auto policy: int8 weights stay on the exact
+    # bf16-dequant kernel (93% of roofline) unless the user explicitly opts
+    # into W8A8 via MVT_QMM=a8 — otherwise int8 models would get mixed
+    # numerics (activation-quant error on fused ops only).
+    if mode == "auto" and any(w.bits != 4 for w in ws):
+        return False
+    return True
 
 
 def fused_mlp_block(attn_out: jnp.ndarray, hid: jnp.ndarray, norm_w, eps,

@@ -673,13 +673,13 @@ class InferenceEngine:
                 for j in range(cnt):
                     self._apply_token(seq, int(emitted[t, i, j]))
                     produced += 1
+                    applied += 1
                     if seq.is_finished:
                         break
-                applied += cnt
                 if seq.is_finished:
                     break
             self.metrics.spec_rounds += t + 1
-            self.metrics.spec_drafts_accepted += applied - (t + 1)
+            self.metrics.spec_drafts_accepted += max(0, applied - (t + 1))
             if not seq.is_finished:
                 # drop the unused reservation + any rejected-slot tail
                 self.allocator.truncate(seq.seq_id,

@@ -200,6 +200,19 @@ class _IncrementalDetokenizer:
             return delta
         return ""
 
+    def flush(self) -> str:
+        """Emit whatever is still buffered (generation ended while the tail
+        decoded to U+FFFD — a truncated multi-byte sequence). Without this
+        the final tokens' text would be silently dropped (ADVICE r2)."""
+        if self._read >= len(self._ids):
+            return ""
+        prev = self._tok.decode(self._ids[self._prefix:self._read],
+                                skip_special_tokens=True)
+        full = self._tok.decode(self._ids[self._prefix:],
+                                skip_special_tokens=True)
+        self._read = len(self._ids)
+        return full[len(prev):]
+
 
 def _bad_request(msg: str) -> web.HTTPBadRequest:
     return web.HTTPBadRequest(text=json.dumps({"error": msg}),
@@ -382,6 +395,8 @@ def build_app(server: EngineServer) -> web.Application:
                                            "finished": finished}
                 if detok is not None:
                     payload["token"] = detok.push(token_id)
+                    if finished:
+                        payload["token"] += detok.flush()
                 await resp.write(
                     f"data: {json.dumps(payload)}\n\n".encode())
                 if finished:
