@@ -83,13 +83,17 @@ def init_params(cfg: ModelConfig, key: jax.Array,
         del full
         return qt
 
-    # When quantized and single-rank, fuse QKV and gate|up column-wise: one
-    # Pallas launch instead of three/two per layer (launch overhead is
-    # material at decode batch sizes). Group-wise quantization is
-    # per-column, so quantize(concat) == concat(quantize): the fused model
-    # is bit-identical to the unfused one. TP keeps them separate — a fused
-    # column shard would interleave q/k/v slices across ranks.
-    fuse = quant_bits is not None and quant_tp == 1
+    # When quantized, fuse QKV and gate|up column-wise: one Pallas launch
+    # instead of three/two per layer (launch overhead is material at decode
+    # batch sizes). Group-wise quantization is per-column, so
+    # quantize(concat) == concat(quantize): the fused model is bit-identical
+    # to the unfused one. Under TP the concat is rank-interleaved
+    # (`ops/quant.py::interleave_columns`) so each rank's contiguous column
+    # shard is its own fused (q_r|k_r|v_r) / (gate_r|up_r) block and the
+    # same fused a8 kernels run inside shard_map as on a single chip.
+    tp_fusable = (q_dim % quant_tp == 0 and kv_dim % quant_tp == 0
+                  and inter % quant_tp == 0)
+    fuse = quant_bits is not None and tp_fusable
     layers: Params = {
         "attn_norm": jnp.ones((L, h), dtype),
         "mlp_norm": jnp.ones((L, h), dtype),
@@ -97,23 +101,25 @@ def init_params(cfg: ModelConfig, key: jax.Array,
         "w_down": wq_(keys[6], (L, inter, h), inter),
     }
     if fuse:
-        from ..ops.quant import quantize
+        from ..ops.quant import interleave_columns, quantize
 
         def quant_stack(full):
+            # column-parallel: contraction dim (h) is replicated under TP,
+            # so keep the full-K-optimal block_k (tp=1)
             qt = jax.lax.map(
-                lambda x: quantize(x, quant_bits, quant_group_size,
-                                   quant_tp), full)
+                lambda x: quantize(x, quant_bits, quant_group_size, 1),
+                full)
             jax.block_until_ready(qt.q)
             return qt
 
-        qkv_f = jnp.concatenate(
+        qkv_f = interleave_columns(
             [w(keys[0], (L, h, q_dim), h), w(keys[1], (L, h, kv_dim), h),
-             w(keys[2], (L, h, kv_dim), h)], axis=-1)
+             w(keys[2], (L, h, kv_dim), h)], quant_tp)
         layers["wqkv"] = quant_stack(qkv_f)
         del qkv_f
-        gu_f = jnp.concatenate(
+        gu_f = interleave_columns(
             [w(keys[4], (L, h, inter), h), w(keys[5], (L, h, inter), h)],
-            axis=-1)
+            quant_tp)
         layers["w_gate_up"] = quant_stack(gu_f)
         del gu_f
     else:
@@ -303,10 +309,12 @@ def decode_step(cfg: ModelConfig, params: Params,
         w = _weight_getter(lp, stacked)
 
         # norm + activation-quantization fused into the a8 qkv kernel when
-        # available (single-rank quantized path); else the classic chain
+        # available; else the classic chain. Under TP the fused weights are
+        # rank-interleaved shards, so the same kernels run per rank (see
+        # `ops/quant.py::interleave_columns`).
         from ..ops.linear import fused_mlp_block, quant_linear_normed
         qkv = None
-        if tp_axis is None and w("wqkv") is not None:
+        if w("wqkv") is not None:
             qkv = quant_linear_normed(hid, w("wqkv"), lp["attn_norm"],
                                       cfg.rms_norm_eps, l,
                                       bias=lp.get("bqkv"))
@@ -342,23 +350,21 @@ def decode_step(cfg: ModelConfig, params: Params,
             kc, vc, block_tables, context_lens, l, scale, ks, vs)
         attn = attn[..., : cfg.head_dim]
         attn_flat = attn.reshape(B, q_dim)
-        attn_out = None
-        if tp_axis is None:
-            attn_out = quant_linear_normed(attn_flat, w("wo"), None,
-                                           cfg.rms_norm_eps, l)
+        # o-proj is row-parallel: fused a8 kernel on the per-rank K shard,
+        # psum after (the reference's NCCL all_reduce, model_graph.py:211)
+        attn_out = quant_linear_normed(attn_flat, w("wo"), None,
+                                       cfg.rms_norm_eps, l)
         if attn_out is None:
-            attn_out = _maybe_psum(linear(attn_flat, w("wo"), layer=l),
-                                   tp_axis)
+            attn_out = linear(attn_flat, w("wo"), layer=l)
+        attn_out = _maybe_psum(attn_out, tp_axis)
         if adapter_ids is not None and "lora_o_a" in lp:
             attn_out = attn_out + lora_delta(
                 attn_flat, lp["lora_o_a"], lp["lora_o_b"], adapter_ids,
                 lora_scaling)
 
-        new_hid = None
-        if tp_axis is None:
-            new_hid = fused_mlp_block(attn_out, hid, lp["mlp_norm"],
-                                      cfg.rms_norm_eps, w("w_gate_up"),
-                                      w("w_down"), l)
+        new_hid = fused_mlp_block(attn_out, hid, lp["mlp_norm"],
+                                  cfg.rms_norm_eps, w("w_gate_up"),
+                                  w("w_down"), l, tp_axis=tp_axis)
         if new_hid is None:
             normed2, resid = rmsnorm_residual(attn_out, hid, lp["mlp_norm"],
                                               cfg.rms_norm_eps)
@@ -373,15 +379,20 @@ def decode_step(cfg: ModelConfig, params: Params,
         _layer_xs(params, cfg))
 
     logits = None
-    if tp_axis is None and params.get("lm_head") is not None:
-        # single-rank quantized path: final rmsnorm + activation quant fused
-        # into the a8 lm_head kernel (the biggest single non-layer cost)
+    if params.get("lm_head") is not None:
+        # quantized path: final rmsnorm + activation quant fused into the
+        # a8 lm_head kernel (the biggest single non-layer cost). Under TP
+        # the lm_head is vocab-sharded; gather local logits so every rank
+        # samples identically.
         from ..ops.linear import quant_linear_normed
         logits = quant_linear_normed(h, params["lm_head"],
                                      params["final_norm"], cfg.rms_norm_eps,
                                      None)
         if logits is not None:
             logits = logits.astype(jnp.float32)
+            if tp_axis is not None:
+                logits = jax.lax.all_gather(logits, tp_axis, axis=-1,
+                                            tiled=True)
     if logits is None:
         h = rmsnorm(h, params["final_norm"], cfg.rms_norm_eps)
         logits = _lm_logits(params, h, tp_axis)
@@ -574,7 +585,7 @@ def prefill_step(cfg: ModelConfig, params: Params,
         # launches and big chunks keep the MXU-bound wide-matmul path.
         from ..ops.linear import fused_mlp_block, quant_linear_normed
         qkv = None
-        if tp_axis is None and w("wqkv") is not None:
+        if w("wqkv") is not None:
             qkv = quant_linear_normed(hid, w("wqkv"), lp["attn_norm"],
                                       cfg.rms_norm_eps, l,
                                       bias=lp.get("bqkv"))
@@ -627,22 +638,18 @@ def prefill_step(cfg: ModelConfig, params: Params,
         kc, vc, ks, vs = store_chunk(kc, vc, ks, vs, l, k, v)
 
         attn_flat = attn.reshape(B, S, q_dim)
-        attn_out = None
-        if tp_axis is None:
-            attn_out = quant_linear_normed(attn_flat, w("wo"), None,
-                                           cfg.rms_norm_eps, l)
+        attn_out = quant_linear_normed(attn_flat, w("wo"), None,
+                                       cfg.rms_norm_eps, l)
         if attn_out is None:
-            attn_out = _maybe_psum(linear(attn_flat, w("wo"), layer=l),
-                                   tp_axis)
+            attn_out = linear(attn_flat, w("wo"), layer=l)
+        attn_out = _maybe_psum(attn_out, tp_axis)
         if adapter_ids is not None and "lora_o_a" in lp:
             attn_out = attn_out + lora_delta(
                 attn_flat, lp["lora_o_a"], lp["lora_o_b"], adapter_ids,
                 lora_scaling)
-        new_hid = None
-        if tp_axis is None:
-            new_hid = fused_mlp_block(attn_out, hid, lp["mlp_norm"],
-                                      cfg.rms_norm_eps, w("w_gate_up"),
-                                      w("w_down"), l)
+        new_hid = fused_mlp_block(attn_out, hid, lp["mlp_norm"],
+                                  cfg.rms_norm_eps, w("w_gate_up"),
+                                  w("w_down"), l, tp_axis=tp_axis)
         if new_hid is None:
             normed2, resid = rmsnorm_residual(attn_out, hid, lp["mlp_norm"],
                                               cfg.rms_norm_eps)
@@ -659,12 +666,18 @@ def prefill_step(cfg: ModelConfig, params: Params,
     from ..ops.linear import quant_linear_normed as _qln
 
     def _fused_logits(hh):
-        """Final rmsnorm + a8 lm_head in one launch (None -> fall back)."""
-        if tp_axis is not None or params.get("lm_head") is None:
+        """Final rmsnorm + a8 lm_head in one launch (None -> fall back).
+        Under TP the lm_head is vocab-sharded; local logits are gathered."""
+        if params.get("lm_head") is None:
             return None
         y = _qln(hh, params["lm_head"], params["final_norm"],
                  cfg.rms_norm_eps, None)
-        return None if y is None else y.astype(jnp.float32)
+        if y is None:
+            return None
+        y = y.astype(jnp.float32)
+        if tp_axis is not None:
+            y = jax.lax.all_gather(y, tp_axis, axis=-1, tiled=True)
+        return y
 
     if all_greedy:
         # Per-position argmax (speculative verification): the [B, S, V]

@@ -111,11 +111,17 @@ def _a8_fusion_ok(*ws) -> bool:
 
 
 def fused_mlp_block(attn_out: jnp.ndarray, hid: jnp.ndarray, norm_w, eps,
-                    w_gu, w_dn, layer) -> jnp.ndarray | None:
+                    w_gu, w_dn, layer,
+                    tp_axis: str | None = None) -> jnp.ndarray | None:
     """One-kernel post-attention half of a decoder layer: residual add +
     rmsnorm + gate_up + SwiGLU + down + residual add
     (`ops/pallas/fused_mlp.py::fused_mlp_block`); returns None when not
-    applicable and the caller falls back to separate projections."""
+    applicable and the caller falls back to separate projections.
+
+    Inside shard_map (``tp_axis`` set) the weights are per-rank shards
+    (gate_up column-parallel, down row-parallel — rank-interleaved fusion,
+    see `ops/quant.py::interleave_columns`); the kernel emits the down
+    partial, which is psummed across ranks before the residual add."""
     import os
 
     if os.environ.get("MVT_FUSED_MLP", "1") == "0":
@@ -144,8 +150,19 @@ def fused_mlp_block(attn_out: jnp.ndarray, hid: jnp.ndarray, norm_w, eps,
     y = _kernel(attn_out.reshape(rows, K), hid.reshape(rows, K),
                 norm_w, w_gu.q, w_gu.scales_tiled, w_dn.q,
                 w_dn.scales_tiled, layer, group_size=gs, bits=w_gu.bits,
-                tile_i=tile, eps=float(eps), out_dtype=attn_out.dtype)
-    return y.reshape(*lead, w_dn.out_dim)
+                tile_i=tile, eps=float(eps),
+                out_dtype=(attn_out.dtype if tp_axis is None
+                           else jnp.float32),
+                add_residual=tp_axis is None)
+    y = y.reshape(*lead, w_dn.out_dim)
+    if tp_axis is None:
+        return y
+    import jax
+
+    # partial stays f32 through the psum (precision + deterministic sum),
+    # residual added after the cross-rank reduction
+    return (attn_out + hid
+            + jax.lax.psum(y, tp_axis).astype(attn_out.dtype))
 
 
 def quant_linear_normed(x: jnp.ndarray, w, norm_w, eps, layer,

@@ -119,11 +119,18 @@ def _fused_mlp_resid_kernel(layer_ref, attn_ref, hid_ref, nw_ref, qg_ref,
                             qu_ref, sg_ref, su_ref, qd_ref, sd_ref, o_ref,
                             acc_ref, xq_scr, xs_scr, *, group_size: int,
                             bits: int, K: int, TI: int, H: int,
-                            n_tiles: int, eps: float):
+                            n_tiles: int, eps: float,
+                            add_residual: bool = True):
     """Full MLP block in one kernel: the first grid step computes
     ``resid = attn_out + hid``, rmsnorms it, and int8-quantizes into
     scratch; the last step emits ``resid + mlp`` — the whole
-    post-attention half of a decoder layer is one launch."""
+    post-attention half of a decoder layer is one launch.
+
+    ``add_residual=False`` emits just the down-projection output (still
+    normed over the replicated resid): under tensor parallelism the down
+    matmul is row-parallel, so the caller must psum the partial across
+    ranks BEFORE adding the residual (`ops/linear.py::fused_mlp_block`).
+    """
     i = pl.program_id(0)
     gs = group_size
     G_k = K // gs
@@ -179,15 +186,18 @@ def _fused_mlp_resid_kernel(layer_ref, attn_ref, hid_ref, nw_ref, qg_ref,
 
     @pl.when(i == n_tiles - 1)
     def _():
-        resid = (attn_ref[...].astype(jnp.float32)
-                 + hid_ref[...].astype(jnp.float32))
-        o_ref[...] = (resid + acc_ref[...]).astype(o_ref.dtype)
+        if add_residual:
+            resid = (attn_ref[...].astype(jnp.float32)
+                     + hid_ref[...].astype(jnp.float32))
+            o_ref[...] = (resid + acc_ref[...]).astype(o_ref.dtype)
+        else:
+            o_ref[...] = acc_ref[...].astype(o_ref.dtype)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("group_size", "bits", "tile_i", "eps", "out_dtype",
-                     "interpret"))
+                     "add_residual", "interpret"))
 def fused_mlp_block(
     attn_out: jnp.ndarray,       # [M, H] bf16 (o-proj output)
     hid: jnp.ndarray,            # [M, H] bf16 (layer input / residual)
@@ -203,10 +213,13 @@ def fused_mlp_block(
     tile_i: int = 512,
     eps: float = 1e-6,
     out_dtype=jnp.bfloat16,
+    add_residual: bool = True,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """``resid + swiglu_mlp(rmsnorm(resid))`` where ``resid = attn_out +
-    hid`` — one launch for the entire post-attention half of the layer."""
+    hid`` — one launch for the entire post-attention half of the layer.
+    With ``add_residual=False`` returns only the down-matmul output (a
+    per-rank partial under row-parallel TP; psum then add resid outside)."""
     M, K = attn_out.shape
     L, _, two_i = q_gu.shape
     I = two_i // 2
@@ -254,7 +267,7 @@ def fused_mlp_block(
 
     kernel = functools.partial(
         _fused_mlp_resid_kernel, group_size=group_size, bits=bits, K=K,
-        TI=TI, H=H, n_tiles=n_tiles, eps=eps)
+        TI=TI, H=H, n_tiles=n_tiles, eps=eps, add_residual=add_residual)
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,

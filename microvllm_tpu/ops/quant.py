@@ -72,6 +72,29 @@ def default_block_k(K: int, group_size: int, tp: int = 1) -> int:
     return best
 
 
+def interleave_columns(ws: list, tp: int) -> jnp.ndarray:
+    """Rank-major fused column concat for tensor parallelism.
+
+    Output column order is ``[rank0's slice of each w | rank1's | ...]`` so
+    a contiguous column shard over ``tp`` ranks hands rank r exactly
+    ``(w0_r | w1_r | ...)`` — a per-rank fused weight with the same local
+    layout as the single-rank fusion. This is what lets the fused-QKV /
+    fused-gate|up a8 kernels run unchanged inside shard_map: the kernels
+    and the model's local-dim slicing never see the global interleaving.
+    Group-wise quantization is per-column, so quantize(interleave) ==
+    interleave(quantize): bit-identical to quantizing each piece alone.
+    """
+    if tp == 1:
+        return jnp.concatenate(ws, axis=-1)
+    parts = []
+    for r in range(tp):
+        for w in ws:
+            n = w.shape[-1]
+            assert n % tp == 0, (n, tp)
+            parts.append(w[..., r * (n // tp):(r + 1) * (n // tp)])
+    return jnp.concatenate(parts, axis=-1)
+
+
 @jax.tree_util.register_pytree_node_class
 @dataclass
 class QuantizedTensor:
@@ -176,36 +199,48 @@ def quantize_params(params, bits: int, group_size: int = 128, tp: int = 1,
     are quantized.
     """
 
-    def _quant_layer_stack(w):
+    # Row-parallel weights (contraction dim sharded under TP) need a
+    # block_k that divides the per-rank K shard; column-parallel weights
+    # keep the full-K-optimal tile (their contraction dim is replicated).
+    _ROW_PARALLEL = {"wo", "w_down"}
+
+    def _quant_layer_stack(w, w_tp):
         # layer-stacked weights are [L, in, out]; lax.map processes one layer
         # at a time so the fp32 intermediate stays per-layer sized (vmap
         # would materialize the whole stack in fp32 — OOM at 7B scale).
-        return jax.lax.map(lambda x: quantize(x, bits, group_size, tp), w)
+        return jax.lax.map(lambda x: quantize(x, bits, group_size, w_tp), w)
 
     out = dict(params)
     layers = dict(params["layers"])
 
-    # Fuse QKV / gate|up column-wise when single-rank (fewer kernel
-    # launches; per-column group quantization makes this bit-identical to
-    # quantizing separately).
-    fuse = (tp == 1) if fuse is None else fuse
+    # Fuse QKV / gate|up column-wise (fewer kernel launches; per-column
+    # group quantization makes this bit-identical to quantizing
+    # separately). Under TP the concat is rank-interleaved
+    # (`interleave_columns`) so each rank's contiguous column shard is its
+    # own fused (q_r|k_r|v_r) / (gate_r|up_r) block — the fused a8 kernels
+    # run unchanged inside shard_map.
+    fuse = True if fuse is None else fuse
+
+    def _tp_ok(*names):
+        return all(layers[n].shape[-1] % tp == 0 for n in names)
+
     if fuse and all(isinstance(layers.get(n), jnp.ndarray)
-                    for n in ("wq", "wk", "wv")):
-        layers["wqkv"] = jnp.concatenate(
-            [layers.pop("wq"), layers.pop("wk"), layers.pop("wv")], axis=-1)
+                    for n in ("wq", "wk", "wv")) and _tp_ok("wq", "wk", "wv"):
+        layers["wqkv"] = interleave_columns(
+            [layers.pop("wq"), layers.pop("wk"), layers.pop("wv")], tp)
         if "bq" in layers:
-            layers["bqkv"] = jnp.concatenate(
-                [layers.pop("bq"), layers.pop("bk"), layers.pop("bv")],
-                axis=-1)
+            layers["bqkv"] = interleave_columns(
+                [layers.pop("bq"), layers.pop("bk"), layers.pop("bv")], tp)
     if fuse and all(isinstance(layers.get(n), jnp.ndarray)
-                    for n in ("w_gate", "w_up")):
-        layers["w_gate_up"] = jnp.concatenate(
-            [layers.pop("w_gate"), layers.pop("w_up")], axis=-1)
+                    for n in ("w_gate", "w_up")) and _tp_ok("w_gate", "w_up"):
+        layers["w_gate_up"] = interleave_columns(
+            [layers.pop("w_gate"), layers.pop("w_up")], tp)
 
     for name in ("wqkv", "w_gate_up", "wq", "wk", "wv", "wo", "w_gate",
                  "w_up", "w_down"):
         if name in layers and isinstance(layers[name], jnp.ndarray):
-            layers[name] = _quant_layer_stack(layers[name])
+            layers[name] = _quant_layer_stack(
+                layers[name], tp if name in _ROW_PARALLEL else 1)
     out["layers"] = layers
     if isinstance(out.get("lm_head"), jnp.ndarray) and out["lm_head"] is not None:
         out["lm_head"] = quantize(out["lm_head"], bits, group_size)

@@ -43,8 +43,10 @@ _LAYER_SPECS: dict[str, P] = {
 
 
 _ROW_PARALLEL = {"wo", "w_down"}          # contraction (in) dim sharded
-# fused wqkv/w_gate_up only exist at tp==1 (model axis size 1), where the
-# column spec is a no-op placement
+# fused wqkv/w_gate_up are quantized with rank-INTERLEAVED columns
+# (`ops/quant.py::interleave_columns`): the contiguous column shard this
+# spec produces is, per rank, exactly its own fused (q_r|k_r|v_r) /
+# (gate_r|up_r) block — the fused a8 kernels run unchanged inside shard_map
 _COLUMN_PARALLEL = {"wq", "wk", "wv", "w_gate", "w_up", "wqkv", "w_gate_up"}
 
 

@@ -118,6 +118,126 @@ def test_sharded_engine_int8_kv_and_int8_weights():
     assert qo == ro
 
 
+class _KernelCounter:
+    """Wraps the Pallas a8 kernel entry points with trace-time counters
+    (+ interpret=True so they execute on CPU). lax.scan traces the layer
+    body once, so each hot call site registers exactly once per trace."""
+
+    def __init__(self, monkeypatch):
+        import functools
+
+        import importlib
+
+        # ops/__init__ re-exports the `linear` FUNCTION, shadowing the
+        # submodule on attribute access — go through importlib
+        linear_mod = importlib.import_module("microvllm_tpu.ops.linear")
+        from microvllm_tpu.ops.pallas import fused_mlp as fm
+        from microvllm_tpu.ops.pallas import quant_matmul as qm
+        from microvllm_tpu.ops.quant import QuantizedTensor
+
+        self.calls: list[str] = []
+
+        def wrap(mod, name, tag):
+            orig = getattr(mod, name)
+
+            def wrapper(*a, **kw):
+                self.calls.append(tag)
+                kw["interpret"] = True
+                return orig(*a, **kw)
+
+            monkeypatch.setattr(mod, name, wrapper)
+
+        wrap(qm, "quant_matmul_stacked_a8_fused", "a8_normed")
+        wrap(qm, "quant_matmul_stacked_a8", "a8")
+        wrap(fm, "fused_mlp_block", "fused_mlp")
+
+        # bypass the use_pallas() backend check only — keep the real
+        # shape/layout eligibility logic in the callers
+        monkeypatch.setattr(
+            linear_mod, "_a8_fusion_ok",
+            lambda *ws: all(isinstance(w, QuantizedTensor)
+                            and w.scales_tiled is not None and w.bits == 4
+                            for w in ws))
+
+
+def _kernel_test_cfg():
+    return ModelConfig.tiny(num_heads=4, num_kv_heads=2, head_dim=64,
+                            hidden_size=256, intermediate_size=512,
+                            vocab_size=512, num_layers=2,
+                            tie_word_embeddings=False)
+
+
+def _decode_inputs(mcfg, cache, B=4):
+    rng = np.random.default_rng(0)
+    tokens = jnp.asarray(rng.integers(1, mcfg.vocab_size, size=B),
+                         jnp.int32)
+    tables = jnp.asarray(
+        np.arange(1, 1 + B * cache.max_pages_per_seq)
+        .reshape(B, cache.max_pages_per_seq), jnp.int32)
+    ctx = jnp.full((B,), 5, jnp.int32)
+    return tokens, tables, ctx
+
+
+def test_tp_path_runs_fused_a8_kernel_set(monkeypatch):
+    """VERDICT r2 #1: the sharded (TP) decode must execute the SAME fused
+    W4A8 kernel sequence as single-rank — fused qkv (norm+quant prologue),
+    fused o-proj, one-launch MLP block, fused lm_head — and produce
+    matching logits (rank-interleaved fused weights + psum placement)."""
+    from jax.sharding import PartitionSpec as P
+
+    from microvllm_tpu.models import transformer as T
+    from microvllm_tpu.parallel.mesh import MODEL_AXIS
+    from microvllm_tpu.parallel.sharding import cache_spec
+
+    mcfg = _kernel_test_cfg()
+    cache = CacheConfig(num_pages=64, page_size=16, max_pages_per_seq=4)
+    tp = 2
+
+    base = T.init_params(mcfg, jax.random.PRNGKey(1))
+    from microvllm_tpu.ops.quant import quantize_params
+    p_single = quantize_params(base, 4, 128, tp=1)
+    p_tp = quantize_params(base, 4, 128, tp=tp)
+
+    kc, vc = T.init_kv_cache(mcfg, cache)
+    tokens, tables, ctx = _decode_inputs(mcfg, cache)
+
+    counter = _KernelCounter(monkeypatch)
+    logits_ref, _, _ = jax.jit(
+        lambda p, k, v: T.decode_step(mcfg, p, k, v, tokens, tables, ctx)
+    )(p_single, kc, vc)
+    single_calls = list(counter.calls)
+    assert single_calls == ["a8_normed", "a8_normed", "fused_mlp",
+                            "a8_normed"], single_calls
+
+    mesh = make_mesh(ParallelConfig(tp_size=tp, dp_size=1))
+    pspecs = param_specs(p_tp)
+    cspec = cache_spec(mcfg, tp)
+
+    def local_step(p, k, v):
+        return T.decode_step(mcfg, p, k, v, tokens, tables, ctx,
+                             tp_axis=MODEL_AXIS, tp_size=tp)
+
+    counter.calls.clear()
+    sharded = jax.jit(jax.shard_map(
+        local_step, mesh=mesh,
+        in_specs=(pspecs, cspec, cspec),
+        out_specs=(P(), cspec, cspec), check_vma=False))
+    logits_tp, _, _ = sharded(p_tp, kc, vc)
+    assert list(counter.calls) == single_calls, (
+        "TP path dispatched a different kernel set: "
+        f"{counter.calls} vs {single_calls}")
+
+    # numerics: same fused kernels on rank-interleaved shards + f32 psum.
+    # Not bit-exact vs single-rank — the fused MLP re-quantizes its
+    # intermediate per (row, TI-tile) and the per-rank tile (I/tp) is finer
+    # than the single-rank one, a genuine (slightly tighter) grouping
+    # change. Greedy tokens must still agree.
+    np.testing.assert_allclose(np.asarray(logits_tp),
+                               np.asarray(logits_ref), rtol=0.25, atol=0.25)
+    assert (np.argmax(np.asarray(logits_tp), -1)
+            == np.argmax(np.asarray(logits_ref), -1)).all()
+
+
 def test_sharded_engine_with_quantized_weights():
     from microvllm_tpu.config import QuantConfig
     prompts = [[1, 2, 3, 4], [9, 8, 7]]
