@@ -267,6 +267,13 @@ class SchedulerConfig:
     # amortize the host round-trip across the whole batch.
     stream_span_cap: Optional[int] = None
     stream_span_uncap_at: int = 8
+    # Chunked-prefill fairness: at most this many consecutive prefill steps
+    # before a decode step is interposed when sequences are RUNNING. Bounds
+    # the inter-token gap running streams see while a long prompt is being
+    # chunk-prefilled (the reference interleaves naturally per step because
+    # it has no chunking, `core/scheduler.py:67-94`; vLLM bounds this with
+    # mixed prefill/decode batches). 0 = never interleave (r2 behavior).
+    prefill_interleave: int = 2
 
 
 @dataclass(frozen=True)

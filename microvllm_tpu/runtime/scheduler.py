@@ -56,6 +56,7 @@ class Scheduler:
         self.running: list[Sequence] = []
         self.finished: dict[int, Sequence] = {}
         self._rr_offsets: dict[int, int] = {}  # per-priority decode rotation
+        self._consecutive_prefills = 0  # for prefill/decode interleaving
 
     # -- admission --------------------------------------------------------
 
@@ -121,9 +122,22 @@ class Scheduler:
     def get_next_batch(self, now: Optional[float] = None) -> Optional[ScheduledBatch]:
         now = time.monotonic() if now is None else now
 
-        # 1. Sequences mid-chunked-prefill always continue first (their pages
-        #    are already committed; finishing them frees scheduler pressure).
+        # 0. Fairness: if we have issued `prefill_interleave` prefill steps
+        #    in a row while sequences were decoding, interpose one decode
+        #    step so running streams keep emitting during a long prompt's
+        #    chunked admission (head-of-line fix; a 3800-token prompt is
+        #    8 x 512-token chunks at ~60 ms each otherwise).
+        interleave = self.cfg.prefill_interleave
+        if (interleave and self.running
+                and self._consecutive_prefills >= interleave
+                and (self.prefilling or self.waiting)):
+            self._consecutive_prefills = 0
+            return self._form_decode_batch()
+
+        # 1. Sequences mid-chunked-prefill continue first (their pages are
+        #    already committed; finishing them frees scheduler pressure).
         if self.prefilling:
+            self._consecutive_prefills += 1
             return self._continue_prefill()
 
         # 2. Admit waiting sequences if the batch-forming window expired or
@@ -134,9 +148,11 @@ class Scheduler:
             if enough or oldest_wait >= self.cfg.prefill_wait_s or not self.running:
                 batch = self._form_prefill_batch()
                 if batch is not None:
+                    self._consecutive_prefills += 1
                     return batch
 
         # 3. Decode everything running.
+        self._consecutive_prefills = 0
         if self.running:
             return self._form_decode_batch()
         return None
@@ -191,7 +207,14 @@ class Scheduler:
         admissible = [s for s in window if pages_for(s) <= page_budget]
         if not admissible:
             return None
-        lead = min(admissible, key=lambda s: self._chunk_len_for(s))
+        # Priority-aware admission: higher-priority requests in the window
+        # jump the FIFO queue (stable sort keeps arrival order within a
+        # class). Lead choice is shortest-job-first WITHIN the top priority
+        # class present (reference behavior: shortest bucket first).
+        admissible.sort(key=lambda s: -s.priority)
+        top_pr = admissible[0].priority
+        lead = min((s for s in admissible if s.priority == top_pr),
+                   key=lambda s: self._chunk_len_for(s))
         bucket = pick_bucket(self._chunk_len_for(lead), self.cfg.prefill_len_buckets)
 
         seqs: list[Sequence] = []

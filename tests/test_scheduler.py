@@ -153,3 +153,84 @@ def test_mark_finished_removes_from_running():
     s.mark_finished(q)
     assert s.get_next_batch() is None
     assert s.pop_finished() == [q]
+
+
+def test_chunked_prefill_interleaves_decode():
+    """Head-of-line fix (r2 VERDICT weak #3): while a long prompt is being
+    chunk-prefilled, running streams must still get decode steps — at most
+    `prefill_interleave` consecutive prefill steps between decodes."""
+    s = make_sched(prefill_interleave=2)
+    # One stream already decoding.
+    runner = seq()
+    runner.state = SeqState.RUNNING
+    s.running.append(runner)
+    # A long prompt: 120 tokens over 16/32/64 buckets -> >= 2 chunks.
+    s2 = Scheduler(s.cfg, max_model_len=4096)
+    s2.running.append(runner)
+    long = Sequence(prompt_token_ids=list(range(500)),
+                    sampling=SamplingParams())
+    s2.add_request(long)
+    kinds = []
+    for _ in range(24):
+        b = s2.get_next_batch(now=1e9)   # window always expired
+        if b is None:
+            break
+        kinds.append(b.kind)
+        if b.kind == "prefill":
+            s2.on_prefill_done(b)
+        if long.state == SeqState.RUNNING:
+            break
+    assert "decode" in kinds, kinds
+    # Max consecutive-prefill run is bounded by the knob.
+    run = best = 0
+    for k in kinds:
+        run = run + 1 if k == "prefill" else 0
+        best = max(best, run)
+    assert best <= 2, kinds
+    # And prefill still completes.
+    assert long.num_prefilled >= 500 or long.state == SeqState.RUNNING
+
+
+def test_prefill_interleave_zero_keeps_r2_behavior():
+    s = make_sched(prefill_interleave=0)
+    runner = seq()
+    runner.state = SeqState.RUNNING
+    s2 = Scheduler(s.cfg, max_model_len=4096)
+    s2.running.append(runner)
+    long = Sequence(prompt_token_ids=list(range(500)),
+                    sampling=SamplingParams())
+    s2.add_request(long)
+    kinds = []
+    while long.state != SeqState.RUNNING:
+        b = s2.get_next_batch(now=1e9)
+        kinds.append(b.kind)
+        if b.kind == "prefill":
+            s2.on_prefill_done(b)
+        else:
+            break
+    assert all(k == "prefill" for k in kinds), kinds
+
+
+def test_priority_admission_jumps_fifo():
+    """r2 VERDICT weak #7: a high-priority request behind queued low-priority
+    prompts must be admitted ahead of its FIFO turn."""
+    s = make_sched()
+    lows = [seq(40) for _ in range(4)]       # fill the admission window
+    for q in lows:
+        s.add_request(q)
+    hi = Sequence(prompt_token_ids=list(range(40)),
+                  sampling=SamplingParams(), priority=10)
+    s.add_request(hi)
+    b = s.get_next_batch(now=1e9)
+    assert b.kind == "prefill"
+    assert hi in b.seqs, [q.seq_id for q in b.seqs]
+
+
+def test_priority_admission_fifo_within_class():
+    s = make_sched()
+    a, b_, c = seq(40), seq(40), seq(40)
+    for q in (a, b_, c):
+        s.add_request(q)
+    batch = s.get_next_batch(now=1e9)
+    # same priority: strict arrival order preserved
+    assert batch.seqs[0] is a
