@@ -393,6 +393,10 @@ class InferenceEngine:
         ``qkv_b [L, r, q_dim+2*kv_dim]``, ``o_a [L, q_dim, r]``,
         ``o_b [L, r, H]`` (torch-style per-matrix checkpoints should be
         stacked by the caller). Slot 0 is reserved for the base model.
+
+        Threading: rebuilds ``self.params`` — call only from the thread
+        that runs ``step()``. Servers must queue installs onto the engine
+        thread (``EngineServer.load_adapter`` does; same pattern as aborts).
         """
         if self.config.lora is None:
             raise ValueError("engine built without LoRAConfig")

@@ -53,6 +53,7 @@ class EngineServer:
         self.engine = engine
         self._pending: list[_PendingRequest] = []
         self._aborts: list[int] = []
+        self._adapter_loads: list[tuple[dict, Optional[int], Any]] = []
         self._lock = threading.Lock()
         self._wake = threading.Event()
         self._stop = False
@@ -89,12 +90,34 @@ class EngineServer:
             self._aborts.append(seq_id)
         self._wake.set()
 
+    def load_adapter(self, adapter: dict, slot: Optional[int] = None):
+        """Queue a LoRA adapter install; applied on the engine thread.
+
+        engine.load_adapter rebuilds `engine.params` — doing that from the
+        asyncio thread races a concurrent step() holding the old tree (the
+        same class of race the abort queue exists for). Returns a
+        concurrent.futures.Future resolving to the slot id (await it from
+        asyncio with `asyncio.wrap_future`).
+        """
+        import concurrent.futures
+        fut: "concurrent.futures.Future[int]" = concurrent.futures.Future()
+        with self._lock:
+            self._adapter_loads.append((adapter, slot, fut))
+        self._wake.set()
+        return fut
+
     # -- engine thread -----------------------------------------------------
 
     def _admit_pending(self) -> None:
         with self._lock:
             pending, self._pending = self._pending, []
             aborts, self._aborts = self._aborts, []
+            loads, self._adapter_loads = self._adapter_loads, []
+        for adapter, slot, fut in loads:
+            try:
+                fut.set_result(self.engine.load_adapter(adapter, slot))
+            except Exception as e:
+                fut.set_exception(e)
         for seq_id in aborts:
             self.engine.abort_request(seq_id)
             self.engine.unregister_stream_callback(seq_id)
@@ -212,6 +235,21 @@ class _IncrementalDetokenizer:
                                 skip_special_tokens=True)
         self._read = len(self._ids)
         return full[len(prev):]
+
+
+def _read_adapter_file(path: str) -> dict:
+    """Read stacked LoRA arrays from a local .npz or .safetensors file."""
+    import numpy as np
+    names = ("qkv_a", "qkv_b", "o_a", "o_b")
+    if path.endswith(".safetensors"):
+        from safetensors.numpy import load_file
+        data = load_file(path)
+    else:
+        data = np.load(path)
+    missing = [n for n in names if n not in data]
+    if missing:
+        raise ValueError(f"missing arrays: {missing}")
+    return {n: data[n] for n in names}
 
 
 def _bad_request(msg: str) -> web.HTTPBadRequest:
@@ -452,6 +490,32 @@ def build_app(server: EngineServer) -> web.Application:
             },
         })
 
+    async def load_adapter(request: web.Request) -> web.Response:
+        """Install a LoRA adapter at runtime from a local checkpoint.
+
+        Body: ``{"path": "<file.npz|file.safetensors>", "slot": int?}`` with
+        stacked arrays ``qkv_a/qkv_b/o_a/o_b`` (see engine.load_adapter).
+        The install is queued onto the engine thread (no race with step())
+        and the response returns the assigned slot id.
+        """
+        data = await _json_body(request)
+        path = data.get("path")
+        if not isinstance(path, str):
+            raise _bad_request("need \"path\" to a local .npz/.safetensors")
+        slot = data.get("slot")
+        if slot is not None and not isinstance(slot, int):
+            raise _bad_request("slot must be an integer")
+        try:
+            adapter = _read_adapter_file(path)
+        except Exception as e:
+            raise _bad_request(f"cannot read adapter: {e}")
+        try:
+            slot_id = await asyncio.wrap_future(
+                server.load_adapter(adapter, slot))
+        except Exception as e:
+            return web.json_response({"error": str(e)}, status=400)
+        return web.json_response({"slot": slot_id})
+
     async def profile_start(request: web.Request) -> web.Response:
         try:
             d = engine.start_profile()
@@ -469,6 +533,7 @@ def build_app(server: EngineServer) -> web.Application:
     app.router.add_post("/generate_stream", generate_stream)
     app.router.add_get("/health", health)
     app.router.add_get("/metrics", metrics)
+    app.router.add_post("/load_adapter", load_adapter)
     app.router.add_post("/profile/start", profile_start)
     app.router.add_post("/profile/stop", profile_stop)
 
