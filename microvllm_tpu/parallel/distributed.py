@@ -105,6 +105,11 @@ class RequestFanout:
             with self._lock:
                 self._followers.append(conn)
 
+    @property
+    def num_followers(self) -> int:
+        with self._lock:
+            return len(self._followers)
+
     def publish(self, request: dict) -> None:
         """Send one request record to every follower (newline-delimited
         JSON). Call BEFORE admitting the request locally."""
@@ -127,8 +132,21 @@ class RequestFollower:
     """Hosts 1..N-1: receive the replicated request stream."""
 
     def __init__(self, leader: str, port: int,
-                 on_request: Callable[[dict], None]):
-        self._sock = socket.create_connection((leader, port), timeout=30)
+                 on_request: Callable[[dict], None],
+                 connect_timeout: float = 60.0):
+        # retry: the leader binds its fanout port at EngineServer build,
+        # which may lag this process by several seconds
+        import time as _time
+        deadline = _time.monotonic() + connect_timeout
+        while True:
+            try:
+                self._sock = socket.create_connection((leader, port),
+                                                      timeout=30)
+                break
+            except OSError:
+                if _time.monotonic() >= deadline:
+                    raise
+                _time.sleep(0.2)
         self._on_request = on_request
         self._thread = threading.Thread(target=self._recv_loop, daemon=True)
         self._thread.start()

@@ -47,20 +47,69 @@ class _PendingRequest:
 
 
 class EngineServer:
-    """Engine thread + request plumbing shared by all endpoints."""
+    """Engine thread + request plumbing shared by all endpoints.
 
-    def __init__(self, engine: InferenceEngine):
+    Multi-host serving (reference anchor: the rank-0 serving loop,
+    `api_server.py:61-90`): host 0 runs with ``fanout_port`` set and
+    publishes every admission-order event (adapter installs, aborts,
+    requests) plus one ``step`` marker per engine step over a TCP stream
+    (`parallel/distributed.py::RequestFanout`). Followers run with
+    ``leader`` set: they apply the records of each marker group and then
+    step once — so every host's scheduler makes identical decisions and
+    the only per-step cross-host traffic besides the jit'd collectives is
+    a ~20-byte marker (vs the reference's pickled per-step object
+    broadcast, which SURVEY §5 said not to port).
+
+    Determinism requirements enforced here: ``prefill_wait_s`` must be 0
+    (wall-clock batch forming would diverge across hosts), and followers
+    register a no-op stream callback for replicated streaming requests so
+    the adaptive-span choice matches the leader's.
+    """
+
+    def __init__(self, engine: InferenceEngine,
+                 fanout_port: Optional[int] = None,
+                 leader: Optional[str] = None):
         self.engine = engine
         self._pending: list[_PendingRequest] = []
         self._aborts: list[int] = []
-        self._adapter_loads: list[tuple[dict, Optional[int], Any]] = []
+        self._adapter_loads: list[tuple[dict, Optional[int], Any, Optional[str]]] = []
         self._lock = threading.Lock()
         self._wake = threading.Event()
         self._stop = False
         self._inflight: dict[int, _PendingRequest] = {}
-        self._thread = threading.Thread(target=self._engine_loop,
+        self.is_follower = leader is not None
+        self._fanout = None
+        self._follower = None
+        self._records: list[dict] = []      # follower: received, un-applied
+        self._markers = 0                   # follower: step markers pending
+        self.replicated_finished: list[dict] = []   # follower: audit trail
+        if fanout_port is not None and leader is None:
+            from ..parallel.distributed import RequestFanout
+            self._fanout = RequestFanout(fanout_port)
+        if (fanout_port is not None or leader is not None) and \
+                engine.config.scheduler.prefill_wait_s != 0.0:
+            raise ValueError("multi-host serving requires prefill_wait_s=0 "
+                             "(wall-clock batch forming diverges across hosts)")
+        if self.is_follower:
+            from ..parallel.distributed import RequestFollower
+            host, _, port = leader.rpartition(":")
+            self._follower = RequestFollower(host or "127.0.0.1", int(port),
+                                             self._on_replicated)
+        target = self._follower_loop if self.is_follower else self._engine_loop
+        self._thread = threading.Thread(target=target,
                                         name="engine-loop", daemon=True)
         self.start_time = time.monotonic()
+
+    def wait_for_followers(self, n: int, timeout: float = 60.0) -> None:
+        """Leader: block until `n` followers have connected (they must be
+        attached before the first admission or they miss records)."""
+        assert self._fanout is not None
+        deadline = time.monotonic() + timeout
+        while time.monotonic() < deadline:
+            if self._fanout.num_followers >= n:
+                return
+            time.sleep(0.02)
+        raise TimeoutError(f"only {self._fanout.num_followers}/{n} followers")
 
     def start(self) -> None:
         self._thread.start()
@@ -90,19 +139,26 @@ class EngineServer:
             self._aborts.append(seq_id)
         self._wake.set()
 
-    def load_adapter(self, adapter: dict, slot: Optional[int] = None):
+    def load_adapter(self, adapter: dict, slot: Optional[int] = None,
+                     path: Optional[str] = None):
         """Queue a LoRA adapter install; applied on the engine thread.
 
         engine.load_adapter rebuilds `engine.params` — doing that from the
         asyncio thread races a concurrent step() holding the old tree (the
         same class of race the abort queue exists for). Returns a
         concurrent.futures.Future resolving to the slot id (await it from
-        asyncio with `asyncio.wrap_future`).
+        asyncio with `asyncio.wrap_future`). ``path`` (the checkpoint file
+        the arrays came from) is required in leader mode: it is what gets
+        replicated to followers, which read the same shared filesystem.
         """
         import concurrent.futures
         fut: "concurrent.futures.Future[int]" = concurrent.futures.Future()
+        if self._fanout is not None and path is None:
+            fut.set_exception(ValueError(
+                "multi-host leader needs a file path to replicate"))
+            return fut
         with self._lock:
-            self._adapter_loads.append((adapter, slot, fut))
+            self._adapter_loads.append((adapter, slot, fut, path))
         self._wake.set()
         return fut
 
@@ -113,12 +169,18 @@ class EngineServer:
             pending, self._pending = self._pending, []
             aborts, self._aborts = self._aborts, []
             loads, self._adapter_loads = self._adapter_loads, []
-        for adapter, slot, fut in loads:
+        for adapter, slot, fut, path in loads:
             try:
-                fut.set_result(self.engine.load_adapter(adapter, slot))
+                slot_id = self.engine.load_adapter(adapter, slot)
+                if self._fanout is not None:
+                    self._fanout.publish({"type": "adapter", "path": path,
+                                          "slot": slot_id})
+                fut.set_result(slot_id)
             except Exception as e:
                 fut.set_exception(e)
         for seq_id in aborts:
+            if self._fanout is not None:
+                self._fanout.publish({"type": "abort", "seq_id": seq_id})
             self.engine.abort_request(seq_id)
             self.engine.unregister_stream_callback(seq_id)
             self._inflight.pop(seq_id, None)
@@ -126,6 +188,20 @@ class EngineServer:
             if req.cancelled:
                 continue
             try:
+                if req.prompt_token_ids is None and self._fanout is not None:
+                    # tokenize before publish: followers must admit the
+                    # exact same token ids
+                    req.prompt_token_ids = list(
+                        self.engine.tokenizer.encode(req.prompt))
+                if self._fanout is not None:
+                    import dataclasses
+                    self._fanout.publish({
+                        "type": "request",
+                        "prompt_token_ids": req.prompt_token_ids,
+                        "sampling": dataclasses.asdict(req.sampling),
+                        "priority": req.priority,
+                        "adapter": req.adapter_id,
+                        "stream": req.stream_queue is not None})
                 seq_id = self.engine.add_request(
                     prompt=req.prompt,
                     prompt_token_ids=req.prompt_token_ids,
@@ -176,6 +252,10 @@ class EngineServer:
                 self._wake.wait(timeout=0.1)
                 self._wake.clear()
                 continue
+            if self._fanout is not None:
+                # one marker per engine step keeps follower schedulers in
+                # lock-step; followers step exactly once per marker
+                self._fanout.publish({"type": "step"})
             try:
                 self.engine.step()
             except Exception:
@@ -183,10 +263,80 @@ class EngineServer:
                 time.sleep(0.01)
         logger.info("engine loop stopped")
 
+    # -- follower mode -------------------------------------------------------
+
+    def _on_replicated(self, rec: dict) -> None:
+        with self._lock:
+            if rec.get("type") == "step":
+                self._markers += 1
+            else:
+                self._records.append((self._markers, rec))
+        self._wake.set()
+
+    def _apply_record(self, rec: dict) -> None:
+        kind = rec.get("type")
+        if kind == "request":
+            sp = dict(rec["sampling"])
+            sp["stop_token_ids"] = tuple(sp.get("stop_token_ids", ()))
+            try:
+                seq_id = self.engine.add_request(
+                    prompt_token_ids=rec["prompt_token_ids"],
+                    sampling=SamplingParams(**sp),
+                    priority=rec.get("priority", 0),
+                    adapter_id=rec.get("adapter", 0))
+            except Exception:
+                return  # leader rejected it identically (same validation)
+            if rec.get("stream"):
+                # leader's SSE consumers change the adaptive-span choice;
+                # mirror that by registering a no-op stream callback
+                self.engine.register_stream_callback(seq_id, lambda *a: None)
+        elif kind == "abort":
+            self.engine.abort_request(rec["seq_id"])
+            self.engine.unregister_stream_callback(rec["seq_id"])
+        elif kind == "adapter":
+            try:
+                self.engine.load_adapter(_read_adapter_file(rec["path"]),
+                                         rec.get("slot"))
+            except Exception:
+                logger.exception("replicated adapter load failed (path %s)",
+                                 rec.get("path"))
+        else:
+            logger.warning("unknown replicated record type: %r", kind)
+
+    def _follower_loop(self) -> None:
+        logger.info("follower loop started")
+        applied_markers = 0
+        while not self._stop:
+            with self._lock:
+                ready = self._markers > applied_markers
+                if ready:
+                    group = [r for m, r in self._records
+                             if m <= applied_markers]
+                    self._records = [(m, r) for m, r in self._records
+                                     if m > applied_markers]
+            if not ready:
+                self._wake.wait(timeout=0.05)
+                self._wake.clear()
+                continue
+            for rec in group:
+                self._apply_record(rec)
+            applied_markers += 1
+            try:
+                self.engine.step()
+            except Exception:
+                logger.exception("follower engine step failed")
+                time.sleep(0.01)
+            for seq in self.engine.scheduler.pop_finished():
+                self.replicated_finished.append(
+                    {"seq_id": seq.seq_id,
+                     "token_ids": list(seq.output_token_ids)})
+        logger.info("follower loop stopped")
+
     # -- helpers -----------------------------------------------------------
 
     def text_or_ids(self, seq: Sequence) -> dict[str, Any]:
         out: dict[str, Any] = {"token_ids": seq.output_token_ids,
+                               "seq_id": seq.seq_id,
                                "num_tokens": len(seq.output_token_ids),
                                "finish_reason": (seq.finish_reason.value
                                                  if seq.finish_reason else None)}
@@ -328,6 +478,13 @@ def build_app(server: EngineServer) -> web.Application:
     engine = server.engine
     default_max = engine.config.default_max_new_tokens
 
+    def _not_follower() -> None:
+        if server.is_follower:
+            raise web.HTTPServiceUnavailable(
+                text=json.dumps({"error": "this host is a follower; "
+                                          "send requests to the leader"}),
+                content_type="application/json")
+
     def _request_fields(data: dict[str, Any]) -> tuple[Optional[str], Optional[list[int]]]:
         prompt = data.get("prompt")
         ids = data.get("prompt_token_ids")
@@ -343,6 +500,7 @@ def build_app(server: EngineServer) -> web.Application:
         return prompt, ids
 
     async def generate(request: web.Request) -> web.Response:
+        _not_follower()
         data = await _json_body(request)
         prompt, ids = _request_fields(data)
         loop = asyncio.get_running_loop()
@@ -362,6 +520,7 @@ def build_app(server: EngineServer) -> web.Application:
         return web.json_response(out)
 
     async def batch_generate(request: web.Request) -> web.Response:
+        _not_follower()
         data = await _json_body(request)
         prompts = data.get("prompts")
         ids_list = data.get("prompt_token_ids")
@@ -397,6 +556,7 @@ def build_app(server: EngineServer) -> web.Application:
                                               for s in seqs]})
 
     async def generate_stream(request: web.Request) -> web.StreamResponse:
+        _not_follower()
         data = await _json_body(request)
         prompt, ids = _request_fields(data)
         loop = asyncio.get_running_loop()
@@ -457,6 +617,8 @@ def build_app(server: EngineServer) -> web.Application:
         stats = engine.cache_stats
         return web.json_response({
             "status": "ok",
+            "role": "follower" if server.is_follower
+                    else ("leader" if server._fanout is not None else "single"),
             "device": str(jax.devices()[0]),
             "uptime_s": round(time.monotonic() - server.start_time, 1),
             "waiting": len(engine.scheduler.waiting),
@@ -469,7 +631,10 @@ def build_app(server: EngineServer) -> web.Application:
 
     async def metrics(request: web.Request) -> web.Response:
         m = engine.metrics
+        extra = ({"replicated_finished": server.replicated_finished}
+                 if server.is_follower else {})
         return web.json_response({
+            **extra,
             "steps": m.steps,
             "prefill_steps": m.prefill_steps,
             "decode_steps": m.decode_steps,
@@ -498,6 +663,7 @@ def build_app(server: EngineServer) -> web.Application:
         The install is queued onto the engine thread (no race with step())
         and the response returns the assigned slot id.
         """
+        _not_follower()
         data = await _json_body(request)
         path = data.get("path")
         if not isinstance(path, str):
@@ -545,14 +711,22 @@ def build_app(server: EngineServer) -> web.Application:
 
 
 def serve(config: EngineConfig, host: str = "0.0.0.0", port: int = 8000,
-          tokenizer=None, params=None, warmup: bool = False) -> None:
+          tokenizer=None, params=None, warmup: bool = False,
+          fanout_port: Optional[int] = None, leader: Optional[str] = None,
+          fanout_followers: int = 0) -> None:
     engine = InferenceEngine(config, params=params, tokenizer=tokenizer)
     if warmup:
         engine.warmup()
-    server = EngineServer(engine)
+    server = EngineServer(engine, fanout_port=fanout_port, leader=leader)
+    if fanout_followers > 0:
+        logger.info("waiting for %d follower(s) on port %s ...",
+                    fanout_followers, fanout_port)
+        server.wait_for_followers(fanout_followers)
     server.start()
     app = build_app(server)
-    logger.info("serving on %s:%d", host, port)
+    logger.info("serving on %s:%d (%s)", host, port,
+                "follower" if leader else
+                ("leader" if fanout_port else "single"))
     web.run_app(app, host=host, port=port)
 
 
@@ -594,6 +768,15 @@ def main() -> None:
                     help="speculative draft tokens per verify (0 = off; "
                          "greedy requests only)")
     ap.add_argument("--spec-steps", type=int, default=4)
+    ap.add_argument("--fanout-port", type=int, default=None,
+                    help="multi-host leader: replicate admissions to "
+                         "followers on this TCP port")
+    ap.add_argument("--leader", default=None, metavar="HOST:PORT",
+                    help="multi-host follower: consume the leader's "
+                         "replicated request stream")
+    ap.add_argument("--fanout-followers", type=int, default=0,
+                    help="leader: block until this many followers connect "
+                         "before serving")
     args = ap.parse_args()
 
     logging.basicConfig(level=logging.INFO)
@@ -634,8 +817,19 @@ def main() -> None:
         spec_k=args.spec_k,
         spec_steps=args.spec_steps,
     )
+    if args.fanout_port or args.leader:
+        # multi-host SPMD serving: jax.distributed from MVT_* env vars, and
+        # wall-clock batch forming off (determinism across hosts)
+        import dataclasses
+
+        from ..parallel.distributed import init_distributed
+        init_distributed()
+        cfg = cfg.replace(
+            scheduler=dataclasses.replace(cfg.scheduler, prefill_wait_s=0.0))
     serve(cfg, host=args.host, port=args.port, tokenizer=tokenizer,
-          params=params, warmup=args.warmup)
+          params=params, warmup=args.warmup,
+          fanout_port=args.fanout_port, leader=args.leader,
+          fanout_followers=args.fanout_followers)
 
 
 if __name__ == "__main__":
