@@ -79,27 +79,42 @@ def spec_decode_span(cfg: ModelConfig, params, k_cache, v_cache,
                      hist_lens: jnp.ndarray,      # [B] int32
                      block_tables: jnp.ndarray,   # [B, max_pages]
                      context_lens: jnp.ndarray,   # [B] tokens in cache
-                     num_steps: int, k: int, ngram: int = 2):
+                     num_steps: int, k: int, ngram: int = 2,
+                     k_scales: jnp.ndarray | None = None,
+                     v_scales: jnp.ndarray | None = None,
+                     adapter_ids: jnp.ndarray | None = None,
+                     lora_scaling: float = 1.0):
     """Run ``num_steps`` propose→verify→accept rounds on device.
+
+    Verification routes through ``prefill_step``, which handles int8 KV
+    (``k_scales``/``v_scales``) and per-row LoRA (``adapter_ids``) natively,
+    so speculation composes with both (r2 gated them out conservatively).
 
     Returns (emitted ``[num_steps, B, k+1]`` int32, counts
     ``[num_steps, B]`` int32 — valid tokens per round, in [1, k+1] — ,
-    new_k_cache, new_v_cache).
+    new_k_cache, new_v_cache[, new_k_scales, new_v_scales]).
     """
     B = last_tokens.shape[0]
     S = k + 1
     Lmax = hist.shape[1]
+    quantized = k_scales is not None
     steps_idx = jnp.arange(S, dtype=jnp.int32)[None, :]          # [1, S]
 
     def body(carry, _):
-        last, ctx, hist, hlen, kc, vc = carry
+        last, ctx, hist, hlen, kc, vc, ks, vs = carry
         props = ngram_propose(hist, hlen, k, ngram)              # [B, k]
         window = jnp.concatenate([last[:, None], props], axis=1)  # [B, S]
 
-        preds, kc, vc = model_lib.prefill_step(
+        out = model_lib.prefill_step(
             cfg, params, kc, vc, window, block_tables,
             jnp.full((B,), S, jnp.int32), ctx,
-            has_history=True, all_greedy=True, slot_exact_store=True)
+            has_history=True, all_greedy=True, slot_exact_store=True,
+            k_scales=ks, v_scales=vs,
+            adapter_ids=adapter_ids, lora_scaling=lora_scaling)
+        if quantized:
+            preds, kc, vc, ks, vs = out
+        else:
+            preds, kc, vc = out
 
         match = (props == preds[:, :-1]).astype(jnp.int32)       # [B, k]
         a = jnp.sum(jnp.cumprod(match, axis=1), axis=1)          # [B] 0..k
@@ -117,10 +132,13 @@ def spec_decode_span(cfg: ModelConfig, params, k_cache, v_cache,
         vals = jnp.where(steps_idx < n_emit[:, None], emit, old)
         hist = hist.at[jnp.arange(B)[:, None], wposc].set(vals)
 
-        return ((bonus[:, 0], ctx + n_emit, hist, hlen + n_emit, kc, vc),
-                (emit, n_emit))
+        return ((bonus[:, 0], ctx + n_emit, hist, hlen + n_emit, kc, vc,
+                 ks, vs), (emit, n_emit))
 
-    (_, _, _, _, k_cache, v_cache), (emitted, counts) = jax.lax.scan(
-        body, (last_tokens, context_lens, hist, hist_lens, k_cache, v_cache),
-        None, length=num_steps)
+    carry0 = (last_tokens, context_lens, hist, hist_lens, k_cache, v_cache,
+              k_scales, v_scales)
+    (_, _, _, _, k_cache, v_cache, k_scales, v_scales), (emitted, counts) = \
+        jax.lax.scan(body, carry0, None, length=num_steps)
+    if quantized:
+        return emitted, counts, k_cache, v_cache, k_scales, v_scales
     return emitted, counts, k_cache, v_cache

@@ -641,6 +641,9 @@ def build_app(server: EngineServer) -> web.Application:
             "tokens_generated": m.tokens_generated,
             "tokens_prefilled": m.tokens_prefilled,
             "preemptions": m.preemptions,
+            "spec_rounds": m.spec_rounds,
+            "spec_drafts_accepted": m.spec_drafts_accepted,
+            "spec_fallbacks": m.spec_fallbacks,
             "decode_slots_served": m.decode_slots_served,
             "decode_slots_skipped": m.decode_slots_skipped,
             "decode_fairness": round(

@@ -119,3 +119,71 @@ def test_allocator_truncate_python_and_native():
         row = a.block_table_row(1)
         assert (row[2:] == 0).all()
         a.free(1)
+
+
+def test_spec_with_int8_kv_matches_nonspec_int8():
+    """r2 gated spec off under int8 KV; verification routes through
+    prefill_step which handles quantized caches, so spec + int8 KV must
+    produce the same greedy outputs as non-spec int8 KV."""
+    from microvllm_tpu.config import QuantConfig
+    prompts = [[1, 2, 3, 4, 5], [9, 8, 7]]
+    sp = SamplingParams(temperature=0.0, max_new_tokens=20)
+
+    ref = InferenceEngine(_cfg(quant=QuantConfig(kv_bits=8)))
+    ro = [s.output_token_ids for s in ref.generate(prompts, sampling=sp)]
+
+    eng = InferenceEngine(_cfg(spec_k=3, spec_steps=2,
+                               quant=QuantConfig(kv_bits=8)))
+    so = [s.output_token_ids for s in eng.generate(prompts, sampling=sp)]
+    assert so == ro
+    assert eng.metrics.spec_rounds > 0
+    assert eng.cache_stats.used_pages == 0
+
+
+def test_spec_with_lora_adapter_matches_nonspec():
+    """Spec span threads per-row adapter ids: a LoRA request under
+    speculation matches its non-speculative greedy output."""
+    from microvllm_tpu.config import LoRAConfig
+    from microvllm_tpu.models import transformer as model_lib
+
+    rank = 4
+    mcfg = ModelConfig.tiny(dtype="float32")
+    lc = LoRAConfig(rank=rank, max_adapters=4)
+
+    def adapter():
+        kg = jax.random.PRNGKey
+        L, H = mcfg.num_layers, mcfg.hidden_size
+        qkv_out = mcfg.q_dim + 2 * mcfg.kv_dim
+        return {
+            "qkv_a": jax.random.normal(kg(5), (L, H, rank)) * 0.3,
+            "qkv_b": jax.random.normal(kg(6), (L, rank, qkv_out)) * 0.3,
+            "o_a": jax.random.normal(kg(7), (L, mcfg.q_dim, rank)) * 0.3,
+            "o_b": jax.random.normal(kg(8), (L, rank, mcfg.hidden_size)) * 0.3,
+        }
+
+    sp = SamplingParams(temperature=0.0, max_new_tokens=16)
+    ref = InferenceEngine(_cfg().replace(model=mcfg, lora=lc))
+    ref.load_adapter(adapter())
+    ref.add_request(prompt_token_ids=[1, 2, 3, 4, 5], sampling=sp,
+                    adapter_id=1)
+    while not ref.scheduler.is_finished():
+        ref.step()
+    ro = ref.scheduler.pop_finished()[0].output_token_ids
+
+    eng = InferenceEngine(
+        _cfg(spec_k=3, spec_steps=2).replace(model=mcfg, lora=lc))
+    eng.load_adapter(adapter())
+    eng.add_request(prompt_token_ids=[1, 2, 3, 4, 5], sampling=sp,
+                    adapter_id=1)
+    while not eng.scheduler.is_finished():
+        eng.step()
+    so = eng.scheduler.pop_finished()[0].output_token_ids
+    assert so == ro
+    assert eng.metrics.spec_rounds > 0
+
+
+def test_spec_fallback_reasons_counted():
+    eng = InferenceEngine(_cfg(spec_k=3))
+    eng.generate([[1, 2, 3]],
+                 sampling=SamplingParams(temperature=0.9, max_new_tokens=4))
+    assert eng.metrics.spec_fallbacks.get("sampled", 0) > 0
