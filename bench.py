@@ -136,7 +136,9 @@ def main():
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--steps", type=int, default=12)
     ap.add_argument("--context", type=int, default=256)
-    ap.add_argument("--page-size", type=int, default=64)
+    ap.add_argument("--page-size", type=int, default=None,
+                    help="KV page size (default: auto — 128 for long-"
+                         "context runs, else 64; see config.auto_page_size)")
     ap.add_argument("--kv-pages", type=int, default=200)
     ap.add_argument("--max-pages-per-seq", type=int, default=32)
     ap.add_argument("--span", type=int, default=64,
@@ -156,6 +158,17 @@ def main():
     args = ap.parse_args()
     if args.platform == "cpu":
         jax.config.update("jax_platforms", "cpu")
+    if args.page_size is None:
+        from microvllm_tpu.config import auto_page_size
+        # the bench's effective max context is what the decode run reaches
+        reach = args.context + (3 + args.steps) * args.span
+        args.page_size = auto_page_size(reach)
+        if args.page_size != 64:
+            # keep per-seq token capacity constant as page size scales up
+            args.max_pages_per_seq = max(
+                1, args.max_pages_per_seq * 64 // args.page_size)
+        log(f"auto page_size={args.page_size} "
+            f"(max_pages_per_seq={args.max_pages_per_seq})")
 
     log(f"devices: {jax.devices()}")
     eng = build_engine(args.model, args.bits, args.batch, args.kv_pages,

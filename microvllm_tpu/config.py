@@ -243,6 +243,18 @@ class CacheConfig:
         return self.num_pages - 1
 
 
+def auto_page_size(max_context: int) -> int:
+    """Default KV page size keyed on the target context length.
+
+    128-token pages halve the number of per-chunk DMA issues in the decode
+    attention kernel; measured +9% single-stream at 3800-token context on
+    v5e (RESULTS.md long-context table). Short/medium contexts keep 64:
+    page granularity is also the allocation granularity, and 128-token
+    pages waste up to 127 slots per short sequence.
+    """
+    return 128 if max_context >= 3072 else 64
+
+
 @dataclass(frozen=True)
 class SchedulerConfig:
     """Continuous-batching knobs (reference: `core/scheduler.py:11-29`)."""

@@ -754,7 +754,9 @@ def main() -> None:
     ap.add_argument("--port", type=int, default=8000)
     ap.add_argument("--max-batch", type=int, default=32)
     ap.add_argument("--kv-pages", type=int, default=512)
-    ap.add_argument("--page-size", type=int, default=64)
+    ap.add_argument("--page-size", type=int, default=None,
+                    help="KV page size (default: auto — 128 when "
+                         "max_model_len >= 2048, else 64)")
     ap.add_argument("--max-pages-per-seq", type=int, default=32)
     ap.add_argument("--max-model-len", type=int, default=2048)
     ap.add_argument("--kv-bits", type=int, default=16)
@@ -810,6 +812,15 @@ def main() -> None:
                                  SchedulerConfig().prefill_len_buckets),
         stream_span_cap=args.stream_span_cap,
     )
+    if args.page_size is None:
+        from ..config import auto_page_size
+        args.page_size = auto_page_size(args.max_model_len)
+        if args.page_size != 64:
+            # keep per-seq token capacity constant as page size scales up
+            args.max_pages_per_seq = max(
+                1, args.max_pages_per_seq * 64 // args.page_size)
+        logger.info("auto page_size=%d (max_pages_per_seq=%d)",
+                    args.page_size, args.max_pages_per_seq)
     cfg = EngineConfig(
         model=mcfg,
         cache=CacheConfig(num_pages=args.kv_pages, page_size=args.page_size,
