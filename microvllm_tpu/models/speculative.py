@@ -83,7 +83,8 @@ def spec_decode_span(cfg: ModelConfig, params, k_cache, v_cache,
                      k_scales: jnp.ndarray | None = None,
                      v_scales: jnp.ndarray | None = None,
                      adapter_ids: jnp.ndarray | None = None,
-                     lora_scaling: float = 1.0):
+                     lora_scaling: float = 1.0,
+                     tp_axis: str | None = None, tp_size: int = 1):
     """Run ``num_steps`` propose→verify→accept rounds on device.
 
     Verification routes through ``prefill_step``, which handles int8 KV
@@ -110,7 +111,8 @@ def spec_decode_span(cfg: ModelConfig, params, k_cache, v_cache,
             jnp.full((B,), S, jnp.int32), ctx,
             has_history=True, all_greedy=True, slot_exact_store=True,
             k_scales=ks, v_scales=vs,
-            adapter_ids=adapter_ids, lora_scaling=lora_scaling)
+            adapter_ids=adapter_ids, lora_scaling=lora_scaling,
+            tp_axis=tp_axis, tp_size=tp_size)
         if quantized:
             preds, kc, vc, ks, vs = out
         else:

@@ -47,6 +47,7 @@ class ShardedStepFns:
         self._prefill_cache: dict[bool, Any] = {}
         self._decode_q_cache: dict[int, Any] = {}
         self._prefill_q_cache: dict[bool, Any] = {}
+        self._spec_cache: dict[tuple, Any] = {}
 
     # -- input conversion --------------------------------------------------
 
@@ -127,6 +128,61 @@ class ShardedStepFns:
                        self._sspec))
         fn = jax.jit(sm, donate_argnums=(1, 2, 3, 4))
         self._decode_q_cache[span] = fn
+        return fn
+
+    # -- speculative span ----------------------------------------------------
+
+    def spec_fn(self, params, k, v, last, hist, hist_lens, tables, ctx,
+                num_steps: int, k_draft: int, ngram: int,
+                ks=None, vs=None):
+        b = P(DATA_AXIS)
+        b2 = P(DATA_AXIS, None)
+        quantized = ks is not None
+        fn = self._spec_for(num_steps, k_draft, ngram, hist.shape[1],
+                            quantized)
+        args = (params, k, v) + ((ks, vs) if quantized else ()) + (
+            self._put(last, b), self._put(hist, b2),
+            self._put(hist_lens, b), self._put(tables, b2),
+            self._put(ctx, b))
+        return fn(*args)
+
+    def _spec_for(self, num_steps: int, k_draft: int, ngram: int,
+                  lmax: int, quantized: bool):
+        key = (num_steps, k_draft, ngram, lmax, quantized)
+        if key in self._spec_cache:
+            return self._spec_cache[key]
+        cfg, tp = self.mcfg, self.tp
+        from ..models.speculative import spec_decode_span
+
+        def local_step(params, k, v, *rest):
+            if quantized:
+                ks, vs, last, hist, hist_lens, tables, ctx = rest
+            else:
+                ks = vs = None
+                last, hist, hist_lens, tables, ctx = rest
+            out = spec_decode_span(
+                cfg, params, k, v, last, hist, hist_lens, tables, ctx,
+                num_steps, k_draft, ngram, k_scales=ks, v_scales=vs,
+                tp_axis=MODEL_AXIS if tp > 1 else None, tp_size=tp)
+            emitted, counts = out[0], out[1]
+            # replicate results so every host reads them locally
+            emitted = jax.lax.all_gather(emitted, DATA_AXIS, axis=1,
+                                         tiled=True)
+            counts = jax.lax.all_gather(counts, DATA_AXIS, axis=1,
+                                        tiled=True)
+            return (emitted, counts) + tuple(out[2:])
+
+        b = P(DATA_AXIS)
+        b2 = P(DATA_AXIS, None)
+        scale = (self._sspec, self._sspec) if quantized else ()
+        sm = _shard_map(
+            local_step, self.mesh,
+            in_specs=(self._pspecs, self._cspec, self._cspec) + scale
+                     + (b, b2, b, b2, b),
+            out_specs=(P(), P(), self._cspec, self._cspec) + scale)
+        fn = jax.jit(sm, donate_argnums=(1, 2, 3, 4) if quantized
+                     else (1, 2))
+        self._spec_cache[key] = fn
         return fn
 
     # -- prefill -----------------------------------------------------------

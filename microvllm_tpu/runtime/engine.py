@@ -142,7 +142,7 @@ class EngineMetrics:
     spec_rounds: int = 0          # propose/verify rounds executed
     spec_drafts_accepted: int = 0  # accepted draft tokens (excl. bonus)
     # why a decode batch fell back to plain decode despite spec_k > 0
-    # (r2 gated silently; reasons: "tp", "sampled", "context")
+    # (r2 gated silently; reasons: "tp_lora", "sampled", "context")
     spec_fallbacks: dict = field(default_factory=dict)
     # decode fairness: slots served vs running sequences left out of a
     # decode batch (tail beyond the bucket cap); with rotation the skip
@@ -246,11 +246,49 @@ class InferenceEngine:
             self._prefill_fn = fns.prefill_fn
             self._decode_q_fn = fns.decode_fn_q
             self._prefill_q_fn = fns.prefill_fn_q
+            self._spec_fn = fns.spec_fn
         else:
             self._decode_fn = self._build_decode_fn()
             self._prefill_fn = self._build_prefill_fn()
             self._decode_q_fn = partial(_decode_span_q_jit, self.mcfg)
             self._prefill_q_fn = partial(_prefill_q_jit, self.mcfg)
+            self._spec_fn = None   # single-rank: _spec_span_jit directly
+
+    def _call_spec(self, last, hist, hist_lens, tables, ctx0,
+                   adapter_ids=None):
+        """Run one speculative span through the right compiled fn (sharded
+        or single-rank, bf16 or int8-KV), updating caches in place.
+        Returns (emitted [steps, B, S], counts [steps, B]) as numpy."""
+        cfg = self.config
+        steps, k, ngram = cfg.spec_steps, cfg.spec_k, cfg.spec_ngram
+        if self._spec_fn is not None:     # sharded (TP/DP) path
+            out = self._spec_fn(
+                self.params, self.k_cache, self.v_cache, last, hist,
+                hist_lens, tables, ctx0, steps, k, ngram,
+                ks=self.k_scales, vs=self.v_scales)
+            if self.kv_quantized:
+                (emitted, counts, self.k_cache, self.v_cache,
+                 self.k_scales, self.v_scales) = out
+            else:
+                emitted, counts, self.k_cache, self.v_cache = out
+        else:
+            lora_kw = (self._lora_kw(adapter_ids)
+                       if adapter_ids is not None else {})
+            if self.kv_quantized:
+                (emitted, counts, self.k_cache, self.v_cache,
+                 self.k_scales, self.v_scales) = _spec_span_q_jit(
+                    self.mcfg, self.params, self.k_cache, self.v_cache,
+                    self.k_scales, self.v_scales, jnp.asarray(last),
+                    jnp.asarray(hist), jnp.asarray(hist_lens),
+                    jnp.asarray(tables), jnp.asarray(ctx0),
+                    steps, k, ngram, **lora_kw)
+            else:
+                emitted, counts, self.k_cache, self.v_cache = _spec_span_jit(
+                    self.mcfg, self.params, self.k_cache, self.v_cache,
+                    jnp.asarray(last), jnp.asarray(hist),
+                    jnp.asarray(hist_lens), jnp.asarray(tables),
+                    jnp.asarray(ctx0), steps, k, ngram, **lora_kw)
+        return np.asarray(emitted), np.asarray(counts)
 
     # ------------------------------------------------------------------
     # Compiled step functions
@@ -330,7 +368,7 @@ class InferenceEngine:
             for span in sorted(set(scfg.decode_spans)):
                 self._run_decode_shapes(bs, span)
                 n_decode += 1
-            if self.config.spec_k > 0 and self.config.parallel.world_size == 1:
+            if self.config.spec_k > 0:
                 self._run_spec_shapes(bs)
                 n_decode += 1
         shapes = prefill_shapes
@@ -358,22 +396,10 @@ class InferenceEngine:
         cfg = self.config
         reserve = cfg.spec_steps * (cfg.spec_k + 1)
         z = np.zeros(bs, dtype=np.int32)
-        lora_kw = self._lora_kw(z) if cfg.lora else {}
-        hist = jnp.zeros((bs, cfg.max_model_len + reserve), jnp.int32)
-        tables = jnp.zeros((bs, cfg.cache.max_pages_per_seq), jnp.int32)
-        if self.kv_quantized:
-            (_, _, self.k_cache, self.v_cache,
-             self.k_scales, self.v_scales) = _spec_span_q_jit(
-                self.mcfg, self.params, self.k_cache, self.v_cache,
-                self.k_scales, self.v_scales, jnp.asarray(z), hist,
-                jnp.asarray(z), tables, jnp.asarray(z),
-                cfg.spec_steps, cfg.spec_k, cfg.spec_ngram, **lora_kw)
-        else:
-            _, _, self.k_cache, self.v_cache = _spec_span_jit(
-                self.mcfg, self.params, self.k_cache, self.v_cache,
-                jnp.asarray(z), hist, jnp.asarray(z), tables,
-                jnp.asarray(z), cfg.spec_steps, cfg.spec_k, cfg.spec_ngram,
-                **lora_kw)
+        hist = np.zeros((bs, cfg.max_model_len + reserve), np.int32)
+        tables = np.zeros((bs, cfg.cache.max_pages_per_seq), np.int32)
+        self._call_spec(z, hist, z, tables, z,
+                        adapter_ids=z if cfg.lora else None)
 
     def _run_prefill_shapes(self, bs: int, chunk: int,
                             has_history: bool = False) -> None:
@@ -636,7 +662,9 @@ class InferenceEngine:
         LoRA rows are fine (verification routes through prefill_step, which
         handles both — the r2 gates were over-conservative). Fallbacks are
         counted by reason in metrics.spec_fallbacks so a user can see WHY
-        speculation isn't engaging (r2 VERDICT weak #6)."""
+        speculation isn't engaging (r2 VERDICT weak #6). The spec span runs
+        under TP/DP too (ShardedStepFns.spec_fn); only TP+LoRA rows fall
+        back (sharded step fns do not thread adapter ids yet)."""
         cfg = self.config
 
         def fallback(reason: str) -> bool:
@@ -646,8 +674,9 @@ class InferenceEngine:
 
         if cfg.spec_k <= 0:
             return False   # speculation off — not a fallback
-        if cfg.parallel.world_size > 1:
-            return fallback("tp")   # sharded spec span not implemented
+        if (cfg.parallel.world_size > 1
+                and any(s.adapter_id != 0 for s in seqs)):
+            return fallback("tp_lora")  # sharded fns don't thread adapters
         if any(s.sampling.temperature > 0.0 for s in seqs):
             return fallback("sampled")  # greedy-only (bit-identical)
         reserve = cfg.spec_steps * (cfg.spec_k + 1)
@@ -703,28 +732,13 @@ class InferenceEngine:
             ctx0[i] = self.allocator.seq_len(seq.seq_id) - reserve
             tables[i] = self.allocator.block_table_row(seq.seq_id)
 
-        lora_kw = {}
+        adapter_ids = None
         if self.config.lora is not None:
-            ids = np.zeros(B, dtype=np.int32)
+            adapter_ids = np.zeros(B, dtype=np.int32)
             for i, seq in enumerate(seqs):
-                ids[i] = seq.adapter_id
-            lora_kw = self._lora_kw(ids)
-        if self.kv_quantized:
-            (emitted, counts, self.k_cache, self.v_cache,
-             self.k_scales, self.v_scales) = _spec_span_q_jit(
-                self.mcfg, self.params, self.k_cache, self.v_cache,
-                self.k_scales, self.v_scales,
-                jnp.asarray(last), jnp.asarray(hist), jnp.asarray(hist_lens),
-                jnp.asarray(tables), jnp.asarray(ctx0), steps, k, ngram,
-                **lora_kw)
-        else:
-            emitted, counts, self.k_cache, self.v_cache = _spec_span_jit(
-                self.mcfg, self.params, self.k_cache, self.v_cache,
-                jnp.asarray(last), jnp.asarray(hist), jnp.asarray(hist_lens),
-                jnp.asarray(tables), jnp.asarray(ctx0), steps, k, ngram,
-                **lora_kw)
-        emitted = np.asarray(emitted)     # [steps, B, S]
-        counts = np.asarray(counts)       # [steps, B]
+                adapter_ids[i] = seq.adapter_id
+        emitted, counts = self._call_spec(last, hist, hist_lens, tables,
+                                          ctx0, adapter_ids)
 
         produced = 0
         for i, seq in enumerate(seqs):

@@ -252,3 +252,24 @@ def test_sharded_engine_with_quantized_weights():
                                                      weight_group_size=64)))
     qo = [s.output_token_ids for s in eng.generate(prompts, sampling=sp)]
     assert qo == ro
+
+
+def test_sharded_engine_speculative_matches_plain_tp():
+    """The speculative span runs under TP/DP (ShardedStepFns.spec_fn):
+    greedy outputs match the non-speculative sharded engine and
+    speculation actually engages (spec_rounds > 0) — r2's blanket "tp"
+    fallback is gone."""
+    import dataclasses
+    prompts = [[1, 2, 3, 4, 5], [9, 8, 7], [4, 4, 4, 4], [2, 6, 2, 6]]
+    sp = SamplingParams(temperature=0.0, max_new_tokens=16)
+
+    base = tiny_cfg(ParallelConfig(tp_size=2, dp_size=2))
+    ref = InferenceEngine(base)
+    ro = [s.output_token_ids for s in ref.generate(prompts, sampling=sp)]
+
+    eng = InferenceEngine(dataclasses.replace(base, spec_k=3, spec_steps=2))
+    so = [s.output_token_ids for s in eng.generate(prompts, sampling=sp)]
+    assert so == ro
+    assert eng.metrics.spec_rounds > 0
+    assert eng.metrics.spec_fallbacks.get("tp_lora", 0) == 0
+    assert eng.cache_stats.used_pages == 0
