@@ -329,9 +329,6 @@ class EngineConfig:
                 raise ValueError(
                     f"num_heads {m.num_heads} not divisible by tp_size {tp}")
         if self.lora is not None:
-            if self.parallel.world_size > 1:
-                raise ValueError("LoRA serving is single-rank for now "
-                                 "(adapter stacks are not sharded)")
             if self.lora.rank < 1 or self.lora.max_adapters < 2:
                 raise ValueError("LoRA needs rank >= 1, max_adapters >= 2")
 

@@ -235,20 +235,30 @@ def _qkv(normed, w, lp, l, q_dim, kv_dim):
 
 
 def lora_delta(x: jnp.ndarray, A: jnp.ndarray, Bm: jnp.ndarray,
-               adapter_ids: jnp.ndarray, scaling: float) -> jnp.ndarray:
+               adapter_ids: jnp.ndarray, scaling: float,
+               reduce_axis: str | None = None) -> jnp.ndarray:
     """Batched multi-LoRA delta ``scaling * (x @ A[id]) @ B[id]``.
 
     x: ``[B, K]`` or ``[B, S, K]``; A: ``[N, K, r]``; Bm: ``[N, r, M]``;
     adapter_ids: ``[B]`` int32 (0 = the all-zero base slot). The per-row
     gather + two skinny einsums stay tiny next to the base matmul
     (r ~ 16), so XLA fuses them into the surrounding step.
+
+    ``reduce_axis``: for row-parallel projections under TP (o-proj), x and
+    A are K-sharded per rank, so the rank-local ``x_r @ A_r`` is a partial
+    sum; psum the tiny ``[B, r]`` intermediate (much cheaper than psumming
+    a ``[B, M]`` delta) before applying the replicated B.
     """
     Asel = A[adapter_ids]                              # [B, K, r]
     Bsel = Bm[adapter_ids]                             # [B, r, M]
     if x.ndim == 2:
         t = jnp.einsum("bk,bkr->br", x, Asel)
+        if reduce_axis is not None:
+            t = jax.lax.psum(t, reduce_axis)
         return jnp.einsum("br,brm->bm", t, Bsel) * scaling
     t = jnp.einsum("bsk,bkr->bsr", x, Asel)
+    if reduce_axis is not None:
+        t = jax.lax.psum(t, reduce_axis)
     return jnp.einsum("bsr,brm->bsm", t, Bsel) * scaling
 
 
@@ -360,7 +370,7 @@ def decode_step(cfg: ModelConfig, params: Params,
         if adapter_ids is not None and "lora_o_a" in lp:
             attn_out = attn_out + lora_delta(
                 attn_flat, lp["lora_o_a"], lp["lora_o_b"], adapter_ids,
-                lora_scaling)
+                lora_scaling, reduce_axis=tp_axis)
 
         new_hid = fused_mlp_block(attn_out, hid, lp["mlp_norm"],
                                   cfg.rms_norm_eps, w("w_gate_up"),
@@ -646,7 +656,7 @@ def prefill_step(cfg: ModelConfig, params: Params,
         if adapter_ids is not None and "lora_o_a" in lp:
             attn_out = attn_out + lora_delta(
                 attn_flat, lp["lora_o_a"], lp["lora_o_b"], adapter_ids,
-                lora_scaling)
+                lora_scaling, reduce_axis=tp_axis)
         new_hid = fused_mlp_block(attn_out, hid, lp["mlp_norm"],
                                   cfg.rms_norm_eps, w("w_gate_up"),
                                   w("w_down"), l, tp_axis=tp_axis)

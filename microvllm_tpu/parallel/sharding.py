@@ -39,6 +39,17 @@ _LAYER_SPECS: dict[str, P] = {
     "w_gate": P(None, None, MODEL_AXIS),
     "w_up": P(None, None, MODEL_AXIS),
     "w_down": P(None, MODEL_AXIS, None),
+    # Multi-LoRA stacks [L, N, K, r] / [L, N, r, M]: the A of the
+    # column-parallel qkv reads the replicated hidden (replicate); its B is
+    # column-sharded with RANK-INTERLEAVED storage (engine.load_adapter
+    # interleaves on install) so each rank's contiguous column shard is its
+    # own (q_r|k_r|v_r) delta. o-proj is row-parallel: A shards its K dim
+    # with the attn output; B replicated (the tiny [B, r] intermediate is
+    # psummed inside lora_delta).
+    "lora_qkv_a": P(),
+    "lora_qkv_b": P(None, None, None, MODEL_AXIS),
+    "lora_o_a": P(None, None, MODEL_AXIS, None),
+    "lora_o_b": P(),
 }
 
 

@@ -40,6 +40,9 @@ class ShardedStepFns:
         self.config = config
         self.mcfg = config.model
         self.tp = config.parallel.tp_size
+        self.has_lora = config.lora is not None
+        self._lora_scaling = (float(config.lora.scaling)
+                              if self.has_lora else 1.0)
         self._pspecs = param_specs(params)
         self._cspec = cache_spec(self.mcfg, self.tp)
         self._sspec = scale_spec(self.mcfg, self.tp)
@@ -60,35 +63,51 @@ class ShardedStepFns:
 
     # -- decode ------------------------------------------------------------
 
+    def _lora_args(self, adapter_ids):
+        """Trailing (adapter_ids,) device args when LoRA is on (always
+        present in the compiled signature so the shape set stays fixed)."""
+        if not self.has_lora:
+            return ()
+        assert adapter_ids is not None
+        return (self._put(adapter_ids, P(DATA_AXIS)),)
+
     def decode_fn(self, params, k, v, tokens, tables, ctx, temp, top_p,
-                  top_ks, rng, span: int):
+                  top_ks, rng, span: int, adapter_ids=None,
+                  lora_scaling=None):
         b = P(DATA_AXIS)
+        if adapter_ids is None and self.has_lora:
+            import numpy as np
+            adapter_ids = np.zeros(len(tokens), np.int32)
         return self._decode_for(span)(
             params, k, v, self._put(tokens, b),
             self._put(tables, P(DATA_AXIS, None)), self._put(ctx, b),
             self._put(temp, b), self._put(top_p, b), self._put(top_ks, b),
-            rng)
+            rng, *self._lora_args(adapter_ids))
 
     def _decode_for(self, span: int):
         if span in self._decode_cache:
             return self._decode_cache[span]
         cfg, tp = self.mcfg, self.tp
+        scaling, has_lora = self._lora_scaling, self.has_lora
 
         def local_step(params, k, v, tokens, tables, ctx, temp, top_p,
-                       top_ks, rng):
+                       top_ks, rng, *lora):
             toks, k, v = model_lib.decode_span(
                 cfg, params, k, v, tokens, tables, ctx, temp, top_p, rng,
                 span, tp_axis=MODEL_AXIS if tp > 1 else None, tp_size=tp,
-                top_ks=top_ks)
+                top_ks=top_ks,
+                adapter_ids=lora[0] if has_lora else None,
+                lora_scaling=scaling)
             # replicate sampled tokens so every host reads them locally
             toks = jax.lax.all_gather(toks, DATA_AXIS, axis=0, tiled=True)
             return toks, k, v
 
         b = P(DATA_AXIS)
+        lora_spec = (b,) if has_lora else ()
         sm = _shard_map(
             local_step, self.mesh,
             in_specs=(self._pspecs, self._cspec, self._cspec, b,
-                      P(DATA_AXIS, None), b, b, b, b, P()),
+                      P(DATA_AXIS, None), b, b, b, b, P()) + lora_spec,
             out_specs=(P(), self._cspec, self._cspec))
         fn = jax.jit(sm, donate_argnums=(1, 2))
         self._decode_cache[span] = fn
@@ -97,33 +116,42 @@ class ShardedStepFns:
     # -- decode, int8 KV cache ---------------------------------------------
 
     def decode_fn_q(self, params, k, v, ks, vs, tokens, tables, ctx, temp,
-                    top_p, top_ks, rng, span: int):
+                    top_p, top_ks, rng, span: int, adapter_ids=None,
+                    lora_scaling=None):
         b = P(DATA_AXIS)
+        if adapter_ids is None and self.has_lora:
+            import numpy as np
+            adapter_ids = np.zeros(len(tokens), np.int32)
         return self._decode_q_for(span)(
             params, k, v, ks, vs, self._put(tokens, b),
             self._put(tables, P(DATA_AXIS, None)), self._put(ctx, b),
             self._put(temp, b), self._put(top_p, b), self._put(top_ks, b),
-            rng)
+            rng, *self._lora_args(adapter_ids))
 
     def _decode_q_for(self, span: int):
         if span in self._decode_q_cache:
             return self._decode_q_cache[span]
         cfg, tp = self.mcfg, self.tp
+        scaling, has_lora = self._lora_scaling, self.has_lora
 
         def local_step(params, k, v, ks, vs, tokens, tables, ctx, temp,
-                       top_p, top_ks, rng):
+                       top_p, top_ks, rng, *lora):
             toks, k, v, ks, vs = model_lib.decode_span(
                 cfg, params, k, v, tokens, tables, ctx, temp, top_p, rng,
                 span, tp_axis=MODEL_AXIS if tp > 1 else None, tp_size=tp,
-                k_scales=ks, v_scales=vs, top_ks=top_ks)
+                k_scales=ks, v_scales=vs, top_ks=top_ks,
+                adapter_ids=lora[0] if has_lora else None,
+                lora_scaling=scaling)
             toks = jax.lax.all_gather(toks, DATA_AXIS, axis=0, tiled=True)
             return toks, k, v, ks, vs
 
         b = P(DATA_AXIS)
+        lora_spec = (b,) if has_lora else ()
         sm = _shard_map(
             local_step, self.mesh,
             in_specs=(self._pspecs, self._cspec, self._cspec, self._sspec,
-                      self._sspec, b, P(DATA_AXIS, None), b, b, b, b, P()),
+                      self._sspec, b, P(DATA_AXIS, None), b, b, b, b, P())
+                     + lora_spec,
             out_specs=(P(), self._cspec, self._cspec, self._sspec,
                        self._sspec))
         fn = jax.jit(sm, donate_argnums=(1, 2, 3, 4))
@@ -134,16 +162,19 @@ class ShardedStepFns:
 
     def spec_fn(self, params, k, v, last, hist, hist_lens, tables, ctx,
                 num_steps: int, k_draft: int, ngram: int,
-                ks=None, vs=None):
+                ks=None, vs=None, adapter_ids=None):
         b = P(DATA_AXIS)
         b2 = P(DATA_AXIS, None)
         quantized = ks is not None
+        if adapter_ids is None and self.has_lora:
+            import numpy as np
+            adapter_ids = np.zeros(len(last), np.int32)
         fn = self._spec_for(num_steps, k_draft, ngram, hist.shape[1],
                             quantized)
         args = (params, k, v) + ((ks, vs) if quantized else ()) + (
             self._put(last, b), self._put(hist, b2),
             self._put(hist_lens, b), self._put(tables, b2),
-            self._put(ctx, b))
+            self._put(ctx, b)) + self._lora_args(adapter_ids)
         return fn(*args)
 
     def _spec_for(self, num_steps: int, k_draft: int, ngram: int,
@@ -152,9 +183,13 @@ class ShardedStepFns:
         if key in self._spec_cache:
             return self._spec_cache[key]
         cfg, tp = self.mcfg, self.tp
+        scaling, has_lora = self._lora_scaling, self.has_lora
         from ..models.speculative import spec_decode_span
 
         def local_step(params, k, v, *rest):
+            adapter_ids = rest[-1] if has_lora else None
+            if has_lora:
+                rest = rest[:-1]
             if quantized:
                 ks, vs, last, hist, hist_lens, tables, ctx = rest
             else:
@@ -163,6 +198,7 @@ class ShardedStepFns:
             out = spec_decode_span(
                 cfg, params, k, v, last, hist, hist_lens, tables, ctx,
                 num_steps, k_draft, ngram, k_scales=ks, v_scales=vs,
+                adapter_ids=adapter_ids, lora_scaling=scaling,
                 tp_axis=MODEL_AXIS if tp > 1 else None, tp_size=tp)
             emitted, counts = out[0], out[1]
             # replicate results so every host reads them locally
@@ -175,10 +211,11 @@ class ShardedStepFns:
         b = P(DATA_AXIS)
         b2 = P(DATA_AXIS, None)
         scale = (self._sspec, self._sspec) if quantized else ()
+        lora_spec = (b,) if has_lora else ()
         sm = _shard_map(
             local_step, self.mesh,
             in_specs=(self._pspecs, self._cspec, self._cspec) + scale
-                     + (b, b2, b, b2, b),
+                     + (b, b2, b, b2, b) + lora_spec,
             out_specs=(P(), P(), self._cspec, self._cspec) + scale)
         fn = jax.jit(sm, donate_argnums=(1, 2, 3, 4) if quantized
                      else (1, 2))
@@ -188,37 +225,45 @@ class ShardedStepFns:
     # -- prefill -----------------------------------------------------------
 
     def prefill_fn(self, params, k, v, tokens, tables, chunk_lens, history,
-                   temp, top_p, top_ks, rng, has_history: bool):
+                   temp, top_p, top_ks, rng, has_history: bool,
+                   adapter_ids=None, lora_scaling=None):
         b = P(DATA_AXIS)
         b2 = P(DATA_AXIS, None)
+        if adapter_ids is None and self.has_lora:
+            import numpy as np
+            adapter_ids = np.zeros(len(chunk_lens), np.int32)
         return self._prefill_for(bool(has_history))(
             params, k, v, self._put(tokens, b2), self._put(tables, b2),
             self._put(chunk_lens, b), self._put(history, b),
             self._put(temp, b), self._put(top_p, b), self._put(top_ks, b),
-            rng)
+            rng, *self._lora_args(adapter_ids))
 
     def _prefill_for(self, has_history: bool):
         if has_history in self._prefill_cache:
             return self._prefill_cache[has_history]
         cfg, tp = self.mcfg, self.tp
+        scaling, has_lora = self._lora_scaling, self.has_lora
 
         def local_step(params, k, v, tokens, tables, chunk_lens, history,
-                       temp, top_p, top_ks, rng):
+                       temp, top_p, top_ks, rng, *lora):
             logits, k, v = model_lib.prefill_step(
                 cfg, params, k, v, tokens, tables, chunk_lens, history,
                 has_history, tp_axis=MODEL_AXIS if tp > 1 else None,
-                tp_size=tp)
+                tp_size=tp,
+                adapter_ids=lora[0] if has_lora else None,
+                lora_scaling=scaling)
             toks = sample_tokens(logits, rng, temp, top_p,
                                  top_k_per_seq=top_ks)
             toks = jax.lax.all_gather(toks, DATA_AXIS, axis=0, tiled=True)
             return toks, k, v
 
         b = P(DATA_AXIS)
+        lora_spec = (b,) if has_lora else ()
         sm = _shard_map(
             local_step, self.mesh,
             in_specs=(self._pspecs, self._cspec, self._cspec,
                       P(DATA_AXIS, None), P(DATA_AXIS, None), b, b, b, b, b,
-                      P()),
+                      P()) + lora_spec,
             out_specs=(P(), self._cspec, self._cspec))
         fn = jax.jit(sm, donate_argnums=(1, 2))
         self._prefill_cache[has_history] = fn
@@ -227,37 +272,45 @@ class ShardedStepFns:
     # -- prefill, int8 KV cache --------------------------------------------
 
     def prefill_fn_q(self, params, k, v, ks, vs, tokens, tables, chunk_lens,
-                     history, temp, top_p, top_ks, rng, has_history: bool):
+                     history, temp, top_p, top_ks, rng, has_history: bool,
+                     adapter_ids=None, lora_scaling=None):
         b = P(DATA_AXIS)
         b2 = P(DATA_AXIS, None)
+        if adapter_ids is None and self.has_lora:
+            import numpy as np
+            adapter_ids = np.zeros(len(chunk_lens), np.int32)
         return self._prefill_q_for(bool(has_history))(
             params, k, v, ks, vs, self._put(tokens, b2),
             self._put(tables, b2), self._put(chunk_lens, b),
             self._put(history, b), self._put(temp, b), self._put(top_p, b),
-            self._put(top_ks, b), rng)
+            self._put(top_ks, b), rng, *self._lora_args(adapter_ids))
 
     def _prefill_q_for(self, has_history: bool):
         if has_history in self._prefill_q_cache:
             return self._prefill_q_cache[has_history]
         cfg, tp = self.mcfg, self.tp
+        scaling, has_lora = self._lora_scaling, self.has_lora
 
         def local_step(params, k, v, ks, vs, tokens, tables, chunk_lens,
-                       history, temp, top_p, top_ks, rng):
+                       history, temp, top_p, top_ks, rng, *lora):
             logits, k, v, ks, vs = model_lib.prefill_step(
                 cfg, params, k, v, tokens, tables, chunk_lens, history,
                 has_history, tp_axis=MODEL_AXIS if tp > 1 else None,
-                tp_size=tp, k_scales=ks, v_scales=vs)
+                tp_size=tp, k_scales=ks, v_scales=vs,
+                adapter_ids=lora[0] if has_lora else None,
+                lora_scaling=scaling)
             toks = sample_tokens(logits, rng, temp, top_p,
                                  top_k_per_seq=top_ks)
             toks = jax.lax.all_gather(toks, DATA_AXIS, axis=0, tiled=True)
             return toks, k, v, ks, vs
 
         b = P(DATA_AXIS)
+        lora_spec = (b,) if has_lora else ()
         sm = _shard_map(
             local_step, self.mesh,
             in_specs=(self._pspecs, self._cspec, self._cspec, self._sspec,
                       self._sspec, P(DATA_AXIS, None), P(DATA_AXIS, None),
-                      b, b, b, b, b, P()),
+                      b, b, b, b, b, P()) + lora_spec,
             out_specs=(P(), self._cspec, self._cspec, self._sspec,
                        self._sspec))
         fn = jax.jit(sm, donate_argnums=(1, 2, 3, 4))

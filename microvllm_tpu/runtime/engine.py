@@ -265,7 +265,8 @@ class InferenceEngine:
             out = self._spec_fn(
                 self.params, self.k_cache, self.v_cache, last, hist,
                 hist_lens, tables, ctx0, steps, k, ngram,
-                ks=self.k_scales, vs=self.v_scales)
+                ks=self.k_scales, vs=self.v_scales,
+                adapter_ids=adapter_ids)
             if self.kv_quantized:
                 (emitted, counts, self.k_cache, self.v_cache,
                  self.k_scales, self.v_scales) = out
@@ -303,9 +304,10 @@ class InferenceEngine:
     # Unified call helpers: hide the (optional) scale-page plumbing.
 
     def _lora_kw(self, adapter_ids) -> dict:
-        """kwargs threading LoRA state into the jitted steps (empty when
-        LoRA is off or the step fns don't take them — the sharded TP fns)."""
-        if self.config.lora is None or self.config.parallel.world_size > 1:
+        """kwargs threading LoRA state into the jitted steps (single-rank
+        and sharded alike; the sharded fns capture the static scaling from
+        config and shard adapter_ids with the batch)."""
+        if self.config.lora is None:
             return {}
         return {"adapter_ids": jnp.asarray(adapter_ids),
                 "lora_scaling": float(self.config.lora.scaling)}
@@ -461,6 +463,7 @@ class InferenceEngine:
         if not 1 <= slot < self.config.lora.max_adapters:
             raise ValueError(f"adapter slot {slot} out of range "
                              f"[1, {self.config.lora.max_adapters})")
+        tp = self.config.parallel.tp_size
         layers = dict(self.params["layers"])
         for name in ("qkv_a", "qkv_b", "o_a", "o_b"):
             key = f"lora_{name}"
@@ -470,6 +473,15 @@ class InferenceEngine:
                 raise ValueError(
                     f"{name}: expected {(stack.shape[0],) + stack.shape[2:]},"
                     f" got {new.shape}")
+            if name == "qkv_b" and tp > 1:
+                # store rank-interleaved so each TP rank's contiguous column
+                # shard is its own (q_r|k_r|v_r) block, matching the fused
+                # wqkv layout (`ops/quant.py::interleave_columns`)
+                from ..ops.quant import interleave_columns
+                qd, kvd = self.mcfg.q_dim, self.mcfg.kv_dim
+                new = interleave_columns(
+                    [new[..., :qd], new[..., qd:qd + kvd],
+                     new[..., qd + kvd:]], tp)
             layers[key] = stack.at[:, slot].set(new)
         self.params = dict(self.params)
         self.params["layers"] = layers
@@ -663,8 +675,8 @@ class InferenceEngine:
         handles both — the r2 gates were over-conservative). Fallbacks are
         counted by reason in metrics.spec_fallbacks so a user can see WHY
         speculation isn't engaging (r2 VERDICT weak #6). The spec span runs
-        under TP/DP too (ShardedStepFns.spec_fn); only TP+LoRA rows fall
-        back (sharded step fns do not thread adapter ids yet)."""
+        under TP/DP too (ShardedStepFns.spec_fn), including LoRA rows
+        (adapter ids are threaded through every sharded step fn)."""
         cfg = self.config
 
         def fallback(reason: str) -> bool:
@@ -674,9 +686,6 @@ class InferenceEngine:
 
         if cfg.spec_k <= 0:
             return False   # speculation off — not a fallback
-        if (cfg.parallel.world_size > 1
-                and any(s.adapter_id != 0 for s in seqs)):
-            return fallback("tp_lora")  # sharded fns don't thread adapters
         if any(s.sampling.temperature > 0.0 for s in seqs):
             return fallback("sampled")  # greedy-only (bit-identical)
         reserve = cfg.spec_steps * (cfg.spec_k + 1)

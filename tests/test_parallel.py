@@ -254,6 +254,102 @@ def test_sharded_engine_with_quantized_weights():
     assert qo == ro
 
 
+@pytest.mark.parametrize("tp,dp", [(2, 1), (2, 2)])
+def test_sharded_engine_lora_matches_single_device(tp, dp):
+    """Multi-LoRA under TP/DP: a mixed-adapter batch on the sharded engine
+    reproduces the single-device LoRA engine exactly. Exercises the
+    rank-interleaved lora_qkv_b column shard (matching the fused wqkv
+    layout) and the psummed [B, r] o-proj intermediate."""
+    from microvllm_tpu.config import LoRAConfig
+
+    mcfg = ModelConfig.tiny(num_heads=8, num_kv_heads=4, head_dim=32,
+                            hidden_size=128, intermediate_size=256,
+                            dtype="float32")
+    lc = LoRAConfig(rank=4, max_adapters=4, alpha=8.0)
+
+    def cfg(parallel=None):
+        return tiny_cfg(parallel).replace(model=mcfg, lora=lc)
+
+    def adapter(seed):
+        kg = jax.random.PRNGKey
+        L, H, r = mcfg.num_layers, mcfg.hidden_size, lc.rank
+        qkv_out = mcfg.q_dim + 2 * mcfg.kv_dim
+        return {
+            "qkv_a": jax.random.normal(kg(seed), (L, H, r)) * 0.3,
+            "qkv_b": jax.random.normal(kg(seed + 1), (L, r, qkv_out)) * 0.3,
+            "o_a": jax.random.normal(kg(seed + 2), (L, mcfg.q_dim, r)) * 0.3,
+            "o_b": jax.random.normal(kg(seed + 3), (L, r, mcfg.hidden_size))
+                   * 0.3,
+        }
+
+    from microvllm_tpu.models import transformer as T
+    base_params = T.init_params(mcfg, jax.random.PRNGKey(7))
+    ad1, ad2 = adapter(10), adapter(20)
+
+    def run(engine):
+        engine.load_adapter(jax.tree.map(jnp.copy, ad1))
+        engine.load_adapter(jax.tree.map(jnp.copy, ad2))
+        sp = SamplingParams(temperature=0.0, max_new_tokens=6)
+        prompts = [[3, 1, 4, 1], [9, 2, 6], [5, 5, 5], [2, 7]]
+        sids = [engine.add_request(prompt_token_ids=p, sampling=sp,
+                                   adapter_id=aid)
+                for p, aid in zip(prompts, [1, 0, 2, 1])]
+        while not engine.scheduler.is_finished():
+            engine.step()
+        done = {q.seq_id: q for q in engine.scheduler.pop_finished()}
+        return [done[s].output_token_ids for s in sids]
+
+    ref = run(InferenceEngine(cfg(), params=jax.tree.map(jnp.copy,
+                                                         base_params)))
+    got = run(InferenceEngine(cfg(ParallelConfig(tp_size=tp, dp_size=dp)),
+                              params=jax.tree.map(jnp.copy, base_params)))
+    assert got == ref
+
+
+def test_sharded_engine_spec_with_lora():
+    """Speculation + LoRA + TP compose: greedy outputs of the sharded
+    speculative engine match the sharded non-speculative one, speculation
+    engages, and no tp_lora fallback is counted (the r2 gate is lifted)."""
+    import dataclasses
+
+    from microvllm_tpu.config import LoRAConfig
+    from microvllm_tpu.models import transformer as T
+
+    mcfg = ModelConfig.tiny(num_heads=8, num_kv_heads=4, head_dim=32,
+                            hidden_size=128, intermediate_size=256,
+                            dtype="float32")
+    lc = LoRAConfig(rank=4, max_adapters=2, alpha=8.0)
+    base = tiny_cfg(ParallelConfig(tp_size=2, dp_size=1)).replace(
+        model=mcfg, lora=lc)
+    params = T.init_params(mcfg, jax.random.PRNGKey(3))
+    kg = jax.random.PRNGKey
+    L, H, r = mcfg.num_layers, mcfg.hidden_size, lc.rank
+    ad = {"qkv_a": jax.random.normal(kg(1), (L, H, r)) * 0.3,
+          "qkv_b": jax.random.normal(
+              kg(2), (L, r, mcfg.q_dim + 2 * mcfg.kv_dim)) * 0.3,
+          "o_a": jax.random.normal(kg(3), (L, mcfg.q_dim, r)) * 0.3,
+          "o_b": jax.random.normal(kg(4), (L, r, H)) * 0.3}
+
+    def run(cfg_):
+        eng = InferenceEngine(cfg_, params=jax.tree.map(jnp.copy, params))
+        eng.load_adapter(jax.tree.map(jnp.copy, ad))
+        sp = SamplingParams(temperature=0.0, max_new_tokens=12)
+        prompts = [[1, 2, 3, 4, 5], [4, 4, 4, 4]]
+        sids = [eng.add_request(prompt_token_ids=p, sampling=sp,
+                                adapter_id=aid)
+                for p, aid in zip(prompts, [1, 0])]
+        while not eng.scheduler.is_finished():
+            eng.step()
+        done = {q.seq_id: q for q in eng.scheduler.pop_finished()}
+        return [done[s].output_token_ids for s in sids], eng
+
+    ref, _ = run(base)
+    got, eng = run(dataclasses.replace(base, spec_k=3, spec_steps=2))
+    assert got == ref
+    assert eng.metrics.spec_rounds > 0
+    assert eng.metrics.spec_fallbacks.get("tp_lora", 0) == 0
+
+
 def test_sharded_engine_speculative_matches_plain_tp():
     """The speculative span runs under TP/DP (ShardedStepFns.spec_fn):
     greedy outputs match the non-speculative sharded engine and
