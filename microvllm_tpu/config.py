@@ -233,6 +233,9 @@ class CacheConfig:
     num_pages: int = 256          # total pages, including trash page 0
     page_size: int = 64           # tokens per page (multiple of 16)
     max_pages_per_seq: int = 32   # static width of block tables
+    prefix_cache: bool = False    # content-addressed reuse of full KV pages
+                                  # across requests (vLLM-style automatic
+                                  # prefix caching; absent in the reference)
 
     @property
     def max_context(self) -> int:

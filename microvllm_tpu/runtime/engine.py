@@ -219,6 +219,7 @@ class InferenceEngine:
 
         from .native_alloc import make_allocator
         self.allocator = make_allocator(config.cache)  # C++ when buildable
+        self._prefix_caching = hasattr(self.allocator, "register_seq")
         self.scheduler = Scheduler(config.scheduler, config.max_model_len,
                                    allocator=self.allocator)
         self.metrics = EngineMetrics()
@@ -611,6 +612,13 @@ class InferenceEngine:
             adapter_ids=adapters if self.config.lora else None)
 
         self.scheduler.on_prefill_done(batch)
+        if self._prefix_caching:
+            # index this chunk's full pages (their KV is computed — the
+            # readback above synchronized) so later requests can reuse them
+            for seq in seqs:
+                self.allocator.register_seq(
+                    seq.seq_id, seq.prompt_token_ids + seq.output_token_ids,
+                    seq.num_prefilled)
         produced = 0
         for i, seq in enumerate(seqs):
             self.metrics.tokens_prefilled += int(chunk_lens[i])

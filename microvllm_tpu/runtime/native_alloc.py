@@ -192,9 +192,13 @@ class NativePageAllocator:
 
 
 def make_allocator(cfg: CacheConfig):
-    """Native if buildable, else the Python allocator."""
-    from .kv_cache import PageAllocator
+    """Native if buildable, else the Python allocator. Prefix caching uses
+    the Python :class:`PrefixCachingAllocator` (hash index + LRU + refcounts
+    are host bookkeeping off the hot decode path)."""
+    from .kv_cache import PageAllocator, PrefixCachingAllocator
 
+    if getattr(cfg, "prefix_cache", False):
+        return PrefixCachingAllocator(cfg)
     if native_available():
         try:
             return NativePageAllocator(cfg)

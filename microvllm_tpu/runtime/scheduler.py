@@ -235,6 +235,7 @@ class Scheduler:
             self.waiting.remove(seq)
             seq.state = SeqState.PREFILLING
             self.prefilling.append(seq)
+            self._try_prefix_match(seq)
         bs = pick_bucket(len(seqs), self.cfg.prefill_batch_buckets)
         sample_mask = [
             self._chunk_len_for(seq) + seq.num_prefilled >= self._prefill_target(seq)
@@ -242,6 +243,23 @@ class Scheduler:
             for seq in seqs
         ]
         return ScheduledBatch("prefill", seqs, bs, bucket, sample_mask)
+
+    def _try_prefix_match(self, seq: Sequence) -> None:
+        """Prefix-cache admission hook: install the longest cached page
+        chain and skip prefilling the covered tokens (no-op unless the
+        allocator is a :class:`PrefixCachingAllocator`). Runs at admission
+        so the chunk sizing, sample mask, and the engine's page commits all
+        see the advanced ``num_prefilled``."""
+        alloc = self.allocator
+        if alloc is None or not hasattr(alloc, "allocate_prefix"):
+            return
+        if seq.num_prefilled or alloc.has_seq(seq.seq_id):
+            return
+        target = self._prefill_target(seq)
+        ids = (seq.prompt_token_ids + seq.output_token_ids)[:target]
+        matched = alloc.allocate_prefix(seq.seq_id, ids, target)
+        if matched:
+            seq.num_prefilled = matched
 
     def _form_decode_batch(self) -> ScheduledBatch:
         """Pick up to `cap` running sequences: strict priority order, with

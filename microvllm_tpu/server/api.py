@@ -633,6 +633,15 @@ def build_app(server: EngineServer) -> web.Application:
         m = engine.metrics
         extra = ({"replicated_finished": server.replicated_finished}
                  if server.is_follower else {})
+        alloc = engine.allocator
+        if hasattr(alloc, "hits"):      # prefix caching on
+            total = alloc.hits + alloc.misses
+            extra["prefix_cache"] = {
+                "page_hits": alloc.hits,
+                "page_misses": alloc.misses,
+                "evictions": alloc.evictions,
+                "hit_rate": round(alloc.hits / total, 4) if total else 0.0,
+            }
         return web.json_response({
             **extra,
             "steps": m.steps,
@@ -782,6 +791,10 @@ def main() -> None:
     ap.add_argument("--fanout-followers", type=int, default=0,
                     help="leader: block until this many followers connect "
                          "before serving")
+    ap.add_argument("--prefix-cache", action="store_true",
+                    help="automatic prefix caching: requests sharing a "
+                         "prompt prefix reuse its KV pages and skip "
+                         "prefilling them (hit stats in /metrics)")
     args = ap.parse_args()
 
     logging.basicConfig(level=logging.INFO)
@@ -824,7 +837,8 @@ def main() -> None:
     cfg = EngineConfig(
         model=mcfg,
         cache=CacheConfig(num_pages=args.kv_pages, page_size=args.page_size,
-                          max_pages_per_seq=args.max_pages_per_seq),
+                          max_pages_per_seq=args.max_pages_per_seq,
+                          prefix_cache=args.prefix_cache),
         scheduler=sched,
         quant=QuantConfig(weight_bits=args.bits, kv_bits=args.kv_bits),
         max_model_len=args.max_model_len,
