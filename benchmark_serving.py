@@ -22,12 +22,23 @@ import aiohttp
 PROMPT_IDS = [list(range(3, 3 + n)) for n in (16, 32, 64, 100, 180)]
 
 
+def make_prompt(shared_prefix: int) -> list[int]:
+    """A benchmark prompt; with --shared-prefix N every request starts with
+    the same N-token "system prompt" (the automatic-prefix-caching serving
+    scenario: the shared pages prefill once, every later request skips
+    them — run the server with --prefix-cache to see the TTFT win)."""
+    tail = random.choice(PROMPT_IDS)
+    if shared_prefix <= 0:
+        return tail
+    return [7] * shared_prefix + tail
+
+
 async def send_request(session: aiohttp.ClientSession, url: str,
                        max_tokens: int, sem: asyncio.Semaphore,
-                       results: list) -> None:
+                       results: list, shared_prefix: int = 0) -> None:
     async with sem:
         body = {
-            "prompt_token_ids": random.choice(PROMPT_IDS),
+            "prompt_token_ids": make_prompt(shared_prefix),
             "max_tokens": max_tokens,
             "temperature": 0.7,
             "ignore_eos": True,
@@ -64,7 +75,8 @@ async def main_async(args) -> None:
     async with aiohttp.ClientSession(connector=conn, timeout=timeout) as s:
         t0 = time.monotonic()
         await asyncio.gather(*[
-            send_request(s, args.url, args.max_tokens, sem, results)
+            send_request(s, args.url, args.max_tokens, sem, results,
+                         args.shared_prefix)
             for _ in range(args.requests)])
         wall = time.monotonic() - t0
 
@@ -89,6 +101,10 @@ def main() -> None:
     ap.add_argument("--concurrency", type=int, default=8)
     ap.add_argument("--requests", type=int, default=16)
     ap.add_argument("--max-tokens", type=int, default=128)
+    ap.add_argument("--shared-prefix", type=int, default=0,
+                    help="prepend a common N-token prefix to every prompt "
+                         "(prefix-caching scenario; pair with a server "
+                         "started with --prefix-cache)")
     args = ap.parse_args()
     asyncio.run(main_async(args))
 
