@@ -166,6 +166,15 @@ class InferenceEngine:
             self.eos_token_id = getattr(tokenizer, "eos_token_id", None)
 
         self._rng = jax.random.PRNGKey(config.seed)
+        # all-greedy steps never consume randomness (the sampler's greedy
+        # fast path skips the rng branch), so they reuse one device-resident
+        # key instead of paying a jax.random.split dispatch per span — on
+        # the axon tunnel every tiny dispatch is a host round-trip
+        self._greedy_rng = jax.random.PRNGKey(0)
+        # device-buffer cache for slow-changing per-batch sampling arrays
+        # (temperature/top_p/top_k/adapters are constant across the spans of
+        # a steady batch; re-uploading them per span costs tunnel puts)
+        self._sampling_buf_cache: dict = {}
         if params is None:
             logger.info("initializing random params (no checkpoint given)")
             params = model_lib.init_params(
@@ -310,48 +319,71 @@ class InferenceEngine:
         config and shard adapter_ids with the batch)."""
         if self.config.lora is None:
             return {}
-        return {"adapter_ids": jnp.asarray(adapter_ids),
+        return {"adapter_ids": self._put_cached(
+                    "adapters", np.asarray(adapter_ids, np.int32)),
                 "lora_scaling": float(self.config.lora.scaling)}
+
+    def _put_cached(self, name: str, arr: np.ndarray):
+        """Device-put with a value-keyed cache: the sampling arrays of a
+        steady decode batch are identical span after span, so reuse the
+        buffer instead of paying a tunnel put each time."""
+        key = (name, arr.shape, arr.dtype.str, arr.tobytes())
+        buf = self._sampling_buf_cache.get(key)
+        if buf is None:
+            if len(self._sampling_buf_cache) >= 128:
+                self._sampling_buf_cache.clear()
+            buf = jnp.asarray(arr)
+            self._sampling_buf_cache[key] = buf
+        return buf
+
+    def _span_rng(self, temperature: np.ndarray) -> jax.Array:
+        """Greedy spans never consume randomness — skip the per-span
+        jax.random.split dispatch (one fewer tunnel round-trip)."""
+        if not temperature.any():
+            return self._greedy_rng
+        return self._step_rng()
 
     def _call_decode(self, tokens, tables, context, temperature, top_p,
                      top_ks, span: int, adapter_ids=None) -> np.ndarray:
         kw = self._lora_kw(adapter_ids) if adapter_ids is not None else {}
+        rng = self._span_rng(temperature)
+        samp = (self._put_cached("temp", temperature),
+                self._put_cached("top_p", top_p),
+                self._put_cached("top_k", top_ks))
         if self.kv_quantized:
             (toks, self.k_cache, self.v_cache, self.k_scales,
              self.v_scales) = self._decode_q_fn(
                 self.params, self.k_cache, self.v_cache,
                 self.k_scales, self.v_scales, jnp.asarray(tokens),
                 jnp.asarray(tables), jnp.asarray(context),
-                jnp.asarray(temperature), jnp.asarray(top_p),
-                jnp.asarray(top_ks), self._step_rng(), span, **kw)
+                *samp, rng, span, **kw)
         else:
             toks, self.k_cache, self.v_cache = self._decode_fn(
                 self.params, self.k_cache, self.v_cache, jnp.asarray(tokens),
                 jnp.asarray(tables), jnp.asarray(context),
-                jnp.asarray(temperature), jnp.asarray(top_p),
-                jnp.asarray(top_ks), self._step_rng(), span, **kw)
+                *samp, rng, span, **kw)
         return np.asarray(toks)
 
     def _call_prefill(self, tokens, tables, chunk_lens, history, temperature,
                       top_p, top_ks, has_history: bool,
                       adapter_ids=None) -> np.ndarray:
         kw = self._lora_kw(adapter_ids) if adapter_ids is not None else {}
+        rng = self._span_rng(temperature)
+        samp = (self._put_cached("temp", temperature),
+                self._put_cached("top_p", top_p),
+                self._put_cached("top_k", top_ks))
         if self.kv_quantized:
             (toks, self.k_cache, self.v_cache, self.k_scales,
              self.v_scales) = self._prefill_q_fn(
                 self.params, self.k_cache, self.v_cache,
                 self.k_scales, self.v_scales, jnp.asarray(tokens),
                 jnp.asarray(tables), jnp.asarray(chunk_lens),
-                jnp.asarray(history), jnp.asarray(temperature),
-                jnp.asarray(top_p), jnp.asarray(top_ks), self._step_rng(),
-                has_history, **kw)
+                jnp.asarray(history), *samp, rng, has_history, **kw)
         else:
             toks, self.k_cache, self.v_cache = self._prefill_fn(
                 self.params, self.k_cache, self.v_cache, jnp.asarray(tokens),
                 jnp.asarray(tables), jnp.asarray(chunk_lens),
-                jnp.asarray(history), jnp.asarray(temperature),
-                jnp.asarray(top_p), jnp.asarray(top_ks), self._step_rng(),
-                has_history, **kw)
+                jnp.asarray(history), *samp, rng, has_history, **kw)
         return np.asarray(toks)
 
     def warmup(self, decode_buckets: Optional[Seq[int]] = None,
