@@ -887,10 +887,23 @@ class InferenceEngine:
 
     # -- helpers -----------------------------------------------------------
 
+    def _hits_stop_string(self, seq: Sequence) -> bool:
+        """Whether the decoded output tail now contains a stop string.
+        Decodes only a bounded token window (longest stop string + slack),
+        so the per-token cost stays O(1) in output length."""
+        stops = seq.sampling.stop
+        window = 8 + max(len(s) for s in stops)   # 1 token >= 1 char
+        tail = self.tokenizer.decode(seq.output_token_ids[-window:])
+        return any(s in tail for s in stops)
+
     def _apply_token(self, seq: Sequence, token_id: int) -> None:
         finished = seq.append_output(token_id, self.eos_token_id)
         if seq.num_tokens >= self._len_cap and not finished:
             seq.finish(FinishReason.LENGTH)
+            finished = True
+        if (not finished and seq.sampling.stop and self.tokenizer is not None
+                and self._hits_stop_string(seq)):
+            seq.finish(FinishReason.STOP)
             finished = True
         # Bookkeeping precedes the callback so a consumer seeing
         # finished=True can already fetch the sequence from

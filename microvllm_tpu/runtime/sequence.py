@@ -37,6 +37,10 @@ class SamplingParams:
     top_k: int = 64
     max_new_tokens: int = 512
     stop_token_ids: tuple[int, ...] = ()
+    # stop strings: finish (reason "stop") once the DECODED output contains
+    # any of these (requires an engine tokenizer; the completing token is
+    # included in the output). Beyond the reference; vLLM's `stop=[...]`.
+    stop: tuple[str, ...] = ()
     ignore_eos: bool = False
 
 

@@ -278,6 +278,7 @@ class EngineServer:
         if kind == "request":
             sp = dict(rec["sampling"])
             sp["stop_token_ids"] = tuple(sp.get("stop_token_ids", ()))
+            sp["stop"] = tuple(sp.get("stop", ()))
             try:
                 seq_id = self.engine.add_request(
                     prompt_token_ids=rec["prompt_token_ids"],
@@ -451,11 +452,23 @@ def _parse_sampling(data: dict[str, Any], default_max: int) -> SamplingParams:
     top_k = min(top_k, _SAMPLER_POOL)
     if max_tokens < 1:
         raise _bad_request("max_tokens must be >= 1")
+    stop_ids = data.get("stop_token_ids", ())
+    if not (isinstance(stop_ids, (list, tuple))
+            and all(isinstance(t, int) for t in stop_ids)):
+        raise _bad_request("stop_token_ids must be a list of ints")
+    stop = data.get("stop", ())
+    if isinstance(stop, str):
+        stop = (stop,)
+    if not (isinstance(stop, (list, tuple))
+            and all(isinstance(s, str) and s for s in stop)):
+        raise _bad_request("stop must be a non-empty string or a list of them")
     return SamplingParams(
         temperature=temperature,
         top_p=top_p,
         top_k=top_k,
         max_new_tokens=max_tokens,
+        stop_token_ids=tuple(stop_ids),
+        stop=tuple(stop),
         ignore_eos=bool(data.get("ignore_eos", False)),
     )
 

@@ -88,6 +88,35 @@ def test_eos_stops_generation():
     assert seq.finish_reason == FinishReason.STOP
 
 
+class _FakeTokenizer:
+    """Maps token id i to the text "<i>" — enough to test stop strings."""
+    eos_token_id = None
+
+    def decode(self, ids):
+        return "".join(f"<{i}>" for i in ids)
+
+
+def test_stop_strings():
+    tok = _FakeTokenizer()
+    eng = tiny_engine()
+    [probe] = eng.generate([[1, 2, 3]], sampling=greedy(6))
+    out = probe.output_token_ids
+    stop = tok.decode(out[1:3])     # completes once tokens 2..3 are emitted
+    expect = next(k for k in range(1, len(out) + 1)
+                  if stop in tok.decode(out[:k]))
+
+    eng2 = tiny_engine()
+    eng2.tokenizer = tok
+    sp = SamplingParams(temperature=0.0, max_new_tokens=6, stop=(stop,))
+    [seq] = eng2.generate([[1, 2, 3]], sampling=sp)
+    # stops on the token that completes the stop string (included)
+    assert seq.output_token_ids == out[:expect]
+    assert seq.finish_reason == FinishReason.STOP
+    # without a tokenizer, stop strings are inert
+    [plain] = eng.generate([[1, 2, 3]], sampling=sp)
+    assert plain.output_token_ids == out
+
+
 def test_long_prompt_chunked_prefill():
     eng = tiny_engine()
     prompt = list(np.arange(100) % 50 + 1)

@@ -81,6 +81,28 @@ def test_generate_missing_prompt_400(client, loop):
     loop.run_until_complete(go())
 
 
+def test_stop_params_validated(client, loop):
+    async def go():
+        # bad stop types are 400; valid stop_token_ids actually stop
+        r = await client.post("/generate", json={
+            "prompt_token_ids": [1, 2], "stop": [3]})
+        assert r.status == 400
+        r = await client.post("/generate", json={
+            "prompt_token_ids": [1, 2], "stop_token_ids": ["x"]})
+        assert r.status == 400
+        r = await client.post("/generate", json={
+            "prompt_token_ids": [1, 2, 3, 4], "max_tokens": 6,
+            "temperature": 0.0})
+        first = (await r.json())["token_ids"][0]
+        r = await client.post("/generate", json={
+            "prompt_token_ids": [1, 2, 3, 4], "max_tokens": 6,
+            "temperature": 0.0, "stop_token_ids": [first]})
+        data = await r.json()
+        assert data["token_ids"] == [first]
+        assert data["finish_reason"] == "stop"
+    loop.run_until_complete(go())
+
+
 def test_generate_prompt_without_tokenizer_400(client, loop):
     async def go():
         resp = await client.post("/generate", json={"prompt": "hello"})
