@@ -309,12 +309,21 @@ class EngineConfig:
     spec_k: int = 0
     spec_steps: int = 4
     spec_ngram: int = 2
+    # Per-token logprobs (0 = off). When > 0 the decode/prefill steps emit
+    # each token's log-probability + the top-k alternatives (raw-logit
+    # log-softmax) as extra device outputs — a separate compiled variant,
+    # warmed with the rest, so enabling it is an engine-build choice rather
+    # than a mid-serving cold compile. Requests opt in per-call via
+    # SamplingParams.logprobs <= logprobs_k.
+    logprobs_k: int = 0
 
     def replace(self, **kw) -> "EngineConfig":
         return dataclasses.replace(self, **kw)
 
     def validate(self) -> None:
         m, c = self.model, self.cache
+        if not 0 <= self.logprobs_k <= 32:
+            raise ValueError("logprobs_k must be in [0, 32]")
         if c.page_size % 16 != 0:
             raise ValueError(f"page_size {c.page_size} must be a multiple of 16")
         if self.max_model_len > c.max_context:

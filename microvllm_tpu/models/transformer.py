@@ -428,17 +428,21 @@ def decode_span(cfg: ModelConfig, params: Params,
                 top_ks: jnp.ndarray | None = None,
                 adapter_ids: jnp.ndarray | None = None,
                 lora_scaling: float = 1.0,
+                logprobs_k: int = 0,
                 ):
     """Run ``num_steps`` decode steps entirely on device, feeding each
     sampled token into the next step (no host round-trips — the TPU
     equivalent of replaying a captured CUDA graph N times, but with
     sampling fused in).
 
-    Returns (tokens ``[B, num_steps]`` int32, new_k, new_v[, new_k_scales,
-    new_v_scales]). Sequences that hit EOS mid-span keep generating; the
-    host discards the tail.
+    Returns (tokens ``[B, num_steps]`` int32, lp, new_k, new_v[,
+    new_k_scales, new_v_scales]) where ``lp`` is ``()`` when
+    ``logprobs_k == 0``, else ``(chosen [B, S] f32, top [B, S, K] f32,
+    top_ids [B, S, K] int32)`` — raw-logit log-softmax per emitted token.
+    Sequences that hit EOS mid-span keep generating; the host discards
+    the tail.
     """
-    from ..ops.sampling import sample_tokens
+    from ..ops.sampling import sample_tokens, token_logprobs
 
     quantized = k_scales is not None
 
@@ -457,14 +461,21 @@ def decode_span(cfg: ModelConfig, params: Params,
         key, sub = jax.random.split(key)
         nxt = sample_tokens(logits, sub, temperature, top_p,
                             top_k_per_seq=top_ks)
-        return (nxt, ctx + 1, kc, vc, ks, vs, key), nxt
+        out = (nxt,)
+        if logprobs_k:
+            out += token_logprobs(logits, nxt, logprobs_k)
+        return (nxt, ctx + 1, kc, vc, ks, vs, key), out
 
     (_, _, k_cache, v_cache, k_scales, v_scales, _), out = jax.lax.scan(
         body, (tokens, context_lens, k_cache, v_cache, k_scales, v_scales,
                rng), None, length=num_steps)
+    toks = out[0].T                                   # [B, num_steps]
+    lp = ()
+    if logprobs_k:
+        lp = (out[1].T, out[2].transpose(1, 0, 2), out[3].transpose(1, 0, 2))
     if not quantized:
-        return out.T, k_cache, v_cache                # [B, num_steps]
-    return out.T, k_cache, v_cache, k_scales, v_scales
+        return toks, lp, k_cache, v_cache
+    return toks, lp, k_cache, v_cache, k_scales, v_scales
 
 
 # ---------------------------------------------------------------------------

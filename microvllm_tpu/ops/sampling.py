@@ -66,3 +66,21 @@ def sample_tokens(logits: jnp.ndarray, rng: jax.Array,
     # program serves both cases.
     return jax.lax.cond(jnp.any(temperature > 0.0), _stochastic,
                         lambda _: greedy, operand=None)
+
+
+def token_logprobs(logits: jnp.ndarray, tokens: jnp.ndarray, k: int):
+    """Per-token log-probabilities for a sampled batch.
+
+    logits: ``[B, V]`` float; tokens: ``[B]`` int32 (already sampled).
+    Returns (chosen_lp ``[B]`` f32, top_lp ``[B, k]`` f32, top_ids
+    ``[B, k]`` int32). Log-softmax of the RAW logits (temperature /
+    top-k/p filtering do not change what the model believed), matching
+    what API consumers expect from an OpenAI-style ``logprobs`` field.
+    """
+    logits = logits.astype(jnp.float32)
+    lse = jax.nn.logsumexp(logits, axis=-1, keepdims=True)   # [B, 1]
+    lp = logits - lse
+    chosen = jnp.take_along_axis(lp, tokens[:, None].astype(jnp.int32),
+                                 axis=-1)[:, 0]
+    top_lp, top_ids = jax.lax.top_k(lp, k)
+    return chosen, top_lp, top_ids.astype(jnp.int32)

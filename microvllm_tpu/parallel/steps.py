@@ -43,6 +43,7 @@ class ShardedStepFns:
         self.has_lora = config.lora is not None
         self._lora_scaling = (float(config.lora.scaling)
                               if self.has_lora else 1.0)
+        self._lp_k = config.logprobs_k   # static: engine-wide logprob mode
         self._pspecs = param_specs(params)
         self._cspec = cache_spec(self.mcfg, self.tp)
         self._sspec = scale_spec(self.mcfg, self.tp)
@@ -71,9 +72,19 @@ class ShardedStepFns:
         assert adapter_ids is not None
         return (self._put(adapter_ids, P(DATA_AXIS)),)
 
+    @staticmethod
+    def _gather_lp(lp):
+        """Replicate per-rank logprob shards so every host reads them."""
+        return tuple(jax.lax.all_gather(x, DATA_AXIS, axis=0, tiled=True)
+                     for x in lp)
+
+    @property
+    def _lp_out_specs(self):
+        return (P(), P(), P()) if self._lp_k else ()
+
     def decode_fn(self, params, k, v, tokens, tables, ctx, temp, top_p,
                   top_ks, rng, span: int, adapter_ids=None,
-                  lora_scaling=None):
+                  lora_scaling=None, logprobs_k=None):
         b = P(DATA_AXIS)
         if adapter_ids is None and self.has_lora:
             import numpy as np
@@ -89,18 +100,19 @@ class ShardedStepFns:
             return self._decode_cache[span]
         cfg, tp = self.mcfg, self.tp
         scaling, has_lora = self._lora_scaling, self.has_lora
+        lp_k = self._lp_k
 
         def local_step(params, k, v, tokens, tables, ctx, temp, top_p,
                        top_ks, rng, *lora):
-            toks, k, v = model_lib.decode_span(
+            toks, lp, k, v = model_lib.decode_span(
                 cfg, params, k, v, tokens, tables, ctx, temp, top_p, rng,
                 span, tp_axis=MODEL_AXIS if tp > 1 else None, tp_size=tp,
                 top_ks=top_ks,
                 adapter_ids=lora[0] if has_lora else None,
-                lora_scaling=scaling)
+                lora_scaling=scaling, logprobs_k=lp_k)
             # replicate sampled tokens so every host reads them locally
             toks = jax.lax.all_gather(toks, DATA_AXIS, axis=0, tiled=True)
-            return toks, k, v
+            return toks, self._gather_lp(lp), k, v
 
         b = P(DATA_AXIS)
         lora_spec = (b,) if has_lora else ()
@@ -108,7 +120,7 @@ class ShardedStepFns:
             local_step, self.mesh,
             in_specs=(self._pspecs, self._cspec, self._cspec, b,
                       P(DATA_AXIS, None), b, b, b, b, P()) + lora_spec,
-            out_specs=(P(), self._cspec, self._cspec))
+            out_specs=(P(), self._lp_out_specs, self._cspec, self._cspec))
         fn = jax.jit(sm, donate_argnums=(1, 2))
         self._decode_cache[span] = fn
         return fn
@@ -117,7 +129,7 @@ class ShardedStepFns:
 
     def decode_fn_q(self, params, k, v, ks, vs, tokens, tables, ctx, temp,
                     top_p, top_ks, rng, span: int, adapter_ids=None,
-                    lora_scaling=None):
+                    lora_scaling=None, logprobs_k=None):
         b = P(DATA_AXIS)
         if adapter_ids is None and self.has_lora:
             import numpy as np
@@ -133,17 +145,18 @@ class ShardedStepFns:
             return self._decode_q_cache[span]
         cfg, tp = self.mcfg, self.tp
         scaling, has_lora = self._lora_scaling, self.has_lora
+        lp_k = self._lp_k
 
         def local_step(params, k, v, ks, vs, tokens, tables, ctx, temp,
                        top_p, top_ks, rng, *lora):
-            toks, k, v, ks, vs = model_lib.decode_span(
+            toks, lp, k, v, ks, vs = model_lib.decode_span(
                 cfg, params, k, v, tokens, tables, ctx, temp, top_p, rng,
                 span, tp_axis=MODEL_AXIS if tp > 1 else None, tp_size=tp,
                 k_scales=ks, v_scales=vs, top_ks=top_ks,
                 adapter_ids=lora[0] if has_lora else None,
-                lora_scaling=scaling)
+                lora_scaling=scaling, logprobs_k=lp_k)
             toks = jax.lax.all_gather(toks, DATA_AXIS, axis=0, tiled=True)
-            return toks, k, v, ks, vs
+            return toks, self._gather_lp(lp), k, v, ks, vs
 
         b = P(DATA_AXIS)
         lora_spec = (b,) if has_lora else ()
@@ -152,8 +165,8 @@ class ShardedStepFns:
             in_specs=(self._pspecs, self._cspec, self._cspec, self._sspec,
                       self._sspec, b, P(DATA_AXIS, None), b, b, b, b, P())
                      + lora_spec,
-            out_specs=(P(), self._cspec, self._cspec, self._sspec,
-                       self._sspec))
+            out_specs=(P(), self._lp_out_specs, self._cspec, self._cspec,
+                       self._sspec, self._sspec))
         fn = jax.jit(sm, donate_argnums=(1, 2, 3, 4))
         self._decode_q_cache[span] = fn
         return fn
@@ -226,7 +239,7 @@ class ShardedStepFns:
 
     def prefill_fn(self, params, k, v, tokens, tables, chunk_lens, history,
                    temp, top_p, top_ks, rng, has_history: bool,
-                   adapter_ids=None, lora_scaling=None):
+                   adapter_ids=None, lora_scaling=None, logprobs_k=None):
         b = P(DATA_AXIS)
         b2 = P(DATA_AXIS, None)
         if adapter_ids is None and self.has_lora:
@@ -244,6 +257,8 @@ class ShardedStepFns:
         cfg, tp = self.mcfg, self.tp
         scaling, has_lora = self._lora_scaling, self.has_lora
 
+        lp_k = self._lp_k
+
         def local_step(params, k, v, tokens, tables, chunk_lens, history,
                        temp, top_p, top_ks, rng, *lora):
             logits, k, v = model_lib.prefill_step(
@@ -254,8 +269,12 @@ class ShardedStepFns:
                 lora_scaling=scaling)
             toks = sample_tokens(logits, rng, temp, top_p,
                                  top_k_per_seq=top_ks)
+            lp = ()
+            if lp_k:
+                from ..ops.sampling import token_logprobs
+                lp = self._gather_lp(token_logprobs(logits, toks, lp_k))
             toks = jax.lax.all_gather(toks, DATA_AXIS, axis=0, tiled=True)
-            return toks, k, v
+            return toks, lp, k, v
 
         b = P(DATA_AXIS)
         lora_spec = (b,) if has_lora else ()
@@ -264,7 +283,7 @@ class ShardedStepFns:
             in_specs=(self._pspecs, self._cspec, self._cspec,
                       P(DATA_AXIS, None), P(DATA_AXIS, None), b, b, b, b, b,
                       P()) + lora_spec,
-            out_specs=(P(), self._cspec, self._cspec))
+            out_specs=(P(), self._lp_out_specs, self._cspec, self._cspec))
         fn = jax.jit(sm, donate_argnums=(1, 2))
         self._prefill_cache[has_history] = fn
         return fn
@@ -273,7 +292,7 @@ class ShardedStepFns:
 
     def prefill_fn_q(self, params, k, v, ks, vs, tokens, tables, chunk_lens,
                      history, temp, top_p, top_ks, rng, has_history: bool,
-                     adapter_ids=None, lora_scaling=None):
+                     adapter_ids=None, lora_scaling=None, logprobs_k=None):
         b = P(DATA_AXIS)
         b2 = P(DATA_AXIS, None)
         if adapter_ids is None and self.has_lora:
@@ -291,6 +310,8 @@ class ShardedStepFns:
         cfg, tp = self.mcfg, self.tp
         scaling, has_lora = self._lora_scaling, self.has_lora
 
+        lp_k = self._lp_k
+
         def local_step(params, k, v, ks, vs, tokens, tables, chunk_lens,
                        history, temp, top_p, top_ks, rng, *lora):
             logits, k, v, ks, vs = model_lib.prefill_step(
@@ -301,8 +322,12 @@ class ShardedStepFns:
                 lora_scaling=scaling)
             toks = sample_tokens(logits, rng, temp, top_p,
                                  top_k_per_seq=top_ks)
+            lp = ()
+            if lp_k:
+                from ..ops.sampling import token_logprobs
+                lp = self._gather_lp(token_logprobs(logits, toks, lp_k))
             toks = jax.lax.all_gather(toks, DATA_AXIS, axis=0, tiled=True)
-            return toks, k, v, ks, vs
+            return toks, lp, k, v, ks, vs
 
         b = P(DATA_AXIS)
         lora_spec = (b,) if has_lora else ()
@@ -311,8 +336,8 @@ class ShardedStepFns:
             in_specs=(self._pspecs, self._cspec, self._cspec, self._sspec,
                       self._sspec, P(DATA_AXIS, None), P(DATA_AXIS, None),
                       b, b, b, b, b, P()) + lora_spec,
-            out_specs=(P(), self._cspec, self._cspec, self._sspec,
-                       self._sspec))
+            out_specs=(P(), self._lp_out_specs, self._cspec, self._cspec,
+                       self._sspec, self._sspec))
         fn = jax.jit(sm, donate_argnums=(1, 2, 3, 4))
         self._prefill_q_cache[has_history] = fn
         return fn

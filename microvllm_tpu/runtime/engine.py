@@ -37,29 +37,38 @@ StreamCallback = Callable[[int, int, bool], None]  # (seq_id, token_id, finished
 # Module-level jitted steps with the (hashable, frozen) ModelConfig as a
 # static argument: the XLA compilation cache is then shared across engine
 # instances and shape buckets within a process.
-@partial(jax.jit, static_argnums=(0, 11), static_argnames=("lora_scaling",),
+@partial(jax.jit, static_argnums=(0, 11),
+         static_argnames=("lora_scaling", "logprobs_k"),
          donate_argnums=(2, 3))
 def _decode_span_jit(cfg, params, k_cache, v_cache, tokens, block_tables,
                      context_lens, temperature, top_p, top_ks, rng,
-                     num_steps, adapter_ids=None, lora_scaling=1.0):
+                     num_steps, adapter_ids=None, lora_scaling=1.0,
+                     logprobs_k=0):
     return model_lib.decode_span(
         cfg, params, k_cache, v_cache, tokens, block_tables, context_lens,
         temperature, top_p, rng, num_steps, top_ks=top_ks,
-        adapter_ids=adapter_ids, lora_scaling=lora_scaling)
+        adapter_ids=adapter_ids, lora_scaling=lora_scaling,
+        logprobs_k=logprobs_k)
 
 
-@partial(jax.jit, static_argnums=(0, 12), static_argnames=("lora_scaling",),
+@partial(jax.jit, static_argnums=(0, 12),
+         static_argnames=("lora_scaling", "logprobs_k"),
          donate_argnums=(2, 3))
 def _prefill_jit(cfg, params, k_cache, v_cache, tokens, block_tables,
                  chunk_lens, history_lens, temperature, top_p, top_ks, rng,
-                 has_history, adapter_ids=None, lora_scaling=1.0):
+                 has_history, adapter_ids=None, lora_scaling=1.0,
+                 logprobs_k=0):
     logits, k_cache, v_cache = model_lib.prefill_step(
         cfg, params, k_cache, v_cache, tokens, block_tables,
         chunk_lens, history_lens, has_history,
         adapter_ids=adapter_ids, lora_scaling=lora_scaling)
     next_tokens = sample_tokens(logits, rng, temperature, top_p,
                                 top_k_per_seq=top_ks)
-    return next_tokens, k_cache, v_cache
+    lp = ()
+    if logprobs_k:
+        from ..ops.sampling import token_logprobs
+        lp = token_logprobs(logits, next_tokens, logprobs_k)
+    return next_tokens, lp, k_cache, v_cache
 
 
 @partial(jax.jit, static_argnums=(0, 9, 10, 11),
@@ -89,25 +98,28 @@ def _spec_span_q_jit(cfg, params, k_cache, v_cache, k_scales, v_scales,
 
 
 # INT8-KV-cache variants: scale pages ride along and are donated too.
-@partial(jax.jit, static_argnums=(0, 13), static_argnames=("lora_scaling",),
+@partial(jax.jit, static_argnums=(0, 13),
+         static_argnames=("lora_scaling", "logprobs_k"),
          donate_argnums=(2, 3, 4, 5))
 def _decode_span_q_jit(cfg, params, k_cache, v_cache, k_scales, v_scales,
                        tokens, block_tables, context_lens, temperature,
                        top_p, top_ks, rng, num_steps, adapter_ids=None,
-                       lora_scaling=1.0):
+                       lora_scaling=1.0, logprobs_k=0):
     return model_lib.decode_span(
         cfg, params, k_cache, v_cache, tokens, block_tables, context_lens,
         temperature, top_p, rng, num_steps,
         k_scales=k_scales, v_scales=v_scales, top_ks=top_ks,
-        adapter_ids=adapter_ids, lora_scaling=lora_scaling)
+        adapter_ids=adapter_ids, lora_scaling=lora_scaling,
+        logprobs_k=logprobs_k)
 
 
-@partial(jax.jit, static_argnums=(0, 14), static_argnames=("lora_scaling",),
+@partial(jax.jit, static_argnums=(0, 14),
+         static_argnames=("lora_scaling", "logprobs_k"),
          donate_argnums=(2, 3, 4, 5))
 def _prefill_q_jit(cfg, params, k_cache, v_cache, k_scales, v_scales, tokens,
                    block_tables, chunk_lens, history_lens, temperature,
                    top_p, top_ks, rng, has_history, adapter_ids=None,
-                   lora_scaling=1.0):
+                   lora_scaling=1.0, logprobs_k=0):
     logits, k_cache, v_cache, k_scales, v_scales = model_lib.prefill_step(
         cfg, params, k_cache, v_cache, tokens, block_tables,
         chunk_lens, history_lens, has_history,
@@ -115,7 +127,11 @@ def _prefill_q_jit(cfg, params, k_cache, v_cache, k_scales, v_scales, tokens,
         adapter_ids=adapter_ids, lora_scaling=lora_scaling)
     next_tokens = sample_tokens(logits, rng, temperature, top_p,
                                 top_k_per_seq=top_ks)
-    return next_tokens, k_cache, v_cache, k_scales, v_scales
+    lp = ()
+    if logprobs_k:
+        from ..ops.sampling import token_logprobs
+        lp = token_logprobs(logits, next_tokens, logprobs_k)
+    return next_tokens, lp, k_cache, v_cache, k_scales, v_scales
 
 
 @dataclass
@@ -175,6 +191,7 @@ class InferenceEngine:
         # (temperature/top_p/top_k/adapters are constant across the spans of
         # a steady batch; re-uploading them per span costs tunnel puts)
         self._sampling_buf_cache: dict = {}
+        self._lp_k = config.logprobs_k
         if params is None:
             logger.info("initializing random params (no checkpoint given)")
             params = model_lib.init_params(
@@ -344,47 +361,52 @@ class InferenceEngine:
         return self._step_rng()
 
     def _call_decode(self, tokens, tables, context, temperature, top_p,
-                     top_ks, span: int, adapter_ids=None) -> np.ndarray:
+                     top_ks, span: int, adapter_ids=None):
+        """Returns (tokens [B, span] np, lp) where lp is () or the
+        (chosen, top, top_ids) logprob arrays (engine-wide logprobs_k)."""
         kw = self._lora_kw(adapter_ids) if adapter_ids is not None else {}
+        if self._lp_k:
+            kw["logprobs_k"] = self._lp_k
         rng = self._span_rng(temperature)
         samp = (self._put_cached("temp", temperature),
                 self._put_cached("top_p", top_p),
                 self._put_cached("top_k", top_ks))
         if self.kv_quantized:
-            (toks, self.k_cache, self.v_cache, self.k_scales,
+            (toks, lp, self.k_cache, self.v_cache, self.k_scales,
              self.v_scales) = self._decode_q_fn(
                 self.params, self.k_cache, self.v_cache,
                 self.k_scales, self.v_scales, jnp.asarray(tokens),
                 jnp.asarray(tables), jnp.asarray(context),
                 *samp, rng, span, **kw)
         else:
-            toks, self.k_cache, self.v_cache = self._decode_fn(
+            toks, lp, self.k_cache, self.v_cache = self._decode_fn(
                 self.params, self.k_cache, self.v_cache, jnp.asarray(tokens),
                 jnp.asarray(tables), jnp.asarray(context),
                 *samp, rng, span, **kw)
-        return np.asarray(toks)
+        return np.asarray(toks), tuple(np.asarray(x) for x in lp)
 
     def _call_prefill(self, tokens, tables, chunk_lens, history, temperature,
-                      top_p, top_ks, has_history: bool,
-                      adapter_ids=None) -> np.ndarray:
+                      top_p, top_ks, has_history: bool, adapter_ids=None):
         kw = self._lora_kw(adapter_ids) if adapter_ids is not None else {}
+        if self._lp_k:
+            kw["logprobs_k"] = self._lp_k
         rng = self._span_rng(temperature)
         samp = (self._put_cached("temp", temperature),
                 self._put_cached("top_p", top_p),
                 self._put_cached("top_k", top_ks))
         if self.kv_quantized:
-            (toks, self.k_cache, self.v_cache, self.k_scales,
+            (toks, lp, self.k_cache, self.v_cache, self.k_scales,
              self.v_scales) = self._prefill_q_fn(
                 self.params, self.k_cache, self.v_cache,
                 self.k_scales, self.v_scales, jnp.asarray(tokens),
                 jnp.asarray(tables), jnp.asarray(chunk_lens),
                 jnp.asarray(history), *samp, rng, has_history, **kw)
         else:
-            toks, self.k_cache, self.v_cache = self._prefill_fn(
+            toks, lp, self.k_cache, self.v_cache = self._prefill_fn(
                 self.params, self.k_cache, self.v_cache, jnp.asarray(tokens),
                 jnp.asarray(tables), jnp.asarray(chunk_lens),
                 jnp.asarray(history), *samp, rng, has_history, **kw)
-        return np.asarray(toks)
+        return np.asarray(toks), tuple(np.asarray(x) for x in lp)
 
     def warmup(self, decode_buckets: Optional[Seq[int]] = None,
                prefill_shapes: Optional[Seq[tuple[int, int]]] = None) -> None:
@@ -468,6 +490,10 @@ class InferenceEngine:
                 self.config.lora is not None
                 and 0 < adapter_id < self._lora_slots_used):
             raise ValueError(f"adapter {adapter_id} not loaded")
+        if sampling is not None and sampling.logprobs > 0 and not self._lp_k:
+            raise ValueError(
+                "logprobs requested but the engine was built with "
+                "logprobs_k=0 (the logprob step variant is not compiled)")
         seq = Sequence(prompt_token_ids=prompt_token_ids,
                        sampling=sampling or SamplingParams(
                            max_new_tokens=self.config.default_max_new_tokens),
@@ -638,7 +664,7 @@ class InferenceEngine:
             tables[i] = self.allocator.block_table_row(seq.seq_id)
             adapters[i] = seq.adapter_id
 
-        next_tokens = self._call_prefill(
+        next_tokens, lp = self._call_prefill(
             tokens, tables, chunk_lens, history, temperature, top_p, top_ks,
             bool(history.any()),
             adapter_ids=adapters if self.config.lora else None)
@@ -655,9 +681,25 @@ class InferenceEngine:
         for i, seq in enumerate(seqs):
             self.metrics.tokens_prefilled += int(chunk_lens[i])
             if i < len(batch.sample_mask) and batch.sample_mask[i]:
-                self._apply_token(seq, int(next_tokens[i]))
+                self._apply_token(seq, int(next_tokens[i]),
+                                  lp_entry=self._lp_entry(lp, seq, i))
                 produced += 1
         return produced
+
+    def _lp_entry(self, lp: tuple, seq: Sequence, i: int, j=None):
+        """Build one token's logprob record from the step's lp arrays
+        (None when logprobs are off or the request didn't ask)."""
+        want = seq.sampling.logprobs
+        if not lp or not want:
+            return None
+        chosen, top, ids = lp
+        if j is None:
+            c, t, d = chosen[i], top[i], ids[i]
+        else:
+            c, t, d = chosen[i, j], top[i, j], ids[i, j]
+        k = min(int(want), len(t))
+        return {"logprob": float(c),
+                "top": [[int(d[n]), float(t[n])] for n in range(k)]}
 
     # -- decode ------------------------------------------------------------
 
@@ -728,6 +770,8 @@ class InferenceEngine:
             return False   # speculation off — not a fallback
         if any(s.sampling.temperature > 0.0 for s in seqs):
             return fallback("sampled")  # greedy-only (bit-identical)
+        if any(s.sampling.logprobs > 0 for s in seqs):
+            return fallback("logprobs")  # spec span emits tokens only
         reserve = cfg.spec_steps * (cfg.spec_k + 1)
         max_ctx = cfg.cache.max_context
         if not all(self.allocator.seq_len(s.seq_id) + reserve <= max_ctx
@@ -871,14 +915,15 @@ class InferenceEngine:
         self.metrics.decode_slots_skipped += max(
             0, len(self.scheduler.running) - len(seqs))
 
-        span_tokens = self._call_decode(
+        span_tokens, lp = self._call_decode(
             tokens, tables, context, temperature, top_p, top_ks, span,
             adapter_ids=adapters if self.config.lora else None)  # [B, span]
 
         produced = 0
         for i, seq in enumerate(seqs):
             for j in range(span):
-                self._apply_token(seq, int(span_tokens[i, j]))
+                self._apply_token(seq, int(span_tokens[i, j]),
+                                  lp_entry=self._lp_entry(lp, seq, i, j))
                 produced += 1
                 if seq.is_finished:
                     break                               # discard span tail
@@ -896,7 +941,11 @@ class InferenceEngine:
         tail = self.tokenizer.decode(seq.output_token_ids[-window:])
         return any(s in tail for s in stops)
 
-    def _apply_token(self, seq: Sequence, token_id: int) -> None:
+    def _apply_token(self, seq: Sequence, token_id: int,
+                     lp_entry: Optional[dict] = None) -> None:
+        if lp_entry is not None:
+            seq.logprobs.append(lp_entry)   # before the callback: the SSE
+                                            # emitter reads it by index
         finished = seq.append_output(token_id, self.eos_token_id)
         if seq.num_tokens >= self._len_cap and not finished:
             seq.finish(FinishReason.LENGTH)

@@ -42,6 +42,12 @@ class SamplingParams:
     # included in the output). Beyond the reference; vLLM's `stop=[...]`.
     stop: tuple[str, ...] = ()
     ignore_eos: bool = False
+    # per-token logprobs: 0 = off; N > 0 returns each output token's
+    # log-probability plus the top-min(N, EngineConfig.logprobs_k)
+    # alternatives (raw-logit log-softmax). Requires an engine built with
+    # logprobs_k > 0 (the logprob-emitting step variant is compiled and
+    # warmed only then).
+    logprobs: int = 0
 
 
 @dataclass
@@ -54,6 +60,9 @@ class Sequence:
     arrival_time: float = field(default_factory=time.monotonic)
     state: SeqState = SeqState.WAITING
     output_token_ids: list[int] = field(default_factory=list)
+    # one entry per output token when sampling.logprobs > 0:
+    # {"logprob": float, "top": [[token_id, logprob], ...]}
+    logprobs: list = field(default_factory=list)
     num_prefilled: int = 0               # tokens of prompt already in KV cache
     finish_reason: Optional[FinishReason] = None
     first_token_time: Optional[float] = None

@@ -43,6 +43,7 @@ class _PendingRequest:
     loop: Optional[asyncio.AbstractEventLoop] = None
     done: Optional[asyncio.Future] = None
     seq_id: Optional[int] = None
+    seq_obj: Optional[Sequence] = None   # set at admission (engine thread)
     cancelled: bool = False    # client went away before admission
 
 
@@ -217,6 +218,9 @@ class EngineServer:
                         req.loop.call_soon_threadsafe(req.done.set_exception, e)
                 continue
             req.seq_id = seq_id
+            req.seq_obj = next(
+                (s for s in self.engine.scheduler.waiting
+                 if s.seq_id == seq_id), None)   # engine thread: no race
             self._inflight[seq_id] = req
             self.engine.register_stream_callback(seq_id, self._on_token)
 
@@ -225,8 +229,16 @@ class EngineServer:
         if req is None:
             return
         if req.stream_queue is not None and req.loop is not None:
+            lp = None
+            seq = req.seq_obj
+            if seq is not None and seq.logprobs:
+                # callback fires right after _apply_token appended both the
+                # token and (when requested) its logprob entry
+                i = len(seq.output_token_ids) - 1
+                if i < len(seq.logprobs):
+                    lp = seq.logprobs[i]
             req.loop.call_soon_threadsafe(
-                req.stream_queue.put_nowait, (token_id, finished))
+                req.stream_queue.put_nowait, (token_id, finished, lp))
         if finished:
             self._inflight.pop(seq_id, None)
             seq = self._find_finished(seq_id)
@@ -341,6 +353,8 @@ class EngineServer:
                                "num_tokens": len(seq.output_token_ids),
                                "finish_reason": (seq.finish_reason.value
                                                  if seq.finish_reason else None)}
+        if seq.logprobs:
+            out["logprobs"] = seq.logprobs
         if self.engine.tokenizer is not None:
             out["text"] = self.engine.decode_text(seq)
         return out
@@ -432,7 +446,8 @@ def _parse_adapter(data: dict[str, Any]) -> int:
     return a
 
 
-def _parse_sampling(data: dict[str, Any], default_max: int) -> SamplingParams:
+def _parse_sampling(data: dict[str, Any], default_max: int,
+                    max_logprobs: int = 0) -> SamplingParams:
     """Validate client sampling params (the reference passes them through
     unvalidated; see ADVICE r1 — top_p<=0 and top_k<=0 silently misbehaved).
     """
@@ -462,6 +477,15 @@ def _parse_sampling(data: dict[str, Any], default_max: int) -> SamplingParams:
     if not (isinstance(stop, (list, tuple))
             and all(isinstance(s, str) and s for s in stop)):
         raise _bad_request("stop must be a non-empty string or a list of them")
+    logprobs = data.get("logprobs", 0)
+    if logprobs is True:     # OpenAI-style boolean
+        logprobs = 1
+    if not isinstance(logprobs, int) or logprobs < 0:
+        raise _bad_request("logprobs must be a non-negative integer")
+    if logprobs > max_logprobs:
+        raise _bad_request(
+            f"logprobs={logprobs} not available (server started with "
+            f"--logprobs-k {max_logprobs})")
     return SamplingParams(
         temperature=temperature,
         top_p=top_p,
@@ -470,6 +494,7 @@ def _parse_sampling(data: dict[str, Any], default_max: int) -> SamplingParams:
         stop_token_ids=tuple(stop_ids),
         stop=tuple(stop),
         ignore_eos=bool(data.get("ignore_eos", False)),
+        logprobs=logprobs,
     )
 
 
@@ -518,7 +543,8 @@ def build_app(server: EngineServer) -> web.Application:
         prompt, ids = _request_fields(data)
         loop = asyncio.get_running_loop()
         req = _PendingRequest(prompt=prompt, prompt_token_ids=ids,
-                              sampling=_parse_sampling(data, default_max),
+                              sampling=_parse_sampling(data, default_max,
+                                                       engine.config.logprobs_k),
                               priority=_parse_priority(data),
                               adapter_id=_parse_adapter(data),
                               loop=loop, done=loop.create_future())
@@ -544,7 +570,8 @@ def build_app(server: EngineServer) -> web.Application:
                                           "as a list"}),
                 content_type="application/json")
         loop = asyncio.get_running_loop()
-        sampling = _parse_sampling(data, default_max)
+        sampling = _parse_sampling(data, default_max,
+                                   engine.config.logprobs_k)
         prio = _parse_priority(data)
         adapter = _parse_adapter(data)
         reqs = []
@@ -575,7 +602,8 @@ def build_app(server: EngineServer) -> web.Application:
         loop = asyncio.get_running_loop()
         q: asyncio.Queue = asyncio.Queue()
         req = _PendingRequest(prompt=prompt, prompt_token_ids=ids,
-                              sampling=_parse_sampling(data, default_max),
+                              sampling=_parse_sampling(data, default_max,
+                                                       engine.config.logprobs_k),
                               priority=_parse_priority(data),
                               adapter_id=_parse_adapter(data),
                               stream_queue=q, loop=loop,
@@ -600,10 +628,12 @@ def build_app(server: EngineServer) -> web.Application:
                     await resp.write(
                         f"data: {json.dumps({'error': item[1], 'finished': True})}\n\n".encode())
                     break
-                token_id, finished = item
+                token_id, finished, lp = item
                 n += 1
                 payload: dict[str, Any] = {"token_id": token_id,
                                            "finished": finished}
+                if lp is not None:
+                    payload["logprobs"] = lp
                 if detok is not None:
                     payload["token"] = detok.push(token_id)
                     if finished:
@@ -804,6 +834,10 @@ def main() -> None:
     ap.add_argument("--fanout-followers", type=int, default=0,
                     help="leader: block until this many followers connect "
                          "before serving")
+    ap.add_argument("--logprobs-k", type=int, default=0,
+                    help="enable per-token logprobs: compile the logprob-"
+                         "emitting step variant with this top-k (0 = off); "
+                         "requests opt in with \"logprobs\": N")
     ap.add_argument("--prefix-cache", action="store_true",
                     help="automatic prefix caching: requests sharing a "
                          "prompt prefix reuse its KV pages and skip "
@@ -857,6 +891,7 @@ def main() -> None:
         max_model_len=args.max_model_len,
         spec_k=args.spec_k,
         spec_steps=args.spec_steps,
+        logprobs_k=args.logprobs_k,
     )
     if args.fanout_port or args.leader:
         # multi-host SPMD serving: jax.distributed from MVT_* env vars, and

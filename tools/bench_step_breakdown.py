@@ -64,7 +64,7 @@ def time_span(mcfg, bits: int, batch: int, span: int, context: int,
 
     @functools.partial(jax.jit, donate_argnums=(1, 2))
     def step(params, kc, vc, rng):
-        out, kc, vc = model_lib.decode_span(
+        out, _, kc, vc = model_lib.decode_span(
             mcfg, params, kc, vc, jnp.asarray(toks), jnp.asarray(tables),
             jnp.asarray(ctx), jnp.asarray(temp), jnp.asarray(f), rng, span,
             top_ks=jnp.asarray(k64))
