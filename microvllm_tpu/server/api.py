@@ -758,6 +758,10 @@ def build_app(server: EngineServer) -> web.Application:
     app.router.add_post("/profile/start", profile_start)
     app.router.add_post("/profile/stop", profile_stop)
 
+    # OpenAI-compatible dialect over the same engine/request plumbing
+    from .openai_api import add_openai_routes
+    add_openai_routes(app, server, default_max)
+
     async def _cleanup(app):
         server.shutdown()
 
