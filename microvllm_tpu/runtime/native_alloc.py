@@ -77,6 +77,21 @@ def _load_lib() -> Optional[ctypes.CDLL]:
     lib.mvt_alloc_stats.argtypes = [
         ctypes.c_void_p,
         np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")]
+    _keyptr = np.ctypeslib.ndpointer(np.uint64, flags="C_CONTIGUOUS")
+    lib.mvt_alloc_create_prefix.restype = ctypes.c_void_p
+    lib.mvt_alloc_create_prefix.argtypes = [ctypes.c_int32] * 3
+    lib.mvt_alloc_match_len.restype = ctypes.c_int64
+    lib.mvt_alloc_match_len.argtypes = [ctypes.c_void_p, _keyptr,
+                                        ctypes.c_int64]
+    lib.mvt_alloc_allocate_prefix.restype = ctypes.c_int64
+    lib.mvt_alloc_allocate_prefix.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64, _keyptr, ctypes.c_int64,
+        ctypes.c_int64]
+    lib.mvt_alloc_register_seq.argtypes = [ctypes.c_void_p, ctypes.c_int64,
+                                           _keyptr, ctypes.c_int64]
+    lib.mvt_alloc_prefix_stats.argtypes = [
+        ctypes.c_void_p,
+        np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")]
     _lib = lib
     return _lib
 
@@ -191,13 +206,79 @@ class NativePageAllocator:
         )
 
 
+class NativePrefixCachingAllocator(NativePageAllocator):
+    """Same contract as :class:`PrefixCachingAllocator`, C++ underneath.
+    Content keys (chained blake2b) are computed here in Python — one hash
+    implementation shared with the pure-Python twin — and handed to the
+    C++ side as uint64 (first 8 digest bytes, little-endian)."""
+
+    def __init__(self, cfg: CacheConfig):
+        lib = _load_lib()
+        if lib is None:
+            raise RuntimeError("native allocator library not available")
+        self.cfg = cfg
+        self._lib = lib
+        self._h = lib.mvt_alloc_create_prefix(cfg.num_pages, cfg.page_size,
+                                              cfg.max_pages_per_seq)
+
+    def _keys(self, token_ids, n_pages: int) -> np.ndarray:
+        from .kv_cache import page_keys
+        raw = page_keys(token_ids, self.cfg.page_size, n_pages)
+        return np.asarray([int.from_bytes(k, "little") for k in raw],
+                          dtype=np.uint64)
+
+    def match_len(self, token_ids, target: int) -> int:
+        ps = self.cfg.page_size
+        cap = max(0, (min(target, len(token_ids)) - 1) // ps)
+        keys = self._keys(token_ids, cap)
+        return int(self._lib.mvt_alloc_match_len(self._h, keys, len(keys)))
+
+    def allocate_prefix(self, seq_id: int, token_ids, target: int) -> int:
+        ps = self.cfg.page_size
+        cap = min((min(target, len(token_ids)) - 1) // ps,
+                  self.cfg.max_pages_per_seq - 1)
+        cap = max(0, cap)
+        keys = self._keys(token_ids, cap)
+        got = int(self._lib.mvt_alloc_allocate_prefix(
+            self._h, seq_id, keys, len(keys), target))
+        assert got >= 0, f"seq {seq_id} already allocated"
+        return got
+
+    def register_seq(self, seq_id: int, token_ids, upto: int) -> None:
+        n = min(upto, self.seq_len(seq_id)) // self.cfg.page_size
+        keys = self._keys(token_ids, n)
+        self._lib.mvt_alloc_register_seq(self._h, seq_id, keys, len(keys))
+
+    def _prefix_stats(self) -> tuple[int, int, int, int]:
+        out = np.empty(4, dtype=np.int64)
+        self._lib.mvt_alloc_prefix_stats(self._h, out)
+        return tuple(int(x) for x in out)
+
+    @property
+    def hits(self) -> int:
+        return self._prefix_stats()[0]
+
+    @property
+    def misses(self) -> int:
+        return self._prefix_stats()[1]
+
+    @property
+    def evictions(self) -> int:
+        return self._prefix_stats()[2]
+
+
 def make_allocator(cfg: CacheConfig):
-    """Native if buildable, else the Python allocator. Prefix caching uses
-    the Python :class:`PrefixCachingAllocator` (hash index + LRU + refcounts
-    are host bookkeeping off the hot decode path)."""
+    """Native (C++) if buildable, else the Python twin — for both the plain
+    and the prefix-caching allocator."""
     from .kv_cache import PageAllocator, PrefixCachingAllocator
 
     if getattr(cfg, "prefix_cache", False):
+        if native_available():
+            try:
+                return NativePrefixCachingAllocator(cfg)
+            except Exception:
+                logger.exception(
+                    "native prefix allocator init failed; using python")
         return PrefixCachingAllocator(cfg)
     if native_available():
         try:

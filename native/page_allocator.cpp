@@ -11,26 +11,94 @@
 #include <cstdint>
 #include <cstring>
 #include <deque>
+#include <list>
 #include <unordered_map>
 #include <vector>
 
 namespace {
 
+// Optionally prefix-caching (see kv_cache.py::PrefixCachingAllocator — the
+// Python twin defines the semantics; this implementation must stay in
+// lockstep with it, enforced by tests/test_prefix_cache.py's randomized
+// python<->native comparison). Content keys are computed by the Python
+// binding (chained blake2b, first 8 bytes) so both sides share one hash.
 struct Allocator {
   int32_t num_pages;        // includes trash page 0
   int32_t page_size;
   int32_t max_pages_per_seq;
+  bool prefix;              // prefix caching enabled
   std::deque<int32_t> free_pages;
   std::unordered_map<int64_t, std::vector<int32_t>> tables;
   std::unordered_map<int64_t, int64_t> lens;
+  // prefix-caching state
+  std::unordered_map<int32_t, int32_t> ref;       // page -> refcount
+  std::unordered_map<uint64_t, int32_t> index;    // content key -> page
+  std::unordered_map<int32_t, uint64_t> key_of;   // page -> content key
+  std::list<int32_t> lru;                         // ref==0 cached; front=old
+  std::unordered_map<int32_t, std::list<int32_t>::iterator> lru_pos;
+  int64_t hits = 0, misses = 0, evictions = 0;
 
-  explicit Allocator(int32_t np, int32_t ps, int32_t mpps)
-      : num_pages(np), page_size(ps), max_pages_per_seq(mpps) {
+  explicit Allocator(int32_t np, int32_t ps, int32_t mpps, bool pf = false)
+      : num_pages(np), page_size(ps), max_pages_per_seq(mpps), prefix(pf) {
     for (int32_t p = 1; p < np; ++p) free_pages.push_back(p);
   }
 
   int64_t pages_needed(int64_t tokens) const {
     return (tokens + page_size - 1) / page_size;
+  }
+
+  int64_t num_free() const {
+    return static_cast<int64_t>(free_pages.size()) +
+           (prefix ? static_cast<int64_t>(lru.size()) : 0);
+  }
+
+  int32_t take_page() {
+    if (!free_pages.empty()) {
+      int32_t p = free_pages.front();
+      free_pages.pop_front();
+      if (prefix) ref[p] = 1;
+      return p;
+    }
+    // prefix mode only: evict the oldest idle cached page
+    int32_t p = lru.front();
+    lru.pop_front();
+    lru_pos.erase(p);
+    auto it = key_of.find(p);
+    if (it != key_of.end()) {
+      index.erase(it->second);
+      key_of.erase(it);
+    }
+    ++evictions;
+    ref[p] = 1;
+    return p;
+  }
+
+  void release_page(int32_t p) {
+    if (!prefix) {
+      free_pages.push_back(p);
+      return;
+    }
+    auto it = ref.find(p);
+    int32_t n = (it == ref.end() ? 1 : it->second) - 1;
+    if (n > 0) {
+      it->second = n;
+      return;
+    }
+    if (it != ref.end()) ref.erase(it);
+    if (key_of.count(p)) {                 // cached: keep matchable (LRU)
+      lru.push_back(p);
+      lru_pos[p] = std::prev(lru.end());
+    } else {
+      free_pages.push_back(p);
+    }
+  }
+
+  void unlru(int32_t p) {                  // pin a matched page again
+    auto it = lru_pos.find(p);
+    if (it != lru_pos.end()) {
+      lru.erase(it->second);
+      lru_pos.erase(it);
+    }
   }
 };
 
@@ -43,10 +111,15 @@ void* mvt_alloc_create(int32_t num_pages, int32_t page_size,
   return new Allocator(num_pages, page_size, max_pages_per_seq);
 }
 
+void* mvt_alloc_create_prefix(int32_t num_pages, int32_t page_size,
+                              int32_t max_pages_per_seq) {
+  return new Allocator(num_pages, page_size, max_pages_per_seq, true);
+}
+
 void mvt_alloc_destroy(void* h) { delete static_cast<Allocator*>(h); }
 
 int64_t mvt_alloc_num_free(void* h) {
-  return static_cast<Allocator*>(h)->free_pages.size();
+  return static_cast<Allocator*>(h)->num_free();
 }
 
 int64_t mvt_alloc_seq_len(void* h, int64_t seq_id) {
@@ -66,14 +139,11 @@ int32_t mvt_alloc_allocate(void* h, int64_t seq_id, int64_t num_tokens) {
   auto* a = static_cast<Allocator*>(h);
   if (a->tables.count(seq_id)) return -3;
   int64_t need = a->pages_needed(num_tokens);
-  if (need > static_cast<int64_t>(a->free_pages.size())) return -1;
+  if (need > a->num_free()) return -1;
   if (need > a->max_pages_per_seq) return -2;
   auto& table = a->tables[seq_id];
   table.reserve(need);
-  for (int64_t i = 0; i < need; ++i) {
-    table.push_back(a->free_pages.front());
-    a->free_pages.pop_front();
-  }
+  for (int64_t i = 0; i < need; ++i) table.push_back(a->take_page());
   a->lens[seq_id] = num_tokens;
   return 0;
 }
@@ -86,11 +156,8 @@ int32_t mvt_alloc_extend(void* h, int64_t seq_id, int64_t num_tokens) {
   int64_t total = a->pages_needed(new_len);
   int64_t need = total - static_cast<int64_t>(it->second.size());
   if (total > a->max_pages_per_seq) return -2;
-  if (need > static_cast<int64_t>(a->free_pages.size())) return -1;
-  for (int64_t i = 0; i < need; ++i) {
-    it->second.push_back(a->free_pages.front());
-    a->free_pages.pop_front();
-  }
+  if (need > a->num_free()) return -1;
+  for (int64_t i = 0; i < need; ++i) it->second.push_back(a->take_page());
   a->lens[seq_id] = new_len;
   return 0;
 }
@@ -109,7 +176,7 @@ int32_t mvt_alloc_truncate(void* h, int64_t seq_id, int64_t new_len) {
   if (new_len > a->lens[seq_id]) return -4;
   int64_t keep = a->pages_needed(new_len);
   while (static_cast<int64_t>(it->second.size()) > keep) {
-    a->free_pages.push_back(it->second.back());
+    a->release_page(it->second.back());
     it->second.pop_back();
   }
   a->lens[seq_id] = new_len;
@@ -120,7 +187,7 @@ void mvt_alloc_free(void* h, int64_t seq_id) {
   auto* a = static_cast<Allocator*>(h);
   auto it = a->tables.find(seq_id);
   if (it == a->tables.end()) return;
-  for (int32_t p : it->second) a->free_pages.push_back(p);
+  for (int32_t p : it->second) a->release_page(p);
   a->tables.erase(it);
   a->lens.erase(seq_id);
 }
@@ -130,7 +197,77 @@ void mvt_alloc_reset(void* h) {
   a->tables.clear();
   a->lens.clear();
   a->free_pages.clear();
+  a->ref.clear();
+  a->index.clear();
+  a->key_of.clear();
+  a->lru.clear();
+  a->lru_pos.clear();
   for (int32_t p = 1; p < a->num_pages; ++p) a->free_pages.push_back(p);
+}
+
+// -- prefix caching (keys computed by the Python binding: chained blake2b
+//    over page token ids, first 8 bytes little-endian) ----------------------
+
+// Non-mutating probe: consecutive cached pages from the start of `keys`.
+int64_t mvt_alloc_match_len(void* h, const uint64_t* keys, int64_t n_keys) {
+  auto* a = static_cast<Allocator*>(h);
+  int64_t n = 0;
+  while (n < n_keys && a->index.count(keys[n])) ++n;
+  return n * a->page_size;
+}
+
+// Install the longest cached chain as a NEW sequence's table head.
+// Returns matched tokens (>= 0) or -3 if the seq already exists.
+// `target_tokens` is the prefill target (miss accounting only).
+int64_t mvt_alloc_allocate_prefix(void* h, int64_t seq_id,
+                                  const uint64_t* keys, int64_t n_keys,
+                                  int64_t target_tokens) {
+  auto* a = static_cast<Allocator*>(h);
+  if (a->tables.count(seq_id)) return -3;
+  std::vector<int32_t> pages;
+  for (int64_t i = 0; i < n_keys; ++i) {
+    auto it = a->index.find(keys[i]);
+    if (it == a->index.end()) break;
+    int32_t p = it->second;
+    ++a->ref[p];
+    a->unlru(p);
+    pages.push_back(p);
+  }
+  if (pages.empty()) return 0;
+  int64_t matched = static_cast<int64_t>(pages.size()) * a->page_size;
+  a->tables[seq_id] = std::move(pages);
+  a->lens[seq_id] = matched;
+  a->hits += static_cast<int64_t>(a->tables[seq_id].size());
+  a->misses += a->pages_needed(target_tokens) -
+               static_cast<int64_t>(a->tables[seq_id].size());
+  return matched;
+}
+
+// Index this sequence's first n_keys full pages (KV now computed).
+void mvt_alloc_register_seq(void* h, int64_t seq_id, const uint64_t* keys,
+                            int64_t n_keys) {
+  auto* a = static_cast<Allocator*>(h);
+  auto it = a->tables.find(seq_id);
+  if (it == a->tables.end()) return;
+  int64_t n = std::min<int64_t>(
+      n_keys, std::min<int64_t>(it->second.size(),
+                                a->lens[seq_id] / a->page_size));
+  for (int64_t i = 0; i < n; ++i) {
+    int32_t p = it->second[i];
+    if (a->key_of.count(p)) continue;   // already indexed
+    if (a->index.count(keys[i])) continue;  // duplicate content elsewhere
+    a->index[keys[i]] = p;
+    a->key_of[p] = keys[i];
+  }
+}
+
+// [hits, misses, evictions, cached_pages]
+void mvt_alloc_prefix_stats(void* h, int64_t* out) {
+  auto* a = static_cast<Allocator*>(h);
+  out[0] = a->hits;
+  out[1] = a->misses;
+  out[2] = a->evictions;
+  out[3] = static_cast<int64_t>(a->index.size());
 }
 
 // Fill a fixed-width int32 row (width == max_pages_per_seq); unused entries
@@ -160,10 +297,11 @@ void mvt_alloc_batch_views(void* h, const int64_t* seq_ids, int32_t n,
 }
 
 // Stats: [total_usable, free, used, num_seqs, used_slots]
+// (free includes idle LRU-cached pages — they are reclaimable)
 void mvt_alloc_stats(void* h, int64_t* out) {
   auto* a = static_cast<Allocator*>(h);
   int64_t usable = a->num_pages - 1;
-  int64_t free_p = a->free_pages.size();
+  int64_t free_p = a->num_free();
   int64_t used_slots = 0;
   for (auto& kv : a->lens) used_slots += kv.second;
   out[0] = usable;

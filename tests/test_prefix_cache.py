@@ -238,6 +238,92 @@ def test_chunked_prefill_hit():
     assert eng.metrics.prefill_steps - pre_steps < pre_steps
 
 
+def test_native_prefix_allocator_lockstep():
+    """Randomized python <-> C++ lockstep for the prefix-caching allocator:
+    identical page tables, free counts, hit/miss/eviction counters after
+    every operation (same discipline as the base-allocator lockstep)."""
+    import random
+
+    from microvllm_tpu.runtime import native_alloc as native
+
+    if not native.native_available():
+        pytest.skip("native allocator not buildable here")
+    cfg = _cache(num_pages=17)
+    py = PrefixCachingAllocator(cfg)
+    nat = native.NativePrefixCachingAllocator(cfg)
+    rng = random.Random(7)
+    # small pool of shared prefixes so matches actually happen
+    prefixes = [[100 * p + t for t in range(2 * PS)] for p in range(3)]
+    live: dict[int, list[int]] = {}
+
+    def check(sid=None):
+        assert py.num_free == nat.num_free
+        assert py.hits == nat.hits and py.misses == nat.misses
+        assert py.evictions == nat.evictions
+        for s in live:
+            assert py.seq_len(s) == nat.seq_len(s)
+            np.testing.assert_array_equal(py.block_table_row(s),
+                                          nat.block_table_row(s))
+
+    for step in range(400):
+        op = rng.random()
+        if op < 0.45 or not live:
+            sid = 1000 + step
+            toks = rng.choice(prefixes) + [sid] * rng.randint(0, PS)
+            m_py = py.allocate_prefix(sid, toks, len(toks))
+            m_nat = nat.allocate_prefix(sid, toks, len(toks))
+            assert m_py == m_nat
+            rest = len(toks) - m_py
+            ok_py = ok_nat = True
+            try:
+                (py.extend if m_py else py.allocate)(sid, rest)
+            except OutOfPagesError:
+                ok_py = False
+            try:
+                (nat.extend if m_nat else nat.allocate)(sid, rest)
+            except OutOfPagesError:
+                ok_nat = False
+            assert ok_py == ok_nat
+            if ok_py:
+                py.register_seq(sid, toks, len(toks))
+                nat.register_seq(sid, toks, len(toks))
+                live[sid] = toks
+            else:
+                py.free(sid)
+                nat.free(sid)
+        elif op < 0.65:
+            sid = rng.choice(list(live))
+            ok_py = ok_nat = True
+            try:
+                py.append_token(sid)
+            except OutOfPagesError:
+                ok_py = False
+            try:
+                nat.append_token(sid)
+            except OutOfPagesError:
+                ok_nat = False
+            assert ok_py == ok_nat
+        elif op < 0.75:
+            sid = rng.choice(list(live))
+            new_len = rng.randint(len(live[sid]), py.seq_len(sid))
+            py.truncate(sid, new_len)
+            nat.truncate(sid, new_len)
+        else:
+            sid = rng.choice(list(live))
+            py.free(sid)
+            nat.free(sid)
+            del live[sid]
+        check()
+
+    for sid in list(live):
+        py.free(sid)
+        nat.free(sid)
+        del live[sid]
+    check()
+    assert py.stats.used_pages == nat.stats.used_pages == 0
+    assert py.evictions > 0   # the random walk actually hit the LRU path
+
+
 def test_server_metrics_surface():
     """The HTTP server exposes hit/miss/eviction counters under
     /metrics["prefix_cache"] when prefix caching is on."""
