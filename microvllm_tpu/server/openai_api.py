@@ -58,15 +58,22 @@ def add_openai_routes(app: web.Application, server, default_max: int) -> None:
             raise _err("this host is a follower; send requests to the "
                        "leader", 503, "service_unavailable")
 
-    def _reject_unsupported(data: dict) -> None:
-        if int(data.get("n", 1) or 1) != 1:
-            raise _err("n > 1 is not supported")
+    def _reject_unsupported(data: dict) -> int:
+        n = int(data.get("n", 1) or 1)
+        if not 1 <= n <= 16:
+            raise _err("n must be in [1, 16]")
+        if n > 1 and data.get("stream"):
+            raise _err("n > 1 with stream is not supported")
+        if n > 1 and float(data.get("temperature", 1.0)) <= 0.0:
+            raise _err("n > 1 requires temperature > 0 (greedy choices "
+                       "would be identical)")
         if int(data.get("best_of", 1) or 1) != 1:
             raise _err("best_of > 1 is not supported")
         if data.get("echo"):
             raise _err("echo is not supported")
         if data.get("suffix"):
             raise _err("suffix is not supported")
+        return n
 
     def _sampling(data: dict, lp_count: int, chat: bool):
         """Map OpenAI fields onto the native sampling parser (shared
@@ -164,14 +171,20 @@ def add_openai_routes(app: web.Application, server, default_max: int) -> None:
             })
         return {"content": content}
 
-    async def _run(ids: list[int], sampling) -> Sequence:
+    async def _run(ids: list[int], sampling, n: int = 1) -> list[Sequence]:
+        """Submit n parallel samples of the same prompt (n > 1: distinct
+        stochastic rows in the same decode batches; with --prefix-cache the
+        later rows reuse the first's prompt pages)."""
         loop = asyncio.get_running_loop()
-        req = _PendingRequest(prompt=None, prompt_token_ids=ids,
-                              sampling=sampling, loop=loop,
-                              done=loop.create_future())
-        server.submit(req)
+        reqs = []
+        for _ in range(n):
+            req = _PendingRequest(prompt=None, prompt_token_ids=list(ids),
+                                  sampling=sampling, loop=loop,
+                                  done=loop.create_future())
+            server.submit(req)
+            reqs.append(req)
         try:
-            return await req.done
+            return list(await asyncio.gather(*[r.done for r in reqs]))
         except ValueError as e:
             raise _err(str(e))
 
@@ -234,7 +247,7 @@ def add_openai_routes(app: web.Application, server, default_max: int) -> None:
     async def completions(request: web.Request) -> web.Response:
         _not_follower()
         data = await _json_body(request)
-        _reject_unsupported(data)
+        n = _reject_unsupported(data)
         lp = data.get("logprobs") or 0
         if not isinstance(lp, int) or lp < 0:
             raise _err("logprobs must be a non-negative integer")
@@ -261,26 +274,28 @@ def add_openai_routes(app: web.Application, server, default_max: int) -> None:
                 return c
             return await _stream(request, ids, sampling, chunk)
 
-        seq = await _run(ids, sampling)
-        text = (engine.decode_text(seq) if engine.tokenizer is not None
-                else "")
+        seqs = await _run(ids, sampling, n)
+        completion_tokens = sum(len(s.output_token_ids) for s in seqs)
         out = {
-            "id": f"cmpl-{seq.seq_id}", "object": "text_completion",
+            "id": f"cmpl-{seqs[0].seq_id}", "object": "text_completion",
             "created": _created(), "model": model_id,
-            "choices": [{"index": 0, "text": text,
-                         "token_ids": seq.output_token_ids,
-                         "logprobs": _completions_logprobs(seq),
-                         "finish_reason": _finish(seq)}],
+            "choices": [{"index": i,
+                         "text": (engine.decode_text(s)
+                                  if engine.tokenizer is not None else ""),
+                         "token_ids": s.output_token_ids,
+                         "logprobs": _completions_logprobs(s),
+                         "finish_reason": _finish(s)}
+                        for i, s in enumerate(seqs)],
             "usage": {"prompt_tokens": len(ids),
-                      "completion_tokens": len(seq.output_token_ids),
-                      "total_tokens": len(ids) + len(seq.output_token_ids)},
+                      "completion_tokens": completion_tokens,
+                      "total_tokens": len(ids) + completion_tokens},
         }
         return web.json_response(out)
 
     async def chat_completions(request: web.Request) -> web.Response:
         _not_follower()
         data = await _json_body(request)
-        _reject_unsupported(data)
+        n = _reject_unsupported(data)
         lp = 0
         if data.get("logprobs"):
             lp = int(data.get("top_logprobs", 1) or 1)
@@ -303,19 +318,23 @@ def add_openai_routes(app: web.Application, server, default_max: int) -> None:
             return await _stream(request, ids, sampling, chunk,
                                  first_chunk=first)
 
-        seq = await _run(ids, sampling)
-        text = (engine.decode_text(seq) if engine.tokenizer is not None
-                else "")
+        seqs = await _run(ids, sampling, n)
+        completion_tokens = sum(len(s.output_token_ids) for s in seqs)
         out = {
-            "id": f"chatcmpl-{seq.seq_id}", "object": "chat.completion",
+            "id": f"chatcmpl-{seqs[0].seq_id}", "object": "chat.completion",
             "created": _created(), "model": model_id,
-            "choices": [{"index": 0,
-                         "message": {"role": "assistant", "content": text},
-                         "logprobs": _chat_logprobs(seq),
-                         "finish_reason": _finish(seq)}],
+            "choices": [{"index": i,
+                         "message": {
+                             "role": "assistant",
+                             "content": (engine.decode_text(s)
+                                         if engine.tokenizer is not None
+                                         else "")},
+                         "logprobs": _chat_logprobs(s),
+                         "finish_reason": _finish(s)}
+                        for i, s in enumerate(seqs)],
             "usage": {"prompt_tokens": len(ids),
-                      "completion_tokens": len(seq.output_token_ids),
-                      "total_tokens": len(ids) + len(seq.output_token_ids)},
+                      "completion_tokens": completion_tokens,
+                      "total_tokens": len(ids) + completion_tokens},
         }
         return web.json_response(out)
 

@@ -129,7 +129,10 @@ def test_completions_logprobs(client, loop):
 
 def test_completions_unsupported_400(client, loop):
     async def go():
-        for body in ({"prompt": [1], "n": 2}, {"prompt": [1], "best_of": 4},
+        for body in ({"prompt": [1], "n": 2, "temperature": 0.0},
+                     {"prompt": [1], "n": 2, "stream": True},
+                     {"prompt": [1], "n": 99},
+                     {"prompt": [1], "best_of": 4},
                      {"prompt": [1], "echo": True},
                      {"prompt": [1], "suffix": "x"},
                      {"prompt": {"bad": 1}}):
@@ -137,6 +140,22 @@ def test_completions_unsupported_400(client, loop):
             assert resp.status == 400, body
             err = (await resp.json())["error"]
             assert "message" in err
+    loop.run_until_complete(go())
+
+
+def test_completions_n_parallel_samples(client, loop):
+    async def go():
+        r = await client.post("/v1/completions", json={
+            "prompt": [1, 2, 3, 4], "max_tokens": 6, "temperature": 0.9,
+            "n": 3, "top_p": 1.0})
+        assert r.status == 200
+        data = await r.json()
+        assert [c["index"] for c in data["choices"]] == [0, 1, 2]
+        assert all(len(c["token_ids"]) == 6 for c in data["choices"])
+        assert data["usage"]["completion_tokens"] == 18
+        # stochastic: at least two of the three samples should differ
+        outs = {tuple(c["token_ids"]) for c in data["choices"]}
+        assert len(outs) >= 2
     loop.run_until_complete(go())
 
 
