@@ -39,6 +39,9 @@ class ModelConfig:
     tie_word_embeddings: bool = True
     dtype: str = "bfloat16"
     model_type: str = "qwen2"
+    # Sliding-window attention (mistral family): each position attends to
+    # at most the last `sliding_window` tokens. None = full attention.
+    sliding_window: Optional[int] = None
 
     @property
     def q_dim(self) -> int:
@@ -64,7 +67,13 @@ class ModelConfig:
         hidden = cfg["hidden_size"]
         heads = cfg["num_attention_heads"]
         head_dim = cfg.get("head_dim") or hidden // heads
+        # mistral uses sliding_window unconditionally when set; qwen2 ships
+        # the field but gates it behind use_sliding_window (default False)
+        window = cfg.get("sliding_window")
+        if model_type == "qwen2" and not cfg.get("use_sliding_window", False):
+            window = None
         return cls(
+            sliding_window=window,
             vocab_size=cfg["vocab_size"],
             hidden_size=hidden,
             intermediate_size=cfg["intermediate_size"],
@@ -140,6 +149,11 @@ PRESETS: dict[str, ModelConfig] = {
         num_layers=80, num_heads=64, num_kv_heads=8, head_dim=128,
         rope_theta=500000.0, tie_word_embeddings=False, qkv_bias=False,
         rms_norm_eps=1e-5, model_type="llama"),
+    "mistral-7b": ModelConfig(     # v0.1: sliding-window attention (4096)
+        vocab_size=32000, hidden_size=4096, intermediate_size=14336,
+        num_layers=32, num_heads=32, num_kv_heads=8, head_dim=128,
+        rope_theta=10000.0, tie_word_embeddings=False, qkv_bias=False,
+        rms_norm_eps=1e-5, model_type="mistral", sliding_window=4096),
 }
 
 

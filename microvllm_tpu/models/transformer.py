@@ -357,7 +357,8 @@ def decode_step(cfg: ModelConfig, params: Params,
         d_pad = kc.shape[-1]
         attn, kc, vc, ks, vs = paged_decode_append_auto(
             pad_head(q, d_pad), pad_head(k, d_pad), pad_head(v, d_pad),
-            kc, vc, block_tables, context_lens, l, scale, ks, vs)
+            kc, vc, block_tables, context_lens, l, scale, ks, vs,
+            window=cfg.sliding_window)
         attn = attn[..., : cfg.head_dim]
         attn_flat = attn.reshape(B, q_dim)
         # o-proj is row-parallel: fused a8 kernel on the per-rank K shard,
@@ -528,10 +529,19 @@ def prefill_step(cfg: ModelConfig, params: Params,
     cos, sin = rope_cos_sin(positions, cfg.head_dim, cfg.rope_theta)
 
     quantized = k_scales is not None
+    # Sliding-window attention (mistral): statically dropped when the cache
+    # cannot hold more than `window` tokens (the mask never bites); when it
+    # can, the masked jnp attention path is used instead of the Pallas
+    # prefill kernel (window support in-kernel is a perf follow-up).
+    window = cfg.sliding_window
+    if (window is not None
+            and block_tables.shape[1] * page_size <= window
+            and S <= window):
+        window = None
     pallas_store = (use_pallas() and S % page_size == 0
                     and not slot_exact_store)
     pallas_attn = (use_pallas() and S % min(128, S) == 0
-                   and S % min(256, S) == 0)
+                   and S % min(256, S) == 0 and window is None)
     if not pallas_store:
         valid = jnp.arange(S, dtype=jnp.int32)[None, :] < chunk_lens[:, None]
         page_ids, offsets = slot_coords(block_tables, positions, page_size)
@@ -652,9 +662,10 @@ def prefill_step(cfg: ModelConfig, params: Params,
                 pad_head(q, d_pad), pad_head(k, d_pad), pad_head(v, d_pad),
                 kc[l], vc[l], block_tables, history_lens, scale,
                 ks[l] if quantized else None,
-                vs[l] if quantized else None)[..., : cfg.head_dim]
+                vs[l] if quantized else None,
+                window=window)[..., : cfg.head_dim]
         else:
-            attn = prefill_attention_ref(q, k, v, scale)
+            attn = prefill_attention_ref(q, k, v, scale, window=window)
 
         kc, vc, ks, vs = store_chunk(kc, vc, ks, vs, l, k, v)
 
@@ -752,7 +763,8 @@ def forward_logits(cfg: ModelConfig, params: Params,
         v = v.reshape(B, S, cfg.num_kv_heads, cfg.head_dim)
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
-        attn = prefill_attention_ref(q, k, v, scale)
+        attn = prefill_attention_ref(q, k, v, scale,
+                                     window=cfg.sliding_window)
         attn_out = linear(attn.reshape(B, S, cfg.q_dim), w("wo"), layer=l)
         normed2, resid = rmsnorm_residual(attn_out, hid, lp["mlp_norm"],
                                           cfg.rms_norm_eps)

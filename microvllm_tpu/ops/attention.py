@@ -70,7 +70,7 @@ def paged_decode_attention_auto(q, k_pages, v_pages, block_tables,
 
 def paged_decode_append_auto(q, k_new, v_new, k_cache, v_cache,
                              block_tables, context_lens, layer, scale,
-                             k_scales=None, v_scales=None):
+                             k_scales=None, v_scales=None, window=None):
     """Fused KV-append + decode attention on the layer-stacked cache.
 
     On TPU this is one Pallas kernel with the cache aliased in/out (no
@@ -80,11 +80,17 @@ def paged_decode_append_auto(q, k_new, v_new, k_cache, v_cache,
     q/k_new/v_new have the cache's padded head_dim. context_lens is the
     number of tokens in cache BEFORE this token. k_scales/v_scales are the
     per-token scale pages ``[L, P, KV, 128]`` when the cache is int8 (see
-    `quantize_kv`), else None. Returns
+    `quantize_kv`), else None. ``window`` enables sliding-window attention
+    (mistral); it is a no-op (statically dropped) when the cache cannot
+    hold more than ``window`` tokens — only then can the Pallas kernels
+    still be used, otherwise the jnp path applies the mask. Returns
     (attn_out, k_cache, v_cache, k_scales, v_scales).
     """
     quantized = k_scales is not None
-    if use_pallas():
+    page_size = k_cache.shape[3]
+    if window is not None and block_tables.shape[1] * page_size <= window:
+        window = None    # static: the window never bites at this capacity
+    if use_pallas() and window is None:
         if quantized:
             from .pallas.decode_attention import (
                 paged_decode_attention_append_q)
@@ -97,7 +103,6 @@ def paged_decode_append_auto(q, k_new, v_new, k_cache, v_cache,
             layer, scale=scale)
         return attn, k_cache, v_cache, None, None
 
-    page_size = k_cache.shape[3]
     page_ids, offsets = slot_coords(block_tables, context_lens, page_size)
     if quantized:
         k_q, k_s = quantize_kv(k_new)              # [B, KV, D], [B, KV]
@@ -108,7 +113,8 @@ def paged_decode_append_auto(q, k_new, v_new, k_cache, v_cache,
         v_scales = v_scales.at[layer, page_ids, :, offsets].set(v_s)
         attn = paged_decode_attention_ref(
             q, k_cache[layer], v_cache[layer], block_tables,
-            context_lens + 1, scale, k_scales[layer], v_scales[layer])
+            context_lens + 1, scale, k_scales[layer], v_scales[layer],
+            window=window)
         return attn, k_cache, v_cache, k_scales, v_scales
     k_cache = k_cache.at[layer, page_ids, :, offsets].set(
         k_new.astype(k_cache.dtype))
@@ -116,7 +122,7 @@ def paged_decode_append_auto(q, k_new, v_new, k_cache, v_cache,
         v_new.astype(v_cache.dtype))
     attn = paged_decode_attention_ref(
         q, k_cache[layer], v_cache[layer], block_tables, context_lens + 1,
-        scale)
+        scale, window=window)
     return attn, k_cache, v_cache, None, None
 
 
@@ -212,6 +218,7 @@ def paged_decode_attention_ref(q: jnp.ndarray, k_pages: jnp.ndarray,
                                scale: float,
                                k_scales: jnp.ndarray | None = None,
                                v_scales: jnp.ndarray | None = None,
+                               window: int | None = None,
                                ) -> jnp.ndarray:
     """Single-token decode attention reading the paged KV cache.
 
@@ -221,6 +228,8 @@ def paged_decode_attention_ref(q: jnp.ndarray, k_pages: jnp.ndarray,
     seq_lens:     ``[B]`` — number of valid tokens (AFTER the current token's
                   KV was appended).
     k/v_scales:   ``[num_pages, kv_heads, 128]`` f32 when the cache is int8.
+    window:       sliding-window attention — only the last ``window``
+                  positions are visible (mistral semantics).
     Returns ``[B, num_heads, head_dim]`` in q.dtype.
     """
     B, num_heads, head_dim = q.shape
@@ -236,6 +245,8 @@ def paged_decode_attention_ref(q: jnp.ndarray, k_pages: jnp.ndarray,
 
     positions = jnp.arange(max_pages * page_size, dtype=jnp.int32)
     valid = positions[None, :] < seq_lens[:, None]          # [B, S_max]
+    if window is not None:
+        valid &= positions[None, :] >= seq_lens[:, None] - window
     scores = jnp.where(valid[:, None, None, :], scores, NEG_INF)
 
     probs = jax.nn.softmax(scores, axis=-1)
@@ -249,13 +260,15 @@ def paged_decode_attention_ref(q: jnp.ndarray, k_pages: jnp.ndarray,
 
 
 def prefill_attention_ref(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
-                          scale: float) -> jnp.ndarray:
+                          scale: float,
+                          window: int | None = None) -> jnp.ndarray:
     """Causal self-attention over a rectangular ``[B, S]`` batch with GQA.
 
     q: ``[B, S, num_heads, head_dim]``; k/v: ``[B, S, kv_heads, head_dim]``.
     Padding beyond each row's true prompt length needs no key mask here:
     logits are only read at positions < prompt_len, and causal masking keeps
-    later (padded) keys out of those positions.
+    later (padded) keys out of those positions. ``window``: sliding-window
+    attention (position q sees keys in ``(q - window, q]``).
     """
     B, S, num_heads, head_dim = q.shape
     kv_heads = k.shape[2]
@@ -265,6 +278,9 @@ def prefill_attention_ref(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     scores = jnp.einsum("bqkgd,bskd->bkgqs", qg, k.astype(jnp.float32)) * scale
 
     causal = jnp.tril(jnp.ones((S, S), dtype=bool))
+    if window is not None:
+        idx = jnp.arange(S)
+        causal &= idx[:, None] - idx[None, :] < window
     scores = jnp.where(causal[None, None, None, :, :], scores, NEG_INF)
 
     probs = jax.nn.softmax(scores, axis=-1)
@@ -284,12 +300,15 @@ def chunked_prefill_attention_ref(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray
                                   scale: float,
                                   k_scales: jnp.ndarray | None = None,
                                   v_scales: jnp.ndarray | None = None,
+                                  window: int | None = None,
                                   ) -> jnp.ndarray:
     """Attention for a prefill chunk: queries attend to all cached history
     tokens plus causally to the current chunk.
 
     q/k/v: ``[B, S, heads, d]`` (current chunk, post-RoPE).
     history_lens: ``[B]`` — tokens already in cache before this chunk.
+    window: sliding-window attention over ABSOLUTE positions (query at
+    absolute position p sees keys in ``(p - window, p]``).
     """
     B, S, num_heads, head_dim = q.shape
     _, kv_heads, page_size, _ = k_pages.shape
@@ -301,17 +320,24 @@ def chunked_prefill_attention_ref(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray
     hv = gather_kv_pages(v_pages, v_scales, block_tables)
 
     qg = q.reshape(B, S, kv_heads, group, head_dim).astype(jnp.float32)
+    q_abs = history_lens[:, None] + jnp.arange(S, dtype=jnp.int32)[None, :]
 
     # Scores vs history.
     h_scores = jnp.einsum("bqkgd,bksd->bkgqs", qg, hk.astype(jnp.float32)) * scale
     hpos = jnp.arange(max_pages * page_size, dtype=jnp.int32)
-    h_valid = hpos[None, :] < history_lens[:, None]
-    h_scores = jnp.where(h_valid[:, None, None, None, :], h_scores, NEG_INF)
+    h_valid = (hpos[None, None, :] < history_lens[:, None, None]
+               ) & jnp.ones((1, S, 1), bool)                  # [B, S, H]
+    if window is not None:
+        h_valid &= hpos[None, None, :] > q_abs[:, :, None] - window
+    h_scores = jnp.where(h_valid[:, None, None, :, :], h_scores, NEG_INF)
 
     # Scores vs current chunk (causal).
     c_scores = jnp.einsum("bqkgd,bskd->bkgqs", qg, k.astype(jnp.float32)) * scale
-    causal = jnp.tril(jnp.ones((S, S), dtype=bool))
-    c_scores = jnp.where(causal[None, None, None, :, :], c_scores, NEG_INF)
+    causal = jnp.tril(jnp.ones((S, S), dtype=bool))[None]    # [1, S, S]
+    if window is not None:
+        idx = jnp.arange(S)
+        causal = causal & (idx[None, :, None] - idx[None, None, :] < window)
+    c_scores = jnp.where(causal[:, None, None, :, :], c_scores, NEG_INF)
 
     scores = jnp.concatenate([h_scores, c_scores], axis=-1)
     probs = jax.nn.softmax(scores, axis=-1)

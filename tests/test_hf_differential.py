@@ -34,6 +34,17 @@ def _build_hf(family: str):
             rope_theta=10000.0, rms_norm_eps=1e-6,
             max_position_embeddings=512, tie_word_embeddings=False)
         return Qwen2ForCausalLM(cfg)
+    if family == "mistral":
+        # sliding_window=4 on a longer-than-4 prompt: the window mask bites,
+        # anchoring our SWA convention against HF's
+        from transformers import MistralConfig, MistralForCausalLM
+        cfg = MistralConfig(
+            vocab_size=256, hidden_size=64, intermediate_size=128,
+            num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+            rope_theta=10000.0, rms_norm_eps=1e-5,
+            max_position_embeddings=512, tie_word_embeddings=False,
+            sliding_window=4, attn_implementation="eager")
+        return MistralForCausalLM(cfg)
     from transformers import LlamaConfig, LlamaForCausalLM
     cfg = LlamaConfig(
         vocab_size=256, hidden_size=64, intermediate_size=128,
@@ -43,7 +54,7 @@ def _build_hf(family: str):
     return LlamaForCausalLM(cfg)
 
 
-@pytest.fixture(scope="module", params=["qwen2", "llama"])
+@pytest.fixture(scope="module", params=["qwen2", "llama", "mistral"])
 def snapshot(request, tmp_path_factory):
     hf = _build_hf(request.param).eval()
     d = tmp_path_factory.mktemp(f"hf_{request.param}")
