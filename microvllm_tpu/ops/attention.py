@@ -81,26 +81,28 @@ def paged_decode_append_auto(q, k_new, v_new, k_cache, v_cache,
     number of tokens in cache BEFORE this token. k_scales/v_scales are the
     per-token scale pages ``[L, P, KV, 128]`` when the cache is int8 (see
     `quantize_kv`), else None. ``window`` enables sliding-window attention
-    (mistral); it is a no-op (statically dropped) when the cache cannot
-    hold more than ``window`` tokens — only then can the Pallas kernels
-    still be used, otherwise the jnp path applies the mask. Returns
+    (mistral); it is statically dropped when the cache cannot hold more
+    than ``window`` tokens (the mask never bites), and otherwise handled
+    IN the Pallas kernels — chunks wholly below the window are never even
+    DMA'd, so windowed decode reads O(window) KV bytes. Returns
     (attn_out, k_cache, v_cache, k_scales, v_scales).
     """
     quantized = k_scales is not None
     page_size = k_cache.shape[3]
     if window is not None and block_tables.shape[1] * page_size <= window:
         window = None    # static: the window never bites at this capacity
-    if use_pallas() and window is None:
+    if use_pallas():
         if quantized:
             from .pallas.decode_attention import (
                 paged_decode_attention_append_q)
             return paged_decode_attention_append_q(
                 q, k_new, v_new, k_cache, v_cache, k_scales, v_scales,
-                block_tables, context_lens, layer, scale=scale)
+                block_tables, context_lens, layer, scale=scale,
+                window=window)
         from .pallas.decode_attention import paged_decode_attention_append
         attn, k_cache, v_cache = paged_decode_attention_append(
             q, k_new, v_new, k_cache, v_cache, block_tables, context_lens,
-            layer, scale=scale)
+            layer, scale=scale, window=window)
         return attn, k_cache, v_cache, None, None
 
     page_ids, offsets = slot_coords(block_tables, context_lens, page_size)

@@ -51,6 +51,7 @@ def _decode_kernel(
     max_pages: int,
     pages_per_chunk: int,
     scale: float,
+    window: int | None = None,
 ):
     b = pl.program_id(0)
     h = pl.program_id(1)
@@ -59,18 +60,25 @@ def _decode_kernel(
         block_tables_ref, ctx, q_ref, k_hbm, v_hbm, o_ref,
         k_buf, v_buf, k_sems, v_sems,
         page_size=page_size, max_pages=max_pages,
-        pages_per_chunk=pages_per_chunk, scale=scale)
+        pages_per_chunk=pages_per_chunk, scale=scale, window=window)
 
 
 def _decode_attention_body(
     block_tables_ref, ctx, q_ref, k_hbm, v_hbm, o_ref,
     k_buf, v_buf, k_sems, v_sems,
-    *, page_size, max_pages, pages_per_chunk, scale,
+    *, page_size, max_pages, pages_per_chunk, scale, window=None,
 ):
     b = pl.program_id(0)
     h = pl.program_id(1)
     chunk_tokens = page_size * pages_per_chunk
     num_chunks = pl.cdiv(ctx, chunk_tokens)
+    # Sliding window: chunks wholly below the window start are never read
+    # (fewer DMAs AND fewer softmax updates — windowed long-context decode
+    # costs O(window), not O(context)).
+    if window is None:
+        start_chunk = 0
+    else:
+        start_chunk = jnp.maximum(ctx - window, 0) // chunk_tokens
 
     G, D = q_ref.shape[2], q_ref.shape[3]
 
@@ -84,9 +92,9 @@ def _decode_attention_body(
                 v_hbm.at[page, h], v_buf.at[slot, i], v_sems.at[slot]))
         return copies
 
-    @pl.when(num_chunks > 0)
+    @pl.when(num_chunks > start_chunk)
     def _start_first():
-        for cp in chunk_copies(0, 0):
+        for cp in chunk_copies(jax.lax.rem(start_chunk, 2), start_chunk):
             cp.start()
 
     q = q_ref[0, 0].astype(jnp.float32)  # [G, D]
@@ -112,7 +120,10 @@ def _decode_attention_body(
 
         pos = c * chunk_tokens + jax.lax.broadcasted_iota(
             jnp.int32, (G, chunk_tokens), 1)
-        s = jnp.where(pos < ctx, s, MASK_VALUE)
+        valid = pos < ctx
+        if window is not None:
+            valid &= pos >= ctx - window
+        s = jnp.where(valid, s, MASK_VALUE)
 
         m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
         p = jnp.exp(s - m_new)                                  # [G, T]
@@ -129,7 +140,7 @@ def _decode_attention_body(
         jnp.zeros((G, 1), jnp.float32),
         jnp.zeros((G, D), jnp.float32),
     )
-    m, l, acc = jax.lax.fori_loop(0, num_chunks, body, init)
+    m, l, acc = jax.lax.fori_loop(start_chunk, num_chunks, body, init)
 
     out = acc / jnp.maximum(l, 1e-30)
     o_ref[0, 0] = out.astype(o_ref.dtype)
@@ -137,7 +148,7 @@ def _decode_attention_body(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("scale", "pages_per_chunk", "interpret"))
+    static_argnames=("scale", "pages_per_chunk", "interpret", "window"))
 def paged_decode_attention(
     q: jnp.ndarray,             # [B, num_heads, head_dim]
     k_pages: jnp.ndarray,       # [num_pages, kv_heads, page_size, head_dim]
@@ -148,6 +159,7 @@ def paged_decode_attention(
     scale: float,
     pages_per_chunk: int = 4,
     interpret: bool = False,
+    window: int | None = None,
 ) -> jnp.ndarray:
     B, num_heads, head_dim = q.shape
     num_pages, kv_heads, page_size, _ = k_pages.shape
@@ -188,6 +200,7 @@ def paged_decode_attention(
         max_pages=max_pages,
         pages_per_chunk=pages_per_chunk,
         scale=scale,
+        window=window,
     )
 
     out = pl.pallas_call(
@@ -233,6 +246,7 @@ def _decode_append_kernel(
     max_pages: int,
     pages_per_chunk: int,
     scale: float,
+    window: int | None = None,
 ):
     b = pl.program_id(0)
     layer = layer_ref[0]
@@ -240,6 +254,12 @@ def _decode_append_kernel(
     KV, G, D = q_ref.shape[1], q_ref.shape[2], q_ref.shape[3]
     chunk_tokens = page_size * pages_per_chunk
     num_chunks = pl.cdiv(ctx + 1, chunk_tokens)
+    # Sliding window: skip chunks wholly below position ctx+1-window — the
+    # windowed decode reads O(window) KV bytes regardless of context.
+    if window is None:
+        start_chunk = 0
+    else:
+        start_chunk = jnp.maximum(ctx + 1 - window, 0) // chunk_tokens
 
     # ---- append the new token's K/V rows into their page -----------------
     # DMA slices must be sublane-aligned, so a single-row write is illegal;
@@ -272,9 +292,9 @@ def _decode_append_kernel(
         pltpu.make_async_copy(page_buf.at[1], v_out.at[layer, page],
                               w_sems.at[1]).wait()
 
-    @pl.when((num_chunks > 0) & (append_chunk != 0))
+    @pl.when((num_chunks > start_chunk) & (append_chunk != start_chunk))
     def _start_first_early():
-        for cp in chunk_copies(0, 0):
+        for cp in chunk_copies(jax.lax.rem(start_chunk, 2), start_chunk):
             cp.start()
 
     k_page_in = pltpu.make_async_copy(
@@ -301,10 +321,10 @@ def _decode_append_kernel(
     pltpu.make_async_copy(page_buf.at[1], v_out.at[layer, page],
                           w_sems.at[1]).start()
 
-    @pl.when((num_chunks > 0) & (append_chunk == 0))
+    @pl.when((num_chunks > start_chunk) & (append_chunk == start_chunk))
     def _start_first_after_append():
         wait_append_writes()
-        for cp in chunk_copies(0, 0):
+        for cp in chunk_copies(jax.lax.rem(start_chunk, 2), start_chunk):
             cp.start()
 
     q = q_ref[0].astype(jnp.float32)                  # [KV, G, D]
@@ -328,6 +348,8 @@ def _decode_append_kernel(
         pos = c * chunk_tokens + jax.lax.broadcasted_iota(
             jnp.int32, (Gp, chunk_tokens), 1)
         valid = pos <= ctx                            # includes the new token
+        if window is not None:
+            valid &= pos > ctx - window
 
         # Per-head K dots (each KV head has its own K matrix), then ONE
         # head-stacked [KV*Gp, T] online-softmax update per chunk — the
@@ -363,7 +385,7 @@ def _decode_append_kernel(
         jnp.zeros((KV * Gp, 1), jnp.float32),
         jnp.zeros((KV * Gp, D), jnp.float32),
     )
-    m, l, acc = jax.lax.fori_loop(0, num_chunks, body, init)
+    m, l, acc = jax.lax.fori_loop(start_chunk, num_chunks, body, init)
     out = acc / jnp.maximum(l, 1e-30)                  # [KV*Gp, D]
     for h in range(KV):
         o_ref[0, h] = out[h * Gp:(h + 1) * Gp][:G].astype(o_ref.dtype)
@@ -390,6 +412,7 @@ def _decode_append_kernel_q(
     max_pages: int,
     pages_per_chunk: int,
     scale: float,
+    window: int | None = None,
 ):
     """INT8 KV-cache variant: new rows are quantized per (token, head) in
     kernel; dequantization happens as lane-wise scaling of scores (K) and
@@ -400,6 +423,11 @@ def _decode_append_kernel_q(
     KV, G, D = q_ref.shape[1], q_ref.shape[2], q_ref.shape[3]
     num_pages_seq = (ctx + 1 + page_size - 1) // page_size
     num_chunks = pl.cdiv(num_pages_seq, pages_per_chunk)
+    chunk_tokens = page_size * pages_per_chunk
+    if window is None:
+        start_chunk = 0
+    else:
+        start_chunk = jnp.maximum(ctx + 1 - window, 0) // chunk_tokens
 
     page_idx = ctx // page_size
     offset = ctx % page_size
@@ -432,9 +460,9 @@ def _decode_append_kernel_q(
 
     # ---- read-modify-write the target page (values + scales), overlapped
     # with the chunk streaming (see the bf16 kernel) ----------------------
-    @pl.when((num_chunks > 0) & (append_chunk != 0))
+    @pl.when((num_chunks > start_chunk) & (append_chunk != start_chunk))
     def _start_first_early():
-        for cp in chunk_copies(0, 0):
+        for cp in chunk_copies(jax.lax.rem(start_chunk, 2), start_chunk):
             cp.start()
 
     kp_in = pltpu.make_async_copy(k_out.at[layer, page], page_buf.at[0],
@@ -485,10 +513,10 @@ def _decode_append_kernel_q(
         cp.start()
 
     # ---- stream pages + online softmax with lane-scaled dequant ----------
-    @pl.when((num_chunks > 0) & (append_chunk == 0))
+    @pl.when((num_chunks > start_chunk) & (append_chunk == start_chunk))
     def _start_first_after_append():
         wait_append_writes()
-        for cp in chunk_copies(0, 0):
+        for cp in chunk_copies(jax.lax.rem(start_chunk, 2), start_chunk):
             cp.start()
 
     q = q_ref[0].astype(jnp.float32)                  # [KV, G, D]
@@ -531,7 +559,10 @@ def _decode_append_kernel_q(
             * chunk_scales(ks_buf, h)
             for h in range(KV)], axis=0) * scale              # [KV*Gp, T]
         pos = c * T + jax.lax.broadcasted_iota(jnp.int32, (KV * Gp, T), 1)
-        s = jnp.where(pos <= ctx, s, MASK_VALUE)
+        valid = pos <= ctx
+        if window is not None:
+            valid &= pos > ctx - window
+        s = jnp.where(valid, s, MASK_VALUE)
         m2 = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
         p = jnp.exp(s - m2)
         alpha = jnp.exp(m - m2)
@@ -553,7 +584,7 @@ def _decode_append_kernel_q(
         jnp.zeros((KV * Gp, 1), jnp.float32),
         jnp.zeros((KV * Gp, D), jnp.float32),
     )
-    m, l, acc = jax.lax.fori_loop(0, num_chunks, body, init)
+    m, l, acc = jax.lax.fori_loop(start_chunk, num_chunks, body, init)
     out = acc / jnp.maximum(l, 1e-30)                  # [KV*Gp, D]
     for h in range(KV):
         o_ref[0, h] = out[h * Gp:(h + 1) * Gp][:G].astype(o_ref.dtype)
@@ -561,7 +592,7 @@ def _decode_append_kernel_q(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("scale", "pages_per_chunk", "interpret"))
+    static_argnames=("scale", "pages_per_chunk", "interpret", "window"))
 def paged_decode_attention_append_q(
     q: jnp.ndarray,             # [B, num_heads, D]
     k_new: jnp.ndarray,         # [B, kv_heads, D]
@@ -577,6 +608,7 @@ def paged_decode_attention_append_q(
     scale: float,
     pages_per_chunk: int = 4,
     interpret: bool = False,
+    window: int | None = None,
 ):
     """INT8-KV fused append + decode attention. Returns
     (attn_out, k_cache, v_cache, k_scales, v_scales)."""
@@ -639,6 +671,7 @@ def paged_decode_attention_append_q(
         max_pages=max_pages,
         pages_per_chunk=pages_per_chunk,
         scale=scale,
+        window=window,
     )
 
     out, k_cache, v_cache, k_scales, v_scales = pl.pallas_call(
@@ -667,7 +700,7 @@ def paged_decode_attention_append_q(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("scale", "pages_per_chunk", "interpret"))
+    static_argnames=("scale", "pages_per_chunk", "interpret", "window"))
 def paged_decode_attention_append(
     q: jnp.ndarray,             # [B, num_heads, head_dim(padded)]
     k_new: jnp.ndarray,         # [B, kv_heads, head_dim(padded)]
@@ -681,6 +714,7 @@ def paged_decode_attention_append(
     scale: float,
     pages_per_chunk: int = 4,
     interpret: bool = False,
+    window: int | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Fused in-kernel KV append + paged decode attention.
 
@@ -738,6 +772,7 @@ def paged_decode_attention_append(
         max_pages=max_pages,
         pages_per_chunk=pages_per_chunk,
         scale=scale,
+        window=window,
     )
 
     out, k_cache, v_cache = pl.pallas_call(

@@ -330,6 +330,92 @@ def test_decode_append_q_kernel_matches_jnp(lens, ppc):
     np.testing.assert_allclose(got_attn, ref_attn, rtol=3e-2, atol=3e-2)
 
 
+@pytest.mark.parametrize("lens,ppc,window", [
+    ([49, 16, 0], 1, 20),   # window spans a chunk boundary mid-page
+    ([49, 33], 2, 20),      # start_chunk > 0 with double-buffered slots
+    ([17, 5], 2, 64),       # window larger than context: full attention
+    ([70], 1, 16),          # deep context, small window (many skipped chunks)
+])
+def test_decode_append_kernel_sliding_window(lens, ppc, window):
+    """Windowed fused append kernel vs the windowed jnp oracle: the kernel
+    starts streaming at the window's first chunk (skipped chunks are never
+    DMA'd) and masks the boundary chunk."""
+    from microvllm_tpu.ops.attention import paged_decode_append_auto
+    from microvllm_tpu.ops.pallas.decode_attention import (
+        paged_decode_attention_append)
+
+    B, KV, G, D, layer = len(lens), 2, 2, 128, 1
+    H = KV * G
+    kc, vc, bt = _stacked_cache(lens, layer=layer, KV=KV, D=D, MP=8, NP=32)
+    ctx = jnp.asarray(lens, jnp.int32)
+    q = jax.random.normal(jax.random.PRNGKey(0), (B, H, D))
+    k_new = jax.random.normal(jax.random.PRNGKey(1), (B, KV, D))
+    v_new = jax.random.normal(jax.random.PRNGKey(2), (B, KV, D))
+
+    ref_attn, ref_k, ref_v, _, _ = paged_decode_append_auto(
+        q, k_new, v_new, kc, vc, bt, ctx, jnp.int32(layer), D ** -0.5,
+        window=window)
+
+    got_attn, got_k, got_v = paged_decode_attention_append(
+        q, k_new, v_new, kc, vc, bt, ctx, jnp.int32(layer),
+        scale=D ** -0.5, pages_per_chunk=ppc, interpret=True, window=window)
+
+    np.testing.assert_allclose(got_attn, ref_attn, rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(got_k, ref_k, rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(got_v, ref_v, rtol=1e-6, atol=1e-6)
+
+
+def test_decode_append_q_kernel_sliding_window():
+    """Windowed INT8-KV fused append kernel vs the windowed jnp oracle."""
+    from microvllm_tpu.ops.attention import paged_decode_append_auto
+    from microvllm_tpu.ops.pallas.decode_attention import (
+        paged_decode_attention_append_q)
+
+    lens, ppc, window = [49, 33], 1, 20
+    B, KV, G, D, PS, NP, MP, L, layer = len(lens), 2, 2, 128, 16, 16, 8, 2, 1
+    H = KV * G
+    kc = jnp.zeros((L, NP, KV, PS, D), jnp.int8)
+    vc = jnp.zeros((L, NP, KV, PS, D), jnp.int8)
+    ks = jnp.zeros((L, NP, KV, 128), jnp.float32)
+    vs = jnp.zeros((L, NP, KV, 128), jnp.float32)
+    bt = np.zeros((B, MP), np.int32)
+    pg = 1
+    for b, n_tok in enumerate(lens):
+        n = -(-(n_tok + 1) // PS)
+        bt[b, :n] = range(pg, pg + n)
+        pg += n
+    bt = jnp.asarray(bt)
+    for b, n_tok in enumerate(lens):
+        for t in range(n_tok):
+            kk = jax.random.normal(jax.random.PRNGKey(100 + 7 * b + t),
+                                   (1, KV, D))
+            vv = jax.random.normal(jax.random.PRNGKey(900 + 7 * b + t),
+                                   (1, KV, D))
+            _, kc, vc, ks, vs = paged_decode_append_auto(
+                jnp.zeros((1, H, D)), kk[0][None], vv[0][None],
+                kc, vc, bt[b][None], jnp.array([t], jnp.int32),
+                jnp.int32(layer), D ** -0.5, ks, vs)
+
+    ctx = jnp.asarray(lens, jnp.int32)
+    q = jax.random.normal(jax.random.PRNGKey(0), (B, H, D))
+    k_new = jax.random.normal(jax.random.PRNGKey(1), (B, KV, D))
+    v_new = jax.random.normal(jax.random.PRNGKey(2), (B, KV, D))
+
+    ref_attn, ref_k, ref_v, ref_ks, ref_vs = paged_decode_append_auto(
+        q, k_new, v_new, kc, vc, bt, ctx, jnp.int32(layer), D ** -0.5,
+        ks, vs, window=window)
+
+    got_attn, got_k, got_v, got_ks, got_vs = paged_decode_attention_append_q(
+        q, k_new, v_new, kc, vc, ks, vs, bt, ctx, jnp.int32(layer),
+        scale=D ** -0.5, pages_per_chunk=ppc, interpret=True, window=window)
+
+    np.testing.assert_array_equal(np.asarray(got_k), np.asarray(ref_k))
+    np.testing.assert_array_equal(np.asarray(got_v), np.asarray(ref_v))
+    np.testing.assert_allclose(got_ks, ref_ks, rtol=1e-6, atol=1e-9)
+    np.testing.assert_allclose(got_vs, ref_vs, rtol=1e-6, atol=1e-9)
+    np.testing.assert_allclose(got_attn, ref_attn, rtol=3e-2, atol=3e-2)
+
+
 def test_store_kv_pages_q_matches_scatter():
     """INT8 bulk store: values + scale pages vs an explicit scatter oracle."""
     from microvllm_tpu.ops.attention import quantize_kv
