@@ -125,3 +125,64 @@ def test_engine_fuzz_variants(kv_bits, spec_k):
     assert eng.cache_stats.used_pages == 0, "leaked pages"
     if spec_k:
         assert eng.metrics.spec_rounds > 0, "spec path never exercised"
+
+
+@pytest.mark.parametrize("seed", [3, 4])
+def test_engine_fuzz_prefix_cache(seed):
+    """The base fuzz under prefix caching: shared-prefix prompts exercise
+    page sharing (refcounts), LRU eviction under pressure, preemption of
+    sequences holding shared pages, and abort-while-shared — with the same
+    conservation invariant (free counts LRU pages: they are reclaimable)."""
+    rng = random.Random(seed)
+    eng = InferenceEngine(EngineConfig(
+        model=ModelConfig.tiny(),
+        cache=CacheConfig(num_pages=24, page_size=16, max_pages_per_seq=6,
+                          prefix_cache=True),
+        scheduler=SchedulerConfig(
+            max_batch_size=6, max_prefill_tokens=128, prefill_wait_s=0.0,
+            decode_buckets=(2, 4, 8), prefill_len_buckets=(16, 32),
+            prefill_batch_buckets=(1, 2, 4), decode_spans=(1, 2, 4)),
+        max_model_len=96,
+        default_max_new_tokens=8,
+    ))
+    total_usable = eng.config.cache.num_usable_pages
+    prefixes = [[100 * p + t for t in range(40)] for p in range(3)]
+
+    live: list[int] = []
+    submitted = finished = aborted = 0
+    for step in range(220):
+        action = rng.random()
+        if action < 0.25 and submitted < 60:
+            prompt = (list(rng.choice(prefixes))[:rng.choice([16, 32, 40])]
+                      + [rng.randint(1, 400)
+                         for _ in range(rng.randint(0, 30))])
+            sid = eng.add_request(
+                prompt_token_ids=prompt,
+                sampling=SamplingParams(
+                    temperature=rng.choice([0.0, 0.8]),
+                    max_new_tokens=rng.randint(1, 12)))
+            live.append(sid)
+            submitted += 1
+        elif action < 0.30 and live:
+            sid = live.pop(rng.randrange(len(live)))
+            if eng.abort_request(sid):
+                aborted += 1
+        else:
+            eng.step()
+        stats = eng.cache_stats
+        assert stats.free_pages + stats.used_pages == total_usable
+        for seq in eng.scheduler.pop_finished():
+            finished += 1
+            if seq.seq_id in live:
+                live.remove(seq.seq_id)
+
+    for _ in range(2000):
+        if eng.scheduler.is_finished():
+            break
+        eng.step()
+        for seq in eng.scheduler.pop_finished():
+            finished += 1
+    assert eng.scheduler.is_finished(), "engine did not drain"
+    assert finished + aborted >= submitted
+    assert eng.cache_stats.used_pages == 0, "leaked pages"
+    assert eng.allocator.hits > 0          # sharing actually happened
