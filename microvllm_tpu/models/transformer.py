@@ -530,9 +530,9 @@ def prefill_step(cfg: ModelConfig, params: Params,
 
     quantized = k_scales is not None
     # Sliding-window attention (mistral): statically dropped when the cache
-    # cannot hold more than `window` tokens (the mask never bites); when it
-    # can, the masked jnp attention path is used instead of the Pallas
-    # prefill kernel (window support in-kernel is a perf follow-up).
+    # cannot hold more than `window` tokens (the mask never bites);
+    # otherwise handled inside the Pallas prefill kernel (history chunks
+    # below the q-block's window are never DMA'd).
     window = cfg.sliding_window
     if (window is not None
             and block_tables.shape[1] * page_size <= window
@@ -541,7 +541,7 @@ def prefill_step(cfg: ModelConfig, params: Params,
     pallas_store = (use_pallas() and S % page_size == 0
                     and not slot_exact_store)
     pallas_attn = (use_pallas() and S % min(128, S) == 0
-                   and S % min(256, S) == 0 and window is None)
+                   and S % min(256, S) == 0)
     if not pallas_store:
         valid = jnp.arange(S, dtype=jnp.int32)[None, :] < chunk_lens[:, None]
         page_ids, offsets = slot_coords(block_tables, positions, page_size)
@@ -654,7 +654,7 @@ def prefill_step(cfg: ModelConfig, params: Params,
                 pad_head(v, d_pad).transpose(0, 2, 1, 3),
                 kc, vc, block_tables, history_lens, chunk_lens, l,
                 scale=scale, with_history=has_history,
-                k_scales=ks, v_scales=vs)
+                k_scales=ks, v_scales=vs, window=window)
             attn = attn.transpose(0, 3, 1, 2, 4).reshape(
                 B, S, n_heads, d_pad)[..., : cfg.head_dim]
         elif has_history:

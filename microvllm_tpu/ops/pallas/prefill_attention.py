@@ -52,6 +52,7 @@ def _prefill_kernel(
     block_k: int,
     scale: float,
     with_history: bool,
+    window: int | None = None,
 ):
     b = pl.program_id(0)
     h = pl.program_id(1)
@@ -77,6 +78,13 @@ def _prefill_kernel(
     if with_history:
         chunk_tokens = page_size * pages_per_chunk
         num_hchunks = pl.cdiv(hist, chunk_tokens)
+        # sliding window: history chunks wholly below the q-block's window
+        # are never DMA'd (absolute q positions are hist + local)
+        if window is None:
+            start_hchunk = 0
+        else:
+            start_hchunk = (jnp.maximum(hist + qb * block_q + 1 - window, 0)
+                            // chunk_tokens)
 
         def hist_copies(slot, c):
             copies = []
@@ -90,9 +98,10 @@ def _prefill_kernel(
                     v_sems.at[slot]))
             return copies
 
-        @pl.when(num_hchunks > 0)
+        @pl.when(num_hchunks > start_hchunk)
         def _():
-            for cp in hist_copies(0, 0):
+            for cp in hist_copies(jax.lax.rem(start_hchunk, 2),
+                                  start_hchunk):
                 cp.start()
 
         def hist_body(c, carry):
@@ -113,7 +122,10 @@ def _prefill_kernel(
                                     preferred_element_type=jnp.float32)
             kpos = c * chunk_tokens + jax.lax.broadcasted_iota(
                 jnp.int32, (G * BQ, chunk_tokens), 1)
-            s = jnp.where(kpos < hist, s, MASK_VALUE)
+            valid = kpos < hist
+            if window is not None:
+                valid &= kpos > hist + q_pos - window
+            s = jnp.where(valid, s, MASK_VALUE)
             m2 = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
             p = jnp.exp(s - m2)
             alpha = jnp.exp(m - m2)
@@ -123,23 +135,32 @@ def _prefill_kernel(
                                      preferred_element_type=jnp.float32)
             return m2, l2, acc * alpha + pv
 
-        m, l, acc = jax.lax.fori_loop(0, num_hchunks, hist_body, (m, l, acc))
+        m, l, acc = jax.lax.fori_loop(start_hchunk, num_hchunks, hist_body,
+                                      (m, l, acc))
 
     # ---- phase 2: causal attention over the current chunk ----------------
     m, l, acc = _attend_current_chunk(
         q, q_pos, k_ref, v_ref, chunk_len, qb, m, l, acc,
-        block_q=block_q, block_k=block_k)
+        block_q=block_q, block_k=block_k, window=window)
 
     out = acc / jnp.maximum(l, 1e-30)
     o_ref[0, 0] = out.reshape(G, BQ, D).astype(o_ref.dtype)
 
 
 def _attend_current_chunk(q, q_pos, k_ref, v_ref, chunk_len, qb, m, l, acc,
-                          *, block_q: int, block_k: int):
-    """Causal flash pass over the current chunk's (bf16) keys/values."""
+                          *, block_q: int, block_k: int,
+                          window: int | None = None):
+    """Causal flash pass over the current chunk's (bf16) keys/values.
+    Window distances are local-position differences (query and key share
+    the same history offset)."""
     R, D = q.shape
     num_kblocks = pl.cdiv(
         jnp.minimum((qb + 1) * block_q, chunk_len), block_k)
+    if window is None:
+        start_kblock = 0
+    else:
+        # earliest key any query of this q-block can see
+        start_kblock = jnp.maximum(qb * block_q + 1 - window, 0) // block_k
 
     def cur_body(j, carry):
         m, l, acc = carry
@@ -150,6 +171,8 @@ def _attend_current_chunk(q, q_pos, k_ref, v_ref, chunk_len, qb, m, l, acc,
         kpos = j * block_k + jax.lax.broadcasted_iota(
             jnp.int32, (R, block_k), 1)
         valid = (kpos <= q_pos) & (kpos < chunk_len)
+        if window is not None:
+            valid &= kpos > q_pos - window
         s = jnp.where(valid, s, MASK_VALUE)
         m2 = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
         p = jnp.exp(s - m2)
@@ -160,7 +183,8 @@ def _attend_current_chunk(q, q_pos, k_ref, v_ref, chunk_len, qb, m, l, acc,
                                  preferred_element_type=jnp.float32)
         return m2, l2, acc * alpha + pv
 
-    return jax.lax.fori_loop(0, num_kblocks, cur_body, (m, l, acc))
+    return jax.lax.fori_loop(start_kblock, num_kblocks, cur_body,
+                             (m, l, acc))
 
 
 def _prefill_kernel_q(
@@ -185,6 +209,7 @@ def _prefill_kernel_q(
     block_q: int,
     block_k: int,
     scale: float,
+    window: int | None = None,
 ):
     """INT8-KV history variant: streams quantized pages + per-token scale
     lanes; K dequant rides the score rows (lane-wise multiply), V dequant
@@ -209,6 +234,12 @@ def _prefill_kernel_q(
     # ---- phase 1: attend to quantized history pages ----------------------
     num_hpages = pl.cdiv(hist, page_size)
     num_hchunks = pl.cdiv(num_hpages, pages_per_chunk)
+    chunk_tokens = page_size * pages_per_chunk
+    if window is None:
+        start_hchunk = 0
+    else:
+        start_hchunk = (jnp.maximum(hist + qb * block_q + 1 - window, 0)
+                        // chunk_tokens)
 
     def hist_copies(slot, c):
         copies = []
@@ -228,9 +259,9 @@ def _prefill_kernel_q(
                 vs_sems.at[slot]))
         return copies
 
-    @pl.when(num_hchunks > 0)
+    @pl.when(num_hchunks > start_hchunk)
     def _():
-        for cp in hist_copies(0, 0):
+        for cp in hist_copies(jax.lax.rem(start_hchunk, 2), start_hchunk):
             cp.start()
 
     def hist_body(c, carry):
@@ -257,7 +288,10 @@ def _prefill_kernel_q(
             kpos = ((c * pages_per_chunk + i) * page_size
                     + jax.lax.broadcasted_iota(
                         jnp.int32, (G * BQ, page_size), 1))
-            s = jnp.where(kpos < hist, s, MASK_VALUE)
+            valid = kpos < hist
+            if window is not None:
+                valid &= kpos > hist + q_pos - window
+            s = jnp.where(valid, s, MASK_VALUE)
             m2 = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
             p = jnp.exp(s - m2)
             alpha = jnp.exp(m - m2)
@@ -270,12 +304,13 @@ def _prefill_kernel_q(
             m = m2
         return m, l, acc
 
-    m, l, acc = jax.lax.fori_loop(0, num_hchunks, hist_body, (m, l, acc))
+    m, l, acc = jax.lax.fori_loop(start_hchunk, num_hchunks, hist_body,
+                                  (m, l, acc))
 
     # ---- phase 2: causal attention over the current chunk (bf16) ---------
     m, l, acc = _attend_current_chunk(
         q, q_pos, k_ref, v_ref, chunk_len, qb, m, l, acc,
-        block_q=block_q, block_k=block_k)
+        block_q=block_q, block_k=block_k, window=window)
 
     out = acc / jnp.maximum(l, 1e-30)
     o_ref[0, 0] = out.reshape(G, BQ, D).astype(o_ref.dtype)
@@ -284,7 +319,7 @@ def _prefill_kernel_q(
 @functools.partial(
     jax.jit,
     static_argnames=("scale", "block_q", "block_k", "pages_per_chunk",
-                     "with_history", "interpret"))
+                     "with_history", "interpret", "window"))
 def flash_prefill_attention(
     q: jnp.ndarray,             # [B, KV, G, S, D]
     k: jnp.ndarray,             # [B, KV, S, D] current chunk (post-RoPE)
@@ -304,6 +339,7 @@ def flash_prefill_attention(
     k_scales: jnp.ndarray | None = None,   # [L, P, KV, 128] when int8 cache
     v_scales: jnp.ndarray | None = None,
     interpret: bool = False,
+    window: int | None = None,
 ) -> jnp.ndarray:
     """Returns attention output ``[B, KV, G, S, D]`` in q.dtype."""
     B, KV, G, S, D = q.shape
@@ -356,13 +392,14 @@ def flash_prefill_attention(
         kernel = functools.partial(
             _prefill_kernel_q, page_size=page_size, max_pages=max_pages,
             pages_per_chunk=pages_per_chunk, block_q=block_q,
-            block_k=block_k, scale=scale)
+            block_k=block_k, scale=scale, window=window)
         operands = (q, k, v, k_cache, v_cache, k_scales, v_scales)
     else:
         kernel = functools.partial(
             _prefill_kernel, page_size=page_size, max_pages=max_pages,
             pages_per_chunk=pages_per_chunk, block_q=block_q,
-            block_k=block_k, scale=scale, with_history=with_history)
+            block_k=block_k, scale=scale, with_history=with_history,
+            window=window)
         operands = (q, k, v, k_cache, v_cache)
 
     return pl.pallas_call(

@@ -200,6 +200,99 @@ def test_flash_prefill_no_history():
     np.testing.assert_allclose(got_std, ref, rtol=2e-5, atol=2e-5)
 
 
+@pytest.mark.parametrize("window", [12, 40, 200])
+def test_flash_prefill_sliding_window(window):
+    """Windowed flash prefill (history + in-chunk phases) vs the windowed
+    jnp oracle: absolute-position window across the history boundary, and
+    start-chunk skipping for deep histories."""
+    from microvllm_tpu.ops.attention import chunked_prefill_attention_ref
+    from microvllm_tpu.ops.pallas.prefill_attention import (
+        flash_prefill_attention)
+
+    L, B, KV, G, D, PS, NP, MP = 2, 2, 2, 3, 128, 16, 32, 8
+    H, S, layer = KV * G, 64, 1
+    kc = jnp.zeros((L, NP, KV, PS, D))
+    vc = jnp.zeros((L, NP, KV, PS, D))
+    bt = np.zeros((B, MP), np.int32)
+    hist = np.array([64, 0], np.int32)
+    chunk = np.array([64, 40], np.int32)
+    pg = 1
+    for b in range(B):
+        n = -(-(int(hist[b]) + int(chunk[b])) // PS)
+        bt[b, :n] = range(pg, pg + n)
+        pg += n
+    bt = jnp.asarray(bt)
+    for b in range(B):
+        hb = int(hist[b])
+        if hb == 0:
+            continue
+        kk = jax.random.normal(jax.random.PRNGKey(b + 1), (hb, KV, D))
+        vv = jax.random.normal(jax.random.PRNGKey(b + 9), (hb, KV, D))
+        pos = jnp.arange(hb, dtype=jnp.int32)
+        pages, offs = slot_coords(bt[b][None].repeat(hb, 0), pos, PS)
+        kl, vl = append_kv(kc[layer], vc[layer], kk, vv, pages, offs)
+        kc = kc.at[layer].set(kl)
+        vc = vc.at[layer].set(vl)
+
+    q = jax.random.normal(jax.random.PRNGKey(0), (B, S, H, D))
+    k = jax.random.normal(jax.random.PRNGKey(1), (B, S, KV, D))
+    v = jax.random.normal(jax.random.PRNGKey(2), (B, S, KV, D))
+    ref = chunked_prefill_attention_ref(q, k, v, kc[layer], vc[layer], bt,
+                                        jnp.asarray(hist), D ** -0.5,
+                                        window=window)
+    qk = q.reshape(B, S, KV, G, D).transpose(0, 2, 3, 1, 4)
+    got = flash_prefill_attention(
+        qk, k.transpose(0, 2, 1, 3), v.transpose(0, 2, 1, 3), kc, vc, bt,
+        jnp.asarray(hist), jnp.asarray(chunk), jnp.int32(layer),
+        scale=D ** -0.5, block_q=16, block_k=16, pages_per_chunk=1,
+        interpret=True, window=window)
+    got_std = got.transpose(0, 3, 1, 2, 4).reshape(B, S, H, D)
+    for b in range(B):
+        cl = int(chunk[b])
+        np.testing.assert_allclose(got_std[b, :cl], ref[b, :cl],
+                                   rtol=2e-5, atol=2e-5)
+
+
+def test_flash_prefill_int8_sliding_window():
+    """Windowed INT8-history flash prefill vs the windowed jnp oracle."""
+    from microvllm_tpu.ops.attention import (chunked_prefill_attention_ref,
+                                             paged_decode_append_auto)
+    from microvllm_tpu.ops.pallas.prefill_attention import (
+        flash_prefill_attention)
+
+    L, B, KV, G, D, PS, NP, MP = 2, 1, 2, 2, 128, 16, 16, 8
+    H, S, layer, window = KV * G, 32, 1, 24
+    hist = 48
+    kc = jnp.zeros((L, NP, KV, PS, D), jnp.int8)
+    vc = jnp.zeros((L, NP, KV, PS, D), jnp.int8)
+    ks = jnp.zeros((L, NP, KV, 128), jnp.float32)
+    vs = jnp.zeros((L, NP, KV, 128), jnp.float32)
+    bt = jnp.asarray(
+        np.arange(1, 1 + MP, dtype=np.int32).reshape(1, MP))
+    for t in range(hist):
+        kk = jax.random.normal(jax.random.PRNGKey(100 + t), (1, KV, D))
+        vv = jax.random.normal(jax.random.PRNGKey(900 + t), (1, KV, D))
+        _, kc, vc, ks, vs = paged_decode_append_auto(
+            jnp.zeros((1, H, D)), kk, vv, kc, vc, bt,
+            jnp.array([t], jnp.int32), jnp.int32(layer), D ** -0.5, ks, vs)
+
+    q = jax.random.normal(jax.random.PRNGKey(0), (B, S, H, D))
+    k = jax.random.normal(jax.random.PRNGKey(1), (B, S, KV, D))
+    v = jax.random.normal(jax.random.PRNGKey(2), (B, S, KV, D))
+    ref = chunked_prefill_attention_ref(
+        q, k, v, kc[layer], vc[layer], bt, jnp.asarray([hist], jnp.int32),
+        D ** -0.5, ks[layer], vs[layer], window=window)
+    qk = q.reshape(B, S, KV, G, D).transpose(0, 2, 3, 1, 4)
+    got = flash_prefill_attention(
+        qk, k.transpose(0, 2, 1, 3), v.transpose(0, 2, 1, 3), kc, vc, bt,
+        jnp.asarray([hist], jnp.int32), jnp.asarray([S], jnp.int32),
+        jnp.int32(layer), scale=D ** -0.5, block_q=16, block_k=16,
+        pages_per_chunk=1, k_scales=ks, v_scales=vs, interpret=True,
+        window=window)
+    got_std = got.transpose(0, 3, 1, 2, 4).reshape(B, S, H, D)
+    np.testing.assert_allclose(got_std, ref, rtol=3e-2, atol=3e-2)
+
+
 # ---------------------------------------------------------------------------
 # Fused append + decode attention — the kernels the 7B bench actually runs
 # (VERDICT r1 weak #2: these had no interpret-mode coverage).
