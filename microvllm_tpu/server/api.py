@@ -655,6 +655,28 @@ def build_app(server: EngineServer) -> web.Application:
         await resp.write_eof()
         return resp
 
+    async def tokenize(request: web.Request) -> web.Response:
+        """vLLM-parity helper: {"text": ...} -> {"token_ids": [...]}."""
+        data = await _json_body(request)
+        text = data.get("text")
+        if not isinstance(text, str):
+            raise _bad_request("need \"text\"")
+        if engine.tokenizer is None:
+            raise _bad_request("server has no tokenizer")
+        ids = list(engine.tokenizer.encode(text))
+        return web.json_response({"token_ids": ids, "count": len(ids)})
+
+    async def detokenize(request: web.Request) -> web.Response:
+        """{"token_ids": [...]} -> {"text": ...}."""
+        data = await _json_body(request)
+        ids = data.get("token_ids")
+        if not (isinstance(ids, list) and all(isinstance(t, int)
+                                              for t in ids)):
+            raise _bad_request("need \"token_ids\" as a list of ints")
+        if engine.tokenizer is None:
+            raise _bad_request("server has no tokenizer")
+        return web.json_response({"text": engine.tokenizer.decode(ids)})
+
     async def health(request: web.Request) -> web.Response:
         import jax
         stats = engine.cache_stats
@@ -754,6 +776,8 @@ def build_app(server: EngineServer) -> web.Application:
     app.router.add_post("/generate_stream", generate_stream)
     app.router.add_get("/health", health)
     app.router.add_get("/metrics", metrics)
+    app.router.add_post("/tokenize", tokenize)
+    app.router.add_post("/detokenize", detokenize)
     app.router.add_post("/load_adapter", load_adapter)
     app.router.add_post("/profile/start", profile_start)
     app.router.add_post("/profile/stop", profile_stop)

@@ -58,22 +58,32 @@ def add_openai_routes(app: web.Application, server, default_max: int) -> None:
             raise _err("this host is a follower; send requests to the "
                        "leader", 503, "service_unavailable")
 
-    def _reject_unsupported(data: dict) -> int:
+    def _reject_unsupported(data: dict, allow_best_of: bool = False
+                            ) -> tuple[int, int]:
+        """Returns (n, best_of): generate best_of candidates, return the
+        top n (ranked by mean token logprob when best_of > n)."""
         n = int(data.get("n", 1) or 1)
+        best_of = int(data.get("best_of", 0) or n)
         if not 1 <= n <= 16:
             raise _err("n must be in [1, 16]")
-        if n > 1 and data.get("stream"):
-            raise _err("n > 1 with stream is not supported")
-        if n > 1 and float(data.get("temperature", 1.0)) <= 0.0:
-            raise _err("n > 1 requires temperature > 0 (greedy choices "
-                       "would be identical)")
-        if int(data.get("best_of", 1) or 1) != 1:
-            raise _err("best_of > 1 is not supported")
+        if not n <= best_of <= 16:
+            raise _err("best_of must be in [n, 16]")
+        if not allow_best_of and best_of != n:
+            raise _err("best_of is only supported on /v1/completions")
+        if (n > 1 or best_of > 1) and data.get("stream"):
+            raise _err("n/best_of > 1 with stream is not supported")
+        if (n > 1 or best_of > 1) and float(
+                data.get("temperature", 1.0)) <= 0.0:
+            raise _err("n/best_of > 1 requires temperature > 0 (greedy "
+                       "candidates would be identical)")
+        if best_of > n and engine.config.logprobs_k < 1:
+            raise _err("best_of ranking needs token logprobs; start the "
+                       "server with --logprobs-k >= 1")
         if data.get("echo"):
             raise _err("echo is not supported")
         if data.get("suffix"):
             raise _err("suffix is not supported")
-        return n
+        return n, best_of
 
     def _sampling(data: dict, lp_count: int, chat: bool):
         """Map OpenAI fields onto the native sampling parser (shared
@@ -247,11 +257,14 @@ def add_openai_routes(app: web.Application, server, default_max: int) -> None:
     async def completions(request: web.Request) -> web.Response:
         _not_follower()
         data = await _json_body(request)
-        n = _reject_unsupported(data)
+        n, best_of = _reject_unsupported(data, allow_best_of=True)
         lp = data.get("logprobs") or 0
         if not isinstance(lp, int) or lp < 0:
             raise _err("logprobs must be a non-negative integer")
-        sampling = _sampling(data, lp, chat=False)
+        # best_of ranking needs per-token logprobs even if the client
+        # didn't ask for them
+        lp_internal = max(lp, 1) if best_of > n else lp
+        sampling = _sampling(data, lp_internal, chat=False)
         ids = _encode_prompt(data.get("prompt"))
 
         if data.get("stream"):
@@ -274,7 +287,17 @@ def add_openai_routes(app: web.Application, server, default_max: int) -> None:
                 return c
             return await _stream(request, ids, sampling, chunk)
 
-        seqs = await _run(ids, sampling, n)
+        seqs = await _run(ids, sampling, best_of)
+        if best_of > n:
+            # rank candidates by mean token logprob, keep the top n
+            def score(s: Sequence) -> float:
+                if not s.logprobs:
+                    return float("-inf")
+                return sum(e["logprob"] for e in s.logprobs) / len(s.logprobs)
+            seqs = sorted(seqs, key=score, reverse=True)[:n]
+            if lp == 0:        # client didn't ask for logprobs
+                for s in seqs:
+                    s.logprobs = []
         completion_tokens = sum(len(s.output_token_ids) for s in seqs)
         out = {
             "id": f"cmpl-{seqs[0].seq_id}", "object": "text_completion",
@@ -295,7 +318,7 @@ def add_openai_routes(app: web.Application, server, default_max: int) -> None:
     async def chat_completions(request: web.Request) -> web.Response:
         _not_follower()
         data = await _json_body(request)
-        n = _reject_unsupported(data)
+        n, _ = _reject_unsupported(data)
         lp = 0
         if data.get("logprobs"):
             lp = int(data.get("top_logprobs", 1) or 1)

@@ -132,7 +132,8 @@ def test_completions_unsupported_400(client, loop):
         for body in ({"prompt": [1], "n": 2, "temperature": 0.0},
                      {"prompt": [1], "n": 2, "stream": True},
                      {"prompt": [1], "n": 99},
-                     {"prompt": [1], "best_of": 4},
+                     {"prompt": [1], "best_of": 4, "temperature": 0.0},
+                     {"prompt": [1], "n": 3, "best_of": 2},
                      {"prompt": [1], "echo": True},
                      {"prompt": [1], "suffix": "x"},
                      {"prompt": {"bad": 1}}):
@@ -180,6 +181,41 @@ def test_completions_streaming(client, loop):
             assert events[-1]["choices"][0]["finish_reason"] == "length"
             text = "".join(e["choices"][0]["text"] for e in events)
             assert text.count("<") == 4
+    loop.run_until_complete(go())
+
+
+def test_completions_best_of(client, loop):
+    async def go():
+        r = await client.post("/v1/completions", json={
+            "prompt": [1, 2, 3], "max_tokens": 4, "temperature": 1.2,
+            "n": 1, "best_of": 4})
+        assert r.status == 200
+        data = await r.json()
+        assert len(data["choices"]) == 1
+        c = data["choices"][0]
+        assert c["logprobs"] is None        # client didn't ask for them
+        assert len(c["token_ids"]) == 4
+        # usage counts every generated candidate? no — returned choices only
+        assert data["usage"]["completion_tokens"] == 4
+        # chat endpoint rejects best_of
+        r = await client.post("/v1/chat/completions", json={
+            "messages": [{"role": "user", "content": "<1>"}],
+            "best_of": 2})
+        assert r.status == 400
+    loop.run_until_complete(go())
+
+
+def test_tokenize_detokenize(client, loop):
+    async def go():
+        r = await client.post("/tokenize", json={"text": "<5><9><200>"})
+        ids = (await r.json())["token_ids"]
+        assert ids == [6, 10, 201]          # fake tokenizer: id = t%256+1
+        r = await client.post("/detokenize", json={"token_ids": ids})
+        assert (await r.json())["text"] == "<6><10><201>"
+        r = await client.post("/tokenize", json={})
+        assert r.status == 400
+        r = await client.post("/detokenize", json={"token_ids": ["x"]})
+        assert r.status == 400
     loop.run_until_complete(go())
 
 
