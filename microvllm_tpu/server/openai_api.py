@@ -83,6 +83,11 @@ def add_openai_routes(app: web.Application, server, default_max: int) -> None:
             raise _err("echo is not supported")
         if data.get("suffix"):
             raise _err("suffix is not supported")
+        for pen in ("presence_penalty", "frequency_penalty",
+                    "repetition_penalty", "logit_bias"):
+            if data.get(pen):
+                raise _err(f"{pen} is not supported (explicit, rather than "
+                           "silently ignored)")
         return n, best_of
 
     def _sampling(data: dict, lp_count: int, chat: bool):
