@@ -33,7 +33,8 @@ def log(*a):
 
 def build_engine(model: str, bits: int, batch: int, kv_pages: int,
                  page_size: int, max_pages_per_seq: int, span: int,
-                 kv_bits: int = 16, spec_k: int = 0, spec_steps: int = 4):
+                 kv_bits: int = 16, spec_k: int = 0, spec_steps: int = 4,
+                 prefix_cache: bool = False):
     from microvllm_tpu.config import (CacheConfig, EngineConfig, ModelConfig,
                                       PRESETS, QuantConfig, SchedulerConfig)
     from microvllm_tpu.runtime.engine import InferenceEngine
@@ -44,7 +45,8 @@ def build_engine(model: str, bits: int, batch: int, kv_pages: int,
     cfg = EngineConfig(
         model=mcfg,
         cache=CacheConfig(num_pages=kv_pages, page_size=page_size,
-                          max_pages_per_seq=max_pages_per_seq),
+                          max_pages_per_seq=max_pages_per_seq,
+                          prefix_cache=prefix_cache),
         scheduler=SchedulerConfig(
             max_batch_size=batch,
             decode_buckets=(batch,),
@@ -107,16 +109,28 @@ def bench_decode(eng, batch: int, steps: int, context: int) -> float:
 
 
 def bench_ttft(eng, context: int, n: int = 5) -> float:
-    """p50 time-to-first-token (prefill latency) in ms."""
+    """p50 time-to-first-token (prefill latency) in ms.
+
+    With prefix caching on, the same prompt repeats (one cold prefill,
+    then warm cache hits) and the p50 is over the WARM runs — the serving
+    scenario the cache targets."""
     from microvllm_tpu.runtime.sequence import SamplingParams
 
+    reuse = getattr(eng, "_prefix_caching", False)
+    fixed = list(np.random.randint(1, eng.mcfg.vocab_size - 1, size=context))
     lat = []
-    for _ in range(n):
+    for i in range(n + 1 if reuse else n):
         sp = SamplingParams(temperature=0.0, max_new_tokens=1)
+        prompt = fixed if reuse else list(
+            np.random.randint(1, eng.mcfg.vocab_size - 1, size=context))
         t0 = time.monotonic()
-        eng.generate([list(np.random.randint(1, eng.mcfg.vocab_size - 1,
-                                             size=context))], sampling=sp)
+        eng.generate([prompt], sampling=sp)
         lat.append((time.monotonic() - t0) * 1e3)
+    if reuse:
+        cold, lat = lat[0], lat[1:]
+        log(f"prefix-cache TTFT: cold {cold:.1f} ms, "
+            f"warm p50 {float(np.percentile(lat, 50)):.1f} ms "
+            f"(hits {eng.allocator.hits})")
     return float(np.percentile(lat, 50))
 
 
@@ -151,6 +165,9 @@ def main():
                     help="speculative draft tokens per verify (0 = off)")
     ap.add_argument("--spec-steps", type=int, default=4,
                     help="speculative rounds per device dispatch")
+    ap.add_argument("--prefix-cache", action="store_true",
+                    help="enable automatic prefix caching (TTFT rows: rerun "
+                         "bench_ttft with a repeated prompt)")
     ap.add_argument("--platform", default=None, choices=["cpu", "tpu"],
                     help="force a JAX backend (the sandbox registers the "
                          "axon TPU at interpreter start; env vars are too "
@@ -173,7 +190,8 @@ def main():
     log(f"devices: {jax.devices()}")
     eng = build_engine(args.model, args.bits, args.batch, args.kv_pages,
                        args.page_size, args.max_pages_per_seq, args.span,
-                       args.kv_bits, args.spec_k, args.spec_steps)
+                       args.kv_bits, args.spec_k, args.spec_steps,
+                       args.prefix_cache)
 
     # Single-stream first (the headline), then aggregate at --batch.
     single = bench_decode(eng, 1, args.steps, args.context)
