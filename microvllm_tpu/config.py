@@ -42,6 +42,10 @@ class ModelConfig:
     # Sliding-window attention (mistral family): each position attends to
     # at most the last `sliding_window` tokens. None = full attention.
     sliding_window: Optional[int] = None
+    # Mixture-of-Experts (mixtral family): 0 = dense MLP; > 0 = routed
+    # SwiGLU experts with top-`num_experts_per_tok` selection per token.
+    num_experts: int = 0
+    num_experts_per_tok: int = 2
 
     @property
     def q_dim(self) -> int:
@@ -74,6 +78,8 @@ class ModelConfig:
             window = None
         return cls(
             sliding_window=window,
+            num_experts=cfg.get("num_local_experts", 0) or 0,
+            num_experts_per_tok=cfg.get("num_experts_per_tok", 2),
             vocab_size=cfg["vocab_size"],
             hidden_size=hidden,
             intermediate_size=cfg["intermediate_size"],
@@ -154,6 +160,12 @@ PRESETS: dict[str, ModelConfig] = {
         num_layers=32, num_heads=32, num_kv_heads=8, head_dim=128,
         rope_theta=10000.0, tie_word_embeddings=False, qkv_bias=False,
         rms_norm_eps=1e-5, model_type="mistral", sliding_window=4096),
+    "mixtral-8x7b": ModelConfig(   # Mixture-of-Experts (8 experts, top-2)
+        vocab_size=32000, hidden_size=4096, intermediate_size=14336,
+        num_layers=32, num_heads=32, num_kv_heads=8, head_dim=128,
+        rope_theta=1000000.0, tie_word_embeddings=False, qkv_bias=False,
+        rms_norm_eps=1e-5, model_type="mixtral",
+        num_experts=8, num_experts_per_tok=2),
 }
 
 

@@ -85,6 +85,21 @@ def load_params(path: str, cfg: ModelConfig | None = None) -> tuple[ModelConfig,
             x = jnp.swapaxes(x, 1, 2)  # HF stores [out, in]; we want [in, out]
         layers[key] = x
 
+    if cfg.num_experts > 0:
+        # Mixtral MoE: router + per-expert w1 (gate), w3 (up), w2 (down)
+        # stacked [L, E, in, out] (HF stores [out, in] per matrix).
+        E = cfg.num_experts
+        layers["w_router"] = jnp.stack([jnp.swapaxes(get(
+            f"model.layers.{i}.block_sparse_moe.gate.weight"), 0, 1)
+            for i in range(cfg.num_layers)])
+        for key, wname in (("w_gate_e", "w1"), ("w_up_e", "w3"),
+                           ("w_down_e", "w2")):
+            layers[key] = jnp.stack([
+                jnp.stack([jnp.swapaxes(get(
+                    f"model.layers.{i}.block_sparse_moe.experts.{e}"
+                    f".{wname}.weight"), 0, 1) for e in range(E)])
+                for i in range(cfg.num_layers)])
+
     params: Params = {
         "embed": get("model.embed_tokens.weight"),
         "layers": layers,

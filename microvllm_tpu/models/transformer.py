@@ -94,12 +94,23 @@ def init_params(cfg: ModelConfig, key: jax.Array,
     tp_fusable = (q_dim % quant_tp == 0 and kv_dim % quant_tp == 0
                   and inter % quant_tp == 0)
     fuse = quant_bits is not None and tp_fusable
+    moe = cfg.num_experts > 0
     layers: Params = {
         "attn_norm": jnp.ones((L, h), dtype),
         "mlp_norm": jnp.ones((L, h), dtype),
         "wo": wq_(keys[3], (L, q_dim, h), q_dim),
-        "w_down": wq_(keys[6], (L, inter, h), inter),
     }
+    if moe:
+        # Mixtral family: router + expert-stacked SwiGLU weights. Experts
+        # stay in the model dtype (expert-gather quantized kernels are a
+        # follow-up); attention projections quantize normally.
+        E = cfg.num_experts
+        layers["w_router"] = w(keys[9], (L, h, E), h)
+        layers["w_gate_e"] = w(keys[4], (L, E, h, inter), h)
+        layers["w_up_e"] = w(keys[5], (L, E, h, inter), h)
+        layers["w_down_e"] = w(keys[6], (L, E, inter, h), inter)
+    else:
+        layers["w_down"] = wq_(keys[6], (L, inter, h), inter)
     if fuse:
         from ..ops.quant import interleave_columns, quantize
 
@@ -117,17 +128,19 @@ def init_params(cfg: ModelConfig, key: jax.Array,
              w(keys[2], (L, h, kv_dim), h)], quant_tp)
         layers["wqkv"] = quant_stack(qkv_f)
         del qkv_f
-        gu_f = interleave_columns(
-            [w(keys[4], (L, h, inter), h), w(keys[5], (L, h, inter), h)],
-            quant_tp)
-        layers["w_gate_up"] = quant_stack(gu_f)
-        del gu_f
+        if not moe:
+            gu_f = interleave_columns(
+                [w(keys[4], (L, h, inter), h),
+                 w(keys[5], (L, h, inter), h)], quant_tp)
+            layers["w_gate_up"] = quant_stack(gu_f)
+            del gu_f
     else:
         layers["wq"] = wq_(keys[0], (L, h, q_dim), h)
         layers["wk"] = wq_(keys[1], (L, h, kv_dim), h)
         layers["wv"] = wq_(keys[2], (L, h, kv_dim), h)
-        layers["w_gate"] = wq_(keys[4], (L, h, inter), h)
-        layers["w_up"] = wq_(keys[5], (L, h, inter), h)
+        if not moe:
+            layers["w_gate"] = wq_(keys[4], (L, h, inter), h)
+            layers["w_up"] = wq_(keys[5], (L, h, inter), h)
     if cfg.qkv_bias:
         if fuse:
             layers["bqkv"] = jnp.zeros((L, q_dim + 2 * kv_dim), dtype)
@@ -220,6 +233,17 @@ def _weight_getter(lp, stacked):
     def get(name):
         return stacked[name] if name in stacked else lp.get(name)
     return get
+
+
+def _mlp_out(cfg: ModelConfig, w, lp, l, normed2: jnp.ndarray) -> jnp.ndarray:
+    """Dense or Mixture-of-Experts MLP on the post-attention normed input
+    (returns the pre-psum output; the caller reduces under TP)."""
+    if cfg.num_experts:
+        from .moe import moe_mlp
+        return moe_mlp(normed2, lp["w_router"], lp["w_gate_e"],
+                       lp["w_up_e"], lp["w_down_e"],
+                       cfg.num_experts_per_tok)
+    return linear(_swiglu_proj(normed2, w, l), w("w_down"), layer=l)
 
 
 def _qkv(normed, w, lp, l, q_dim, kv_dim):
@@ -379,9 +403,8 @@ def decode_step(cfg: ModelConfig, params: Params,
         if new_hid is None:
             normed2, resid = rmsnorm_residual(attn_out, hid, lp["mlp_norm"],
                                               cfg.rms_norm_eps)
-            mlp = _maybe_psum(
-                linear(_swiglu_proj(normed2, w, l), w("w_down"), layer=l),
-                tp_axis)
+            mlp = _maybe_psum(_mlp_out(cfg, w, lp, l, normed2),
+                              tp_axis)
             new_hid = resid + mlp
         return (new_hid, kc, vc, ks, vs), None
 
@@ -685,9 +708,8 @@ def prefill_step(cfg: ModelConfig, params: Params,
         if new_hid is None:
             normed2, resid = rmsnorm_residual(attn_out, hid, lp["mlp_norm"],
                                               cfg.rms_norm_eps)
-            mlp = _maybe_psum(
-                linear(_swiglu_proj(normed2, w, l), w("w_down"), layer=l),
-                tp_axis)
+            mlp = _maybe_psum(_mlp_out(cfg, w, lp, l, normed2),
+                              tp_axis)
             new_hid = resid + mlp
         return (new_hid, kc, vc, ks, vs), None
 
@@ -768,7 +790,7 @@ def forward_logits(cfg: ModelConfig, params: Params,
         attn_out = linear(attn.reshape(B, S, cfg.q_dim), w("wo"), layer=l)
         normed2, resid = rmsnorm_residual(attn_out, hid, lp["mlp_norm"],
                                           cfg.rms_norm_eps)
-        mlp = linear(_swiglu_proj(normed2, w, l), w("w_down"), layer=l)
+        mlp = _mlp_out(cfg, w, lp, l, normed2)
         return resid + mlp, None
 
     h, _ = jax.lax.scan(body, h, _layer_xs(params, cfg))

@@ -50,6 +50,15 @@ _LAYER_SPECS: dict[str, P] = {
     "lora_qkv_b": P(None, None, None, MODEL_AXIS),
     "lora_o_a": P(None, None, MODEL_AXIS, None),
     "lora_o_b": P(),
+    # Mixture-of-Experts stacks [L, E, in, out]: every expert FFN shards
+    # like the dense MLP — gate/up column-parallel on the intermediate dim,
+    # down row-parallel (psummed by the caller); the router is replicated
+    # (every rank routes identically). Expert parallelism (sharding E)
+    # would instead put MODEL_AXIS on axis 1.
+    "w_router": P(),
+    "w_gate_e": P(None, None, None, MODEL_AXIS),
+    "w_up_e": P(None, None, None, MODEL_AXIS),
+    "w_down_e": P(None, None, MODEL_AXIS, None),
 }
 
 

@@ -45,6 +45,17 @@ def _build_hf(family: str):
             max_position_embeddings=512, tie_word_embeddings=False,
             sliding_window=4, attn_implementation="eager")
         return MistralForCausalLM(cfg)
+    if family == "mixtral":
+        # Mixture-of-Experts: 4 experts, top-2 routing
+        from transformers import MixtralConfig, MixtralForCausalLM
+        cfg = MixtralConfig(
+            vocab_size=256, hidden_size=64, intermediate_size=128,
+            num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+            num_local_experts=4, num_experts_per_tok=2,
+            rope_theta=10000.0, rms_norm_eps=1e-5,
+            max_position_embeddings=512, tie_word_embeddings=False,
+            sliding_window=None, attn_implementation="eager")
+        return MixtralForCausalLM(cfg)
     from transformers import LlamaConfig, LlamaForCausalLM
     cfg = LlamaConfig(
         vocab_size=256, hidden_size=64, intermediate_size=128,
@@ -54,7 +65,8 @@ def _build_hf(family: str):
     return LlamaForCausalLM(cfg)
 
 
-@pytest.fixture(scope="module", params=["qwen2", "llama", "mistral"])
+@pytest.fixture(scope="module",
+                params=["qwen2", "llama", "mistral", "mixtral"])
 def snapshot(request, tmp_path_factory):
     hf = _build_hf(request.param).eval()
     d = tmp_path_factory.mktemp(f"hf_{request.param}")
