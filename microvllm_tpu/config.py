@@ -272,6 +272,16 @@ class CacheConfig:
         return self.num_pages - 1
 
 
+def moe_uses_ep(model: ModelConfig, tp_size: int) -> bool:
+    """Whether a sharded MoE model runs EXPERT-parallel (whole experts per
+    rank; requires num_experts % tp == 0) rather than sharding each
+    expert's intermediate dim. Both the model code (models/moe.py call
+    sites) and the param sharding specs (parallel/sharding.py) key off
+    this single predicate so they cannot disagree."""
+    return (model.num_experts > 0 and tp_size > 1
+            and model.num_experts % tp_size == 0)
+
+
 def auto_page_size(max_context: int) -> int:
     """Default KV page size keyed on the target context length.
 

@@ -235,14 +235,18 @@ def _weight_getter(lp, stacked):
     return get
 
 
-def _mlp_out(cfg: ModelConfig, w, lp, l, normed2: jnp.ndarray) -> jnp.ndarray:
+def _mlp_out(cfg: ModelConfig, w, lp, l, normed2: jnp.ndarray,
+             tp_axis: str | None = None, tp_size: int = 1) -> jnp.ndarray:
     """Dense or Mixture-of-Experts MLP on the post-attention normed input
     (returns the pre-psum output; the caller reduces under TP)."""
     if cfg.num_experts:
+        from ..config import moe_uses_ep
         from .moe import moe_mlp
+        ep = moe_uses_ep(cfg, tp_size)
         return moe_mlp(normed2, lp["w_router"], lp["w_gate_e"],
                        lp["w_up_e"], lp["w_down_e"],
-                       cfg.num_experts_per_tok)
+                       cfg.num_experts_per_tok,
+                       ep_axis=tp_axis if ep else None)
     return linear(_swiglu_proj(normed2, w, l), w("w_down"), layer=l)
 
 
@@ -403,8 +407,8 @@ def decode_step(cfg: ModelConfig, params: Params,
         if new_hid is None:
             normed2, resid = rmsnorm_residual(attn_out, hid, lp["mlp_norm"],
                                               cfg.rms_norm_eps)
-            mlp = _maybe_psum(_mlp_out(cfg, w, lp, l, normed2),
-                              tp_axis)
+            mlp = _maybe_psum(
+                _mlp_out(cfg, w, lp, l, normed2, tp_axis, tp_size), tp_axis)
             new_hid = resid + mlp
         return (new_hid, kc, vc, ks, vs), None
 
@@ -708,8 +712,8 @@ def prefill_step(cfg: ModelConfig, params: Params,
         if new_hid is None:
             normed2, resid = rmsnorm_residual(attn_out, hid, lp["mlp_norm"],
                                               cfg.rms_norm_eps)
-            mlp = _maybe_psum(_mlp_out(cfg, w, lp, l, normed2),
-                              tp_axis)
+            mlp = _maybe_psum(
+                _mlp_out(cfg, w, lp, l, normed2, tp_axis, tp_size), tp_axis)
             new_hid = resid + mlp
         return (new_hid, kc, vc, ks, vs), None
 

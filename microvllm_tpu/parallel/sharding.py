@@ -50,15 +50,25 @@ _LAYER_SPECS: dict[str, P] = {
     "lora_qkv_b": P(None, None, None, MODEL_AXIS),
     "lora_o_a": P(None, None, MODEL_AXIS, None),
     "lora_o_b": P(),
-    # Mixture-of-Experts stacks [L, E, in, out]: every expert FFN shards
-    # like the dense MLP — gate/up column-parallel on the intermediate dim,
-    # down row-parallel (psummed by the caller); the router is replicated
-    # (every rank routes identically). Expert parallelism (sharding E)
-    # would instead put MODEL_AXIS on axis 1.
+    # Mixture-of-Experts stacks [L, E, in, out]: default = every expert FFN
+    # shards like the dense MLP (gate/up column-parallel on the
+    # intermediate dim, down row-parallel, psummed by the caller); the
+    # router is always replicated (every rank routes identically). When
+    # num_experts divides tp, `param_specs(moe_ep=True)` switches to
+    # EXPERT PARALLELISM (below) — whole experts per rank.
     "w_router": P(),
     "w_gate_e": P(None, None, None, MODEL_AXIS),
     "w_up_e": P(None, None, None, MODEL_AXIS),
     "w_down_e": P(None, None, MODEL_AXIS, None),
+}
+
+# Expert parallelism: shard the E axis — each rank holds E/tp whole
+# experts; tokens routed to remote experts contribute zero locally and the
+# caller's psum sums the expert contributions (models/moe.py).
+_EP_SPECS: dict[str, P] = {
+    "w_gate_e": P(None, MODEL_AXIS, None, None),
+    "w_up_e": P(None, MODEL_AXIS, None, None),
+    "w_down_e": P(None, MODEL_AXIS, None, None),
 }
 
 
@@ -94,14 +104,18 @@ def _quant_specs(leaf, column: bool, stacked: bool):
         bits=leaf.bits, group_size=leaf.group_size, block_k=leaf.block_k)
 
 
-def param_specs(params: Any) -> Any:
-    """PartitionSpec pytree matching a model param tree."""
+def param_specs(params: Any, moe_ep: bool = False) -> Any:
+    """PartitionSpec pytree matching a model param tree. ``moe_ep``
+    switches MoE expert stacks to expert parallelism (keep it in sync via
+    `config.moe_uses_ep`)."""
     from ..ops.quant import QuantizedTensor
 
     def layer_spec(name, leaf):
         if isinstance(leaf, QuantizedTensor):
             return _quant_specs(leaf, column=name in _COLUMN_PARALLEL,
                                 stacked=leaf.stacked)
+        if moe_ep and name in _EP_SPECS:
+            return _EP_SPECS[name]
         return _LAYER_SPECS.get(name, P())
 
     lm = params.get("lm_head")
@@ -166,7 +180,8 @@ def shard_engine_arrays(mesh: Mesh, cfg: ModelConfig, params, k_cache, v_cache,
             return put_global(np.asarray(x), mesh, s)
         return jax.device_put(x, NamedSharding(mesh, s))
 
-    pspecs = param_specs(params)
+    from ..config import moe_uses_ep
+    pspecs = param_specs(params, moe_ep=moe_uses_ep(cfg, tp_size))
     params = jax.tree_util.tree_map(place, params, pspecs,
                                     is_leaf=lambda x: x is None)
     cspec = cache_spec(cfg, tp_size)

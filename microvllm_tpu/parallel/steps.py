@@ -44,7 +44,9 @@ class ShardedStepFns:
         self._lora_scaling = (float(config.lora.scaling)
                               if self.has_lora else 1.0)
         self._lp_k = config.logprobs_k   # static: engine-wide logprob mode
-        self._pspecs = param_specs(params)
+        from ..config import moe_uses_ep
+        self._pspecs = param_specs(params,
+                                   moe_ep=moe_uses_ep(self.mcfg, self.tp))
         self._cspec = cache_spec(self.mcfg, self.tp)
         self._sspec = scale_spec(self.mcfg, self.tp)
         self._decode_cache: dict[int, Any] = {}

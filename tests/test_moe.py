@@ -72,30 +72,46 @@ def test_moe_engine_batch():
     assert eng.cache_stats.used_pages == 0
 
 
-def test_moe_sharded_matches_single_device():
-    """Expert FFNs shard like the dense MLP (gate/up column, down row,
-    router replicated): TP/DP outputs match the single-device engine."""
+def _run_sharded(mcfg, params, parallel):
+    cfg = EngineConfig(
+        model=mcfg,
+        cache=CacheConfig(num_pages=64, page_size=16,
+                          max_pages_per_seq=8),
+        scheduler=SchedulerConfig(
+            max_batch_size=8, max_prefill_tokens=256, prefill_wait_s=0.0,
+            decode_buckets=(2, 4), prefill_len_buckets=(16, 32),
+            prefill_batch_buckets=(2, 4), decode_spans=(1, 4)),
+        max_model_len=128, default_max_new_tokens=6,
+        parallel=parallel or ParallelConfig())
+    eng = InferenceEngine(cfg, params=jax.tree.map(jnp.copy, params))
+    sp = SamplingParams(temperature=0.0, max_new_tokens=6)
+    prompts = [[1, 2, 3, 4], [9, 8, 7], [5, 6], [11, 12, 13]]
+    return [s.output_token_ids for s in eng.generate(prompts, sampling=sp)]
+
+
+def test_moe_expert_parallel_matches_single_device():
+    """num_experts % tp == 0 -> EXPERT parallelism (whole experts per rank,
+    contributions psummed): TP/DP outputs match the single-device engine."""
+    from microvllm_tpu.config import moe_uses_ep
+
     mcfg = _moe_cfg(num_heads=8, num_kv_heads=4, head_dim=32,
                     hidden_size=128, intermediate_size=256)
+    assert moe_uses_ep(mcfg, 2)              # 4 experts over 2 ranks
     params = T.init_params(mcfg, jax.random.PRNGKey(3))
+    ref = _run_sharded(mcfg, params, None)
+    got = _run_sharded(mcfg, params, ParallelConfig(tp_size=2, dp_size=2))
+    assert got == ref
 
-    def run(parallel):
-        cfg = EngineConfig(
-            model=mcfg,
-            cache=CacheConfig(num_pages=64, page_size=16,
-                              max_pages_per_seq=8),
-            scheduler=SchedulerConfig(
-                max_batch_size=8, max_prefill_tokens=256, prefill_wait_s=0.0,
-                decode_buckets=(2, 4), prefill_len_buckets=(16, 32),
-                prefill_batch_buckets=(2, 4), decode_spans=(1, 4)),
-            max_model_len=128, default_max_new_tokens=6,
-            parallel=parallel or ParallelConfig())
-        eng = InferenceEngine(cfg, params=jax.tree.map(jnp.copy, params))
-        sp = SamplingParams(temperature=0.0, max_new_tokens=6)
-        prompts = [[1, 2, 3, 4], [9, 8, 7], [5, 6], [11, 12, 13]]
-        return [s.output_token_ids
-                for s in eng.generate(prompts, sampling=sp)]
 
-    ref = run(None)
-    got = run(ParallelConfig(tp_size=2, dp_size=2))
+def test_moe_intermediate_tp_fallback_matches_single_device():
+    """num_experts NOT divisible by tp -> every expert's intermediate dim
+    shards like the dense MLP; outputs still match single-device."""
+    from microvllm_tpu.config import moe_uses_ep
+
+    mcfg = _moe_cfg(num_heads=8, num_kv_heads=4, head_dim=32,
+                    hidden_size=128, intermediate_size=256, num_experts=3)
+    assert not moe_uses_ep(mcfg, 2)          # 3 experts, tp 2
+    params = T.init_params(mcfg, jax.random.PRNGKey(5))
+    ref = _run_sharded(mcfg, params, None)
+    got = _run_sharded(mcfg, params, ParallelConfig(tp_size=2, dp_size=1))
     assert got == ref
