@@ -46,6 +46,9 @@ class ModelConfig:
     # SwiGLU experts with top-`num_experts_per_tok` selection per token.
     num_experts: int = 0
     num_experts_per_tok: int = 2
+    # QK-norm (qwen3 family): RMSNorm each query/key head over head_dim
+    # before RoPE (per-layer weights q_norm/k_norm of shape [head_dim]).
+    qk_norm: bool = False
 
     @property
     def q_dim(self) -> int:
@@ -74,9 +77,11 @@ class ModelConfig:
         # mistral uses sliding_window unconditionally when set; qwen2 ships
         # the field but gates it behind use_sliding_window (default False)
         window = cfg.get("sliding_window")
-        if model_type == "qwen2" and not cfg.get("use_sliding_window", False):
+        if (model_type in ("qwen2", "qwen3")
+                and not cfg.get("use_sliding_window", False)):
             window = None
         return cls(
+            qk_norm=model_type == "qwen3",
             sliding_window=window,
             num_experts=cfg.get("num_local_experts", 0) or 0,
             num_experts_per_tok=cfg.get("num_experts_per_tok", 2),
@@ -160,6 +165,16 @@ PRESETS: dict[str, ModelConfig] = {
         num_layers=32, num_heads=32, num_kv_heads=8, head_dim=128,
         rope_theta=10000.0, tie_word_embeddings=False, qkv_bias=False,
         rms_norm_eps=1e-5, model_type="mistral", sliding_window=4096),
+    "qwen3-0.6b": ModelConfig(     # qk-norm family, tied embeddings
+        vocab_size=151936, hidden_size=1024, intermediate_size=3072,
+        num_layers=28, num_heads=16, num_kv_heads=8, head_dim=128,
+        rope_theta=1000000.0, tie_word_embeddings=True, qkv_bias=False,
+        rms_norm_eps=1e-6, model_type="qwen3", qk_norm=True),
+    "qwen3-8b": ModelConfig(       # qk-norm family (RMSNorm on q/k heads)
+        vocab_size=151936, hidden_size=4096, intermediate_size=12288,
+        num_layers=36, num_heads=32, num_kv_heads=8, head_dim=128,
+        rope_theta=1000000.0, tie_word_embeddings=False, qkv_bias=False,
+        rms_norm_eps=1e-6, model_type="qwen3", qk_norm=True),
     "mixtral-8x7b": ModelConfig(   # Mixture-of-Experts (8 experts, top-2)
         vocab_size=32000, hidden_size=4096, intermediate_size=14336,
         num_layers=32, num_heads=32, num_kv_heads=8, head_dim=128,

@@ -141,6 +141,10 @@ def init_params(cfg: ModelConfig, key: jax.Array,
         if not moe:
             layers["w_gate"] = wq_(keys[4], (L, h, inter), h)
             layers["w_up"] = wq_(keys[5], (L, h, inter), h)
+    if cfg.qk_norm:
+        # qwen3: per-head RMSNorm weights over head_dim, applied pre-RoPE
+        layers["q_norm"] = jnp.ones((L, cfg.head_dim), dtype)
+        layers["k_norm"] = jnp.ones((L, cfg.head_dim), dtype)
     if cfg.qkv_bias:
         if fuse:
             layers["bqkv"] = jnp.zeros((L, q_dim + 2 * kv_dim), dtype)
@@ -379,6 +383,9 @@ def decode_step(cfg: ModelConfig, params: Params,
         q = q.reshape(B, n_heads, cfg.head_dim)
         k = k.reshape(B, n_kv, cfg.head_dim)
         v = v.reshape(B, n_kv, cfg.head_dim)
+        if cfg.qk_norm:   # qwen3: per-head RMSNorm before RoPE
+            q = rmsnorm(q, lp["q_norm"], cfg.rms_norm_eps)
+            k = rmsnorm(k, lp["k_norm"], cfg.rms_norm_eps)
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
 
@@ -668,6 +675,9 @@ def prefill_step(cfg: ModelConfig, params: Params,
         q = q.reshape(B, S, n_heads, cfg.head_dim)
         k = k.reshape(B, S, n_kv, cfg.head_dim)
         v = v.reshape(B, S, n_kv, cfg.head_dim)
+        if cfg.qk_norm:   # qwen3: per-head RMSNorm before RoPE
+            q = rmsnorm(q, lp["q_norm"], cfg.rms_norm_eps)
+            k = rmsnorm(k, lp["k_norm"], cfg.rms_norm_eps)
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
 
@@ -787,6 +797,9 @@ def forward_logits(cfg: ModelConfig, params: Params,
         q = q.reshape(B, S, cfg.num_heads, cfg.head_dim)
         k = k.reshape(B, S, cfg.num_kv_heads, cfg.head_dim)
         v = v.reshape(B, S, cfg.num_kv_heads, cfg.head_dim)
+        if cfg.qk_norm:   # qwen3: per-head RMSNorm before RoPE
+            q = rmsnorm(q, lp["q_norm"], cfg.rms_norm_eps)
+            k = rmsnorm(k, lp["k_norm"], cfg.rms_norm_eps)
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
         attn = prefill_attention_ref(q, k, v, scale,

@@ -34,6 +34,16 @@ def _build_hf(family: str):
             rope_theta=10000.0, rms_norm_eps=1e-6,
             max_position_embeddings=512, tie_word_embeddings=False)
         return Qwen2ForCausalLM(cfg)
+    if family == "qwen3":
+        # qk-norm: RMSNorm on each q/k head before RoPE
+        from transformers import Qwen3Config, Qwen3ForCausalLM
+        cfg = Qwen3Config(
+            vocab_size=256, hidden_size=64, intermediate_size=128,
+            num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+            head_dim=16, rope_theta=10000.0, rms_norm_eps=1e-6,
+            max_position_embeddings=512, tie_word_embeddings=False,
+            attn_implementation="eager")
+        return Qwen3ForCausalLM(cfg)
     if family == "mistral":
         # sliding_window=4 on a longer-than-4 prompt: the window mask bites,
         # anchoring our SWA convention against HF's
@@ -66,7 +76,7 @@ def _build_hf(family: str):
 
 
 @pytest.fixture(scope="module",
-                params=["qwen2", "llama", "mistral", "mixtral"])
+                params=["qwen2", "qwen3", "llama", "mistral", "mixtral"])
 def snapshot(request, tmp_path_factory):
     hf = _build_hf(request.param).eval()
     d = tmp_path_factory.mktemp(f"hf_{request.param}")

@@ -163,3 +163,37 @@ def test_llama_style_no_bias_model():
                                   jnp.array([S], jnp.int32),
                                   jnp.zeros(B, jnp.int32))
     np.testing.assert_allclose(logits, ref[:, -1], rtol=2e-4, atol=2e-4)
+
+
+def test_qwen3_qk_norm_model():
+    """qk_norm=True (qwen3 family): per-head RMSNorm on q/k before RoPE.
+
+    Checks prefill==full-forward consistency and that the norm actually
+    bites (non-unit q_norm weights change the logits)."""
+    cfg = ModelConfig.tiny(qk_norm=True, qkv_bias=False,
+                           tie_word_embeddings=False, model_type="qwen3")
+    cache = CacheConfig(num_pages=16, page_size=16, max_pages_per_seq=4)
+    params = T.init_params(cfg, jax.random.PRNGKey(0))
+    assert params["layers"]["q_norm"].shape == (cfg.num_layers, cfg.head_dim)
+    k, v = T.init_kv_cache(cfg, cache)
+    B, S = 1, 6
+    tokens = jax.random.randint(jax.random.PRNGKey(1), (B, S), 0, cfg.vocab_size)
+    ref = T.forward_logits(cfg, params, tokens)
+    bt = jnp.array([[1, 2, 3, 4]], dtype=jnp.int32)
+    logits, k, v = T.prefill_step(cfg, params, k, v, tokens, bt,
+                                  jnp.array([S], jnp.int32),
+                                  jnp.zeros(B, jnp.int32))
+    np.testing.assert_allclose(logits, ref[:, -1], rtol=2e-4, atol=2e-4)
+    # decode step continues consistently
+    logits2, k, v = T.decode_step(cfg, params, k, v, tokens[:, -1], bt,
+                                  jnp.array([S], jnp.int32))
+    ref2 = T.forward_logits(
+        cfg, params, jnp.concatenate([tokens, tokens[:, -1:]], axis=1))
+    np.testing.assert_allclose(logits2, ref2[:, -1], rtol=2e-4, atol=3e-4)
+    # the weights are live: perturbing q_norm changes the output
+    import dataclasses as _dc
+    p2 = dict(params)
+    p2["layers"] = dict(params["layers"])
+    p2["layers"]["q_norm"] = params["layers"]["q_norm"] * 2.0
+    alt = T.forward_logits(cfg, p2, tokens)
+    assert not np.allclose(np.asarray(alt), np.asarray(ref), atol=1e-3)

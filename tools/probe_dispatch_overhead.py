@@ -87,7 +87,7 @@ def main():
         t2 = time.perf_counter()
         out = eng._decode_fn(eng.params, eng.k_cache, eng.v_cache, *dev,
                              rng, span)
-        toks, eng.k_cache, eng.v_cache = out
+        toks, _lp, eng.k_cache, eng.v_cache = out
         t3 = time.perf_counter()
         host_toks = np.asarray(toks)
         t4 = time.perf_counter()
