@@ -49,7 +49,10 @@ def build_engine(model: str, bits: int, batch: int, kv_pages: int,
                           prefix_cache=prefix_cache),
         scheduler=SchedulerConfig(
             max_batch_size=batch,
-            decode_buckets=(batch,),
+            # bucket 1 so the single-stream row really runs B=1 (a batch-
+            # sized bucket pads the decode with trash rows: measured ~1
+            # ms/token of attention+lm_head padding work on 7B INT4)
+            decode_buckets=(1, batch) if batch > 1 else (1,),
             prefill_len_buckets=(128, 256, 512),
             prefill_batch_buckets=(1, batch) if batch > 1 else (1,),
             prefill_wait_s=0.0,

@@ -49,6 +49,48 @@ class ModelConfig:
     # QK-norm (qwen3 family): RMSNorm each query/key head over head_dim
     # before RoPE (per-layer weights q_norm/k_norm of shape [head_dim]).
     qk_norm: bool = False
+    # --- gemma2 family -----------------------------------------------------
+    # Attention-logit soft-capping: s = cap * tanh(s / cap) before softmax,
+    # applied in the jnp oracles AND inside the Pallas kernels.
+    attn_logit_softcap: Optional[float] = None
+    # Final-logit soft-capping on the lm_head output.
+    final_logit_softcap: Optional[float] = None
+    # Attention scale = query_pre_attn_scalar**-0.5 when set (gemma2 uses
+    # head_dim for 9b but hidden/heads for 27b), else head_dim**-0.5.
+    query_pre_attn_scalar: Optional[float] = None
+    # Gated-MLP activation: "silu" (llama/qwen) or "gelu_tanh" (gemma).
+    hidden_act: str = "silu"
+    # Sandwich norms (gemma2): RMSNorm on the attention/MLP OUTPUT before
+    # the residual add, in addition to the usual pre-norms (params carry
+    # post_attn_norm / post_mlp_norm). Norm weights for gemma are stored
+    # OFFSET-FOLDED: the loader adds the +1 of gemma's (1 + w) convention
+    # at load time, so runtime rmsnorm is identical across families.
+    post_norms: bool = False
+    # Scale token embeddings by sqrt(hidden_size) (gemma).
+    embed_scale: bool = False
+    # Heterogeneous attention layout: per-position-in-period sliding flags.
+    # () = homogeneous (sliding everywhere iff sliding_window is set).
+    # gemma2: (True, False) — even layers sliding, odd layers global. The
+    # layer scan runs over num_layers/len(pattern) groups with the period
+    # unrolled so each sub-layer keeps a STATIC window for the kernels.
+    sliding_pattern: tuple = ()
+
+    @property
+    def attn_scale(self) -> float:
+        base = self.query_pre_attn_scalar or self.head_dim
+        return float(base) ** -0.5
+
+    @property
+    def layer_period(self) -> int:
+        return max(1, len(self.sliding_pattern))
+
+    def layer_window(self, j: int) -> Optional[int]:
+        """Sliding window of sub-layer ``j`` within the period."""
+        if self.sliding_window is None:
+            return None
+        if not self.sliding_pattern:
+            return self.sliding_window
+        return self.sliding_window if self.sliding_pattern[j] else None
 
     @property
     def q_dim(self) -> int:
@@ -80,8 +122,21 @@ class ModelConfig:
         if (model_type in ("qwen2", "qwen3")
                 and not cfg.get("use_sliding_window", False)):
             window = None
+        gemma2 = model_type == "gemma2"
+        act = cfg.get("hidden_activation") or cfg.get("hidden_act", "silu")
         return cls(
             qk_norm=model_type == "qwen3",
+            attn_logit_softcap=cfg.get("attn_logit_softcapping")
+            if gemma2 else None,
+            final_logit_softcap=cfg.get("final_logit_softcapping")
+            if gemma2 else None,
+            query_pre_attn_scalar=cfg.get("query_pre_attn_scalar"),
+            hidden_act="gelu_tanh" if act in (
+                "gelu_pytorch_tanh", "gelu_tanh") else "silu",
+            post_norms=gemma2,
+            embed_scale=gemma2,
+            # gemma2 alternates sliding (even) / global (odd) layers
+            sliding_pattern=(True, False) if gemma2 else (),
             sliding_window=window,
             num_experts=cfg.get("num_local_experts", 0) or 0,
             num_experts_per_tok=cfg.get("num_experts_per_tok", 2),
@@ -175,6 +230,22 @@ PRESETS: dict[str, ModelConfig] = {
         num_layers=36, num_heads=32, num_kv_heads=8, head_dim=128,
         rope_theta=1000000.0, tie_word_embeddings=False, qkv_bias=False,
         rms_norm_eps=1e-6, model_type="qwen3", qk_norm=True),
+    "gemma2-2b": ModelConfig(      # sandwich norms, softcaps, alt. SWA
+        vocab_size=256000, hidden_size=2304, intermediate_size=9216,
+        num_layers=26, num_heads=8, num_kv_heads=4, head_dim=256,
+        rope_theta=10000.0, tie_word_embeddings=True, qkv_bias=False,
+        rms_norm_eps=1e-6, model_type="gemma2", hidden_act="gelu_tanh",
+        attn_logit_softcap=50.0, final_logit_softcap=30.0,
+        query_pre_attn_scalar=256, post_norms=True, embed_scale=True,
+        sliding_window=4096, sliding_pattern=(True, False)),
+    "gemma2-9b": ModelConfig(
+        vocab_size=256000, hidden_size=3584, intermediate_size=14336,
+        num_layers=42, num_heads=16, num_kv_heads=8, head_dim=256,
+        rope_theta=10000.0, tie_word_embeddings=True, qkv_bias=False,
+        rms_norm_eps=1e-6, model_type="gemma2", hidden_act="gelu_tanh",
+        attn_logit_softcap=50.0, final_logit_softcap=30.0,
+        query_pre_attn_scalar=256, post_norms=True, embed_scale=True,
+        sliding_window=4096, sliding_pattern=(True, False)),
     "mixtral-8x7b": ModelConfig(   # Mixture-of-Experts (8 experts, top-2)
         vocab_size=32000, hidden_size=4096, intermediate_size=14336,
         num_layers=32, num_heads=32, num_kv_heads=8, head_dim=128,
@@ -383,6 +454,10 @@ class EngineConfig:
                 f"{c.max_context} (= page_size * max_pages_per_seq)")
         if m.num_heads % m.num_kv_heads != 0:
             raise ValueError("num_heads must be divisible by num_kv_heads")
+        if m.num_layers % m.layer_period != 0:
+            raise ValueError(
+                f"num_layers {m.num_layers} not divisible by the "
+                f"sliding_pattern period {m.layer_period}")
         tp = self.parallel.tp_size
         if tp > 1:
             if m.num_kv_heads % tp != 0 and tp % m.num_kv_heads != 0:

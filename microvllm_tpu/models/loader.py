@@ -37,6 +37,19 @@ _LAYER_MAP = {
 }
 _TRANSPOSED = {"wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down"}
 
+# gemma2: four norms per layer; HF's post_attention_layernorm is the
+# SANDWICH norm on the attention output (llama reuses that name for the
+# pre-MLP norm), and all norm weights use the (1 + w) convention, folded
+# into the stored tensors at load time (see `load_params`).
+_GEMMA2_NORMS = {
+    "attn_norm": "model.layers.{i}.input_layernorm.weight",
+    "post_attn_norm": "model.layers.{i}.post_attention_layernorm.weight",
+    "mlp_norm": "model.layers.{i}.pre_feedforward_layernorm.weight",
+    "post_mlp_norm": "model.layers.{i}.post_feedforward_layernorm.weight",
+}
+_NORM_KEYS = {"attn_norm", "mlp_norm", "post_attn_norm", "post_mlp_norm",
+              "q_norm", "k_norm"}
+
 
 def _open_checkpoint(path: str):
     """Yield a dict-like mapping tensor name -> jax array, lazily.
@@ -78,13 +91,22 @@ def load_params(path: str, cfg: ModelConfig | None = None) -> tuple[ModelConfig,
     def get(name: str) -> jnp.ndarray:
         return jnp.asarray(ckpt[name]).astype(dtype)
 
+    # gemma stores RMSNorm weights zero-centered and applies (1 + w); fold
+    # the +1 at load so runtime rmsnorm is identical across families.
+    norm_offset = 1.0 if cfg.post_norms else 0.0
+    layer_map = dict(_LAYER_MAP)
+    if cfg.post_norms:
+        layer_map.update(_GEMMA2_NORMS)
+
     layers: Params = {}
-    for key, tmpl in _LAYER_MAP.items():
+    for key, tmpl in layer_map.items():
         if tmpl.format(i=0) not in ckpt:
             continue  # e.g. biases absent for llama
         x = jnp.stack([get(tmpl.format(i=i)) for i in range(cfg.num_layers)])
         if key in _TRANSPOSED:
             x = jnp.swapaxes(x, 1, 2)  # HF stores [out, in]; we want [in, out]
+        if norm_offset and key in _NORM_KEYS:
+            x = x + jnp.asarray(norm_offset, x.dtype)
         layers[key] = x
 
     if cfg.num_experts > 0:
@@ -102,10 +124,13 @@ def load_params(path: str, cfg: ModelConfig | None = None) -> tuple[ModelConfig,
                     f".{wname}.weight"), 0, 1) for e in range(E)])
                 for i in range(cfg.num_layers)])
 
+    final_norm = get("model.norm.weight")
+    if norm_offset:
+        final_norm = final_norm + jnp.asarray(norm_offset, final_norm.dtype)
     params: Params = {
         "embed": get("model.embed_tokens.weight"),
         "layers": layers,
-        "final_norm": get("model.norm.weight"),
+        "final_norm": final_norm,
         "lm_head": None,
     }
     if not cfg.tie_word_embeddings and "lm_head.weight" in ckpt:

@@ -22,7 +22,6 @@ import jax
 import jax.numpy as jnp
 
 from ..config import CacheConfig, ModelConfig
-from ..ops.activations import swiglu
 from ..ops.attention import (
     append_kv,
     chunked_prefill_attention_ref,
@@ -145,6 +144,10 @@ def init_params(cfg: ModelConfig, key: jax.Array,
         # qwen3: per-head RMSNorm weights over head_dim, applied pre-RoPE
         layers["q_norm"] = jnp.ones((L, cfg.head_dim), dtype)
         layers["k_norm"] = jnp.ones((L, cfg.head_dim), dtype)
+    if cfg.post_norms:
+        # gemma2 sandwich norms: on the attention/MLP output pre-residual
+        layers["post_attn_norm"] = jnp.ones((L, h), dtype)
+        layers["post_mlp_norm"] = jnp.ones((L, h), dtype)
     if cfg.qkv_bias:
         if fuse:
             layers["bqkv"] = jnp.zeros((L, q_dim + 2 * kv_dim), dtype)
@@ -218,12 +221,35 @@ def _layer_xs(params: Params, cfg: ModelConfig):
     (Pallas custom-call operands cannot be lazily sliced by XLA — measured
     at ~20% of decode step time on 7B). They stay whole, closed over, and
     the kernels index the layer via scalar-prefetch BlockSpecs.
+
+    Heterogeneous layouts (gemma2's alternating sliding/global attention):
+    the scan runs over ``num_layers / period`` GROUPS, with each group's
+    ``period`` sub-layers unrolled in the body so every sub-layer keeps a
+    STATIC sliding window for the Pallas kernels (xs leaves gain a
+    ``[groups, period, ...]`` leading pair).
     """
     from ..ops.quant import QuantizedTensor
 
     sliced = {k: v for k, v in params["layers"].items()
               if not isinstance(v, QuantizedTensor)}
-    return (jnp.arange(cfg.num_layers, dtype=jnp.int32), sliced)
+    ls = jnp.arange(cfg.num_layers, dtype=jnp.int32)
+    p = cfg.layer_period
+    if p == 1:
+        return (ls, sliced)
+    sliced = {k: v.reshape(v.shape[0] // p, p, *v.shape[1:])
+              for k, v in sliced.items()}
+    return (ls.reshape(-1, p), sliced)
+
+
+def _sub_layers(cfg: ModelConfig, ls, lps):
+    """Iterate the (layer_id, per-layer params, window) sub-layers of one
+    scan group (see `_layer_xs`)."""
+    p = cfg.layer_period
+    if p == 1:
+        yield ls, lps, cfg.layer_window(0)
+        return
+    for j in range(p):
+        yield ls[j], {k: v[j] for k, v in lps.items()}, cfg.layer_window(j)
 
 
 def _stacked_weights(params: Params):
@@ -251,7 +277,8 @@ def _mlp_out(cfg: ModelConfig, w, lp, l, normed2: jnp.ndarray,
                        lp["w_up_e"], lp["w_down_e"],
                        cfg.num_experts_per_tok,
                        ep_axis=tp_axis if ep else None)
-    return linear(_swiglu_proj(normed2, w, l), w("w_down"), layer=l)
+    return linear(_swiglu_proj(normed2, w, l, cfg.hidden_act),
+                  w("w_down"), layer=l)
 
 
 def _qkv(normed, w, lp, l, q_dim, kv_dim):
@@ -294,14 +321,16 @@ def lora_delta(x: jnp.ndarray, A: jnp.ndarray, Bm: jnp.ndarray,
     return jnp.einsum("bsr,brm->bsm", t, Bsel) * scaling
 
 
-def _swiglu_proj(normed, w, l):
-    """silu(gate) * up — one fused gate|up matmul when available."""
+def _swiglu_proj(normed, w, l, act: str = "silu"):
+    """act(gate) * up — one fused gate|up matmul when available."""
+    from ..ops.activations import glu_act
+    f = glu_act(act)
     if w("w_gate_up") is not None:
         gu = linear(normed, w("w_gate_up"), layer=l)
         inter = gu.shape[-1] // 2
-        return swiglu(gu[..., :inter], gu[..., inter:])
-    return swiglu(linear(normed, w("w_gate"), layer=l),
-                  linear(normed, w("w_up"), layer=l))
+        return f(gu[..., :inter], gu[..., inter:])
+    return f(linear(normed, w("w_gate"), layer=l),
+             linear(normed, w("w_up"), layer=l))
 
 
 # ---------------------------------------------------------------------------
@@ -334,20 +363,21 @@ def decode_step(cfg: ModelConfig, params: Params,
                    stacks; slot 0 is the all-zero base).
     Returns (logits ``[B, V]`` fp32, new_k_cache, new_v_cache).
     """
-    scale = cfg.head_dim ** -0.5
+    scale = cfg.attn_scale
     B = tokens.shape[0]
     n_heads = cfg.num_heads // tp_size
     n_kv = cfg.num_kv_heads // tp_size
     q_dim = n_heads * cfg.head_dim
 
     h = jnp.take(params["embed"], tokens, axis=0)          # [B, H]
+    if cfg.embed_scale:   # gemma: sqrt(H) normalizer, cast to model dtype
+        h = h * jnp.asarray(cfg.hidden_size ** 0.5, h.dtype)
     cos, sin = rope_cos_sin(context_lens, cfg.head_dim, cfg.rope_theta)
 
     stacked = _stacked_weights(params)
 
-    def body(carry, xs):
+    def one_layer(carry, l, lp, window):
         hid, kc, vc, ks, vs = carry
-        l, lp = xs
         w = _weight_getter(lp, stacked)
 
         # norm + activation-quantization fused into the a8 qkv kernel when
@@ -393,7 +423,7 @@ def decode_step(cfg: ModelConfig, params: Params,
         attn, kc, vc, ks, vs = paged_decode_append_auto(
             pad_head(q, d_pad), pad_head(k, d_pad), pad_head(v, d_pad),
             kc, vc, block_tables, context_lens, l, scale, ks, vs,
-            window=cfg.sliding_window)
+            window=window, softcap=cfg.attn_logit_softcap)
         attn = attn[..., : cfg.head_dim]
         attn_flat = attn.reshape(B, q_dim)
         # o-proj is row-parallel: fused a8 kernel on the per-rank K shard,
@@ -407,17 +437,32 @@ def decode_step(cfg: ModelConfig, params: Params,
             attn_out = attn_out + lora_delta(
                 attn_flat, lp["lora_o_a"], lp["lora_o_b"], adapter_ids,
                 lora_scaling, reduce_axis=tp_axis)
+        if cfg.post_norms:   # gemma2: norm the attn OUTPUT pre-residual
+            attn_out = rmsnorm(attn_out, lp["post_attn_norm"],
+                               cfg.rms_norm_eps)
 
-        new_hid = fused_mlp_block(attn_out, hid, lp["mlp_norm"],
-                                  cfg.rms_norm_eps, w("w_gate_up"),
-                                  w("w_down"), l, tp_axis=tp_axis)
+        # fused_mlp_block implements the llama/qwen norm+SwiGLU structure;
+        # sandwich-norm / GeGLU families take the explicit path.
+        new_hid = None
+        if not cfg.post_norms and cfg.hidden_act == "silu":
+            new_hid = fused_mlp_block(attn_out, hid, lp["mlp_norm"],
+                                      cfg.rms_norm_eps, w("w_gate_up"),
+                                      w("w_down"), l, tp_axis=tp_axis)
         if new_hid is None:
             normed2, resid = rmsnorm_residual(attn_out, hid, lp["mlp_norm"],
                                               cfg.rms_norm_eps)
             mlp = _maybe_psum(
                 _mlp_out(cfg, w, lp, l, normed2, tp_axis, tp_size), tp_axis)
+            if cfg.post_norms:
+                mlp = rmsnorm(mlp, lp["post_mlp_norm"], cfg.rms_norm_eps)
             new_hid = resid + mlp
-        return (new_hid, kc, vc, ks, vs), None
+        return (new_hid, kc, vc, ks, vs)
+
+    def body(carry, xs):
+        ls, lps = xs
+        for l, lp, win in _sub_layers(cfg, ls, lps):
+            carry = one_layer(carry, l, lp, win)
+        return carry, None
 
     (h, k_cache, v_cache, k_scales, v_scales), _ = jax.lax.scan(
         body, (h, k_cache, v_cache, k_scales, v_scales),
@@ -441,6 +486,9 @@ def decode_step(cfg: ModelConfig, params: Params,
     if logits is None:
         h = rmsnorm(h, params["final_norm"], cfg.rms_norm_eps)
         logits = _lm_logits(params, h, tp_axis)
+    if cfg.final_logit_softcap:   # gemma2
+        logits = cfg.final_logit_softcap * jnp.tanh(
+            logits / cfg.final_logit_softcap)
     if k_scales is None:
         return logits, k_cache, v_cache
     return logits, k_cache, v_cache, k_scales, v_scales
@@ -553,25 +601,29 @@ def prefill_step(cfg: ModelConfig, params: Params,
 
     B, S = tokens.shape
     page_size = k_cache.shape[3]
-    scale = cfg.head_dim ** -0.5
+    scale = cfg.attn_scale
     n_heads = cfg.num_heads // tp_size
     n_kv = cfg.num_kv_heads // tp_size
     q_dim = n_heads * cfg.head_dim
 
     h = jnp.take(params["embed"], tokens, axis=0)          # [B, S, H]
+    if cfg.embed_scale:   # gemma: sqrt(H) normalizer, cast to model dtype
+        h = h * jnp.asarray(cfg.hidden_size ** 0.5, h.dtype)
     positions = history_lens[:, None] + jnp.arange(S, dtype=jnp.int32)[None, :]
     cos, sin = rope_cos_sin(positions, cfg.head_dim, cfg.rope_theta)
 
     quantized = k_scales is not None
-    # Sliding-window attention (mistral): statically dropped when the cache
-    # cannot hold more than `window` tokens (the mask never bites);
-    # otherwise handled inside the Pallas prefill kernel (history chunks
-    # below the q-block's window are never DMA'd).
-    window = cfg.sliding_window
-    if (window is not None
-            and block_tables.shape[1] * page_size <= window
-            and S <= window):
-        window = None
+
+    def eff_window(window):
+        # Sliding-window attention (mistral/gemma2): statically dropped
+        # when the cache cannot hold more than `window` tokens (the mask
+        # never bites); otherwise handled inside the Pallas prefill kernel
+        # (history chunks below the q-block's window are never DMA'd).
+        if (window is not None
+                and block_tables.shape[1] * page_size <= window
+                and S <= window):
+            return None
+        return window
     pallas_store = (use_pallas() and S % page_size == 0
                     and not slot_exact_store)
     pallas_attn = (use_pallas() and S % min(128, S) == 0
@@ -640,9 +692,9 @@ def prefill_step(cfg: ModelConfig, params: Params,
 
     stacked = _stacked_weights(params)
 
-    def body(carry, xs):
+    def one_layer(carry, l, lp, window):
         hid, kc, vc, ks, vs = carry
-        l, lp = xs
+        window = eff_window(window)
         w = _weight_getter(lp, stacked)
         # Same kernel fusions as decode_step; quant_linear_normed /
         # fused_mlp_block gate themselves on row count, so short chunks
@@ -691,7 +743,8 @@ def prefill_step(cfg: ModelConfig, params: Params,
                 pad_head(v, d_pad).transpose(0, 2, 1, 3),
                 kc, vc, block_tables, history_lens, chunk_lens, l,
                 scale=scale, with_history=has_history,
-                k_scales=ks, v_scales=vs, window=window)
+                k_scales=ks, v_scales=vs, window=window,
+                softcap=cfg.attn_logit_softcap)
             attn = attn.transpose(0, 3, 1, 2, 4).reshape(
                 B, S, n_heads, d_pad)[..., : cfg.head_dim]
         elif has_history:
@@ -700,9 +753,11 @@ def prefill_step(cfg: ModelConfig, params: Params,
                 kc[l], vc[l], block_tables, history_lens, scale,
                 ks[l] if quantized else None,
                 vs[l] if quantized else None,
-                window=window)[..., : cfg.head_dim]
+                window=window,
+                softcap=cfg.attn_logit_softcap)[..., : cfg.head_dim]
         else:
-            attn = prefill_attention_ref(q, k, v, scale, window=window)
+            attn = prefill_attention_ref(q, k, v, scale, window=window,
+                                         softcap=cfg.attn_logit_softcap)
 
         kc, vc, ks, vs = store_chunk(kc, vc, ks, vs, l, k, v)
 
@@ -716,16 +771,29 @@ def prefill_step(cfg: ModelConfig, params: Params,
             attn_out = attn_out + lora_delta(
                 attn_flat, lp["lora_o_a"], lp["lora_o_b"], adapter_ids,
                 lora_scaling, reduce_axis=tp_axis)
-        new_hid = fused_mlp_block(attn_out, hid, lp["mlp_norm"],
-                                  cfg.rms_norm_eps, w("w_gate_up"),
-                                  w("w_down"), l, tp_axis=tp_axis)
+        if cfg.post_norms:   # gemma2: norm the attn OUTPUT pre-residual
+            attn_out = rmsnorm(attn_out, lp["post_attn_norm"],
+                               cfg.rms_norm_eps)
+        new_hid = None
+        if not cfg.post_norms and cfg.hidden_act == "silu":
+            new_hid = fused_mlp_block(attn_out, hid, lp["mlp_norm"],
+                                      cfg.rms_norm_eps, w("w_gate_up"),
+                                      w("w_down"), l, tp_axis=tp_axis)
         if new_hid is None:
             normed2, resid = rmsnorm_residual(attn_out, hid, lp["mlp_norm"],
                                               cfg.rms_norm_eps)
             mlp = _maybe_psum(
                 _mlp_out(cfg, w, lp, l, normed2, tp_axis, tp_size), tp_axis)
+            if cfg.post_norms:
+                mlp = rmsnorm(mlp, lp["post_mlp_norm"], cfg.rms_norm_eps)
             new_hid = resid + mlp
-        return (new_hid, kc, vc, ks, vs), None
+        return (new_hid, kc, vc, ks, vs)
+
+    def body(carry, xs):
+        ls, lps = xs
+        for l, lp, win in _sub_layers(cfg, ls, lps):
+            carry = one_layer(carry, l, lp, win)
+        return carry, None
 
     (h, k_cache, v_cache, k_scales, v_scales), _ = jax.lax.scan(
         body, (h, k_cache, v_cache, k_scales, v_scales),
@@ -768,6 +836,10 @@ def prefill_step(cfg: ModelConfig, params: Params,
                 params,
                 rmsnorm(h_last, params["final_norm"], cfg.rms_norm_eps),
                 tp_axis)
+        if cfg.final_logit_softcap:   # gemma2 (argmax-invariant, so the
+            # all_greedy branch above skips it: tanh is monotonic)
+            out = cfg.final_logit_softcap * jnp.tanh(
+                out / cfg.final_logit_softcap)
     if not quantized:
         return out, k_cache, v_cache
     return out, k_cache, v_cache, k_scales, v_scales
@@ -782,15 +854,16 @@ def forward_logits(cfg: ModelConfig, params: Params,
                    tokens: jnp.ndarray) -> jnp.ndarray:
     """All-position logits ``[B, S, V]`` for evaluation (no KV cache)."""
     B, S = tokens.shape
-    scale = cfg.head_dim ** -0.5
+    scale = cfg.attn_scale
     h = jnp.take(params["embed"], tokens, axis=0)
+    if cfg.embed_scale:
+        h = h * jnp.asarray(cfg.hidden_size ** 0.5, h.dtype)
     positions = jnp.broadcast_to(jnp.arange(S, dtype=jnp.int32)[None, :], (B, S))
     cos, sin = rope_cos_sin(positions, cfg.head_dim, cfg.rope_theta)
 
     stacked = _stacked_weights(params)
 
-    def body(hid, xs):
-        l, lp = xs
+    def one_layer(hid, l, lp, window):
         w = _weight_getter(lp, stacked)
         normed = rmsnorm(hid, lp["attn_norm"], cfg.rms_norm_eps)
         q, k, v = _qkv(normed, w, lp, l, cfg.q_dim, cfg.kv_dim)
@@ -802,14 +875,29 @@ def forward_logits(cfg: ModelConfig, params: Params,
             k = rmsnorm(k, lp["k_norm"], cfg.rms_norm_eps)
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
-        attn = prefill_attention_ref(q, k, v, scale,
-                                     window=cfg.sliding_window)
+        attn = prefill_attention_ref(q, k, v, scale, window=window,
+                                     softcap=cfg.attn_logit_softcap)
         attn_out = linear(attn.reshape(B, S, cfg.q_dim), w("wo"), layer=l)
+        if cfg.post_norms:
+            attn_out = rmsnorm(attn_out, lp["post_attn_norm"],
+                               cfg.rms_norm_eps)
         normed2, resid = rmsnorm_residual(attn_out, hid, lp["mlp_norm"],
                                           cfg.rms_norm_eps)
         mlp = _mlp_out(cfg, w, lp, l, normed2)
-        return resid + mlp, None
+        if cfg.post_norms:
+            mlp = rmsnorm(mlp, lp["post_mlp_norm"], cfg.rms_norm_eps)
+        return resid + mlp
+
+    def body(hid, xs):
+        ls, lps = xs
+        for l, lp, win in _sub_layers(cfg, ls, lps):
+            hid = one_layer(hid, l, lp, win)
+        return hid, None
 
     h, _ = jax.lax.scan(body, h, _layer_xs(params, cfg))
     h = rmsnorm(h, params["final_norm"], cfg.rms_norm_eps)
-    return _lm_logits(params, h)
+    logits = _lm_logits(params, h)
+    if cfg.final_logit_softcap:
+        logits = cfg.final_logit_softcap * jnp.tanh(
+            logits / cfg.final_logit_softcap)
+    return logits

@@ -17,6 +17,17 @@ def swiglu(gate: jnp.ndarray, up: jnp.ndarray) -> jnp.ndarray:
     return jax.nn.silu(gate) * up
 
 
+def geglu(gate: jnp.ndarray, up: jnp.ndarray) -> jnp.ndarray:
+    """GeGLU (gemma family): tanh-approximated GELU on the gate."""
+    return jax.nn.gelu(gate, approximate=True) * up
+
+
+def glu_act(kind: str):
+    """Gated-MLP activation by name: 'silu' (llama/qwen) or 'gelu_tanh'
+    (gemma)."""
+    return {"silu": swiglu, "gelu_tanh": geglu}[kind]
+
+
 def swiglu_packed(gate_up: jnp.ndarray) -> jnp.ndarray:
     """SwiGLU on a concatenated [..., 2*d] tensor, layout [up | gate] matching
     the reference's `kernel/swiglu.py:49-60` convention."""

@@ -33,6 +33,16 @@ def padded_head_dim(head_dim: int) -> int:
     return -(-head_dim // KV_LANE) * KV_LANE
 
 
+def softcap_scores(scores: jnp.ndarray, cap: float | None) -> jnp.ndarray:
+    """Attention-logit soft-capping (gemma2): ``cap * tanh(s / cap)``.
+
+    Applied after the scale, before masking/softmax. ``None`` = identity.
+    """
+    if cap is None:
+        return scores
+    return cap * jnp.tanh(scores / cap)
+
+
 def pad_head(x: jnp.ndarray, target: int) -> jnp.ndarray:
     """Zero-pad the last axis to ``target`` (no-op if already there)."""
     d = x.shape[-1]
@@ -70,7 +80,8 @@ def paged_decode_attention_auto(q, k_pages, v_pages, block_tables,
 
 def paged_decode_append_auto(q, k_new, v_new, k_cache, v_cache,
                              block_tables, context_lens, layer, scale,
-                             k_scales=None, v_scales=None, window=None):
+                             k_scales=None, v_scales=None, window=None,
+                             softcap=None):
     """Fused KV-append + decode attention on the layer-stacked cache.
 
     On TPU this is one Pallas kernel with the cache aliased in/out (no
@@ -98,11 +109,11 @@ def paged_decode_append_auto(q, k_new, v_new, k_cache, v_cache,
             return paged_decode_attention_append_q(
                 q, k_new, v_new, k_cache, v_cache, k_scales, v_scales,
                 block_tables, context_lens, layer, scale=scale,
-                window=window)
+                window=window, softcap=softcap)
         from .pallas.decode_attention import paged_decode_attention_append
         attn, k_cache, v_cache = paged_decode_attention_append(
             q, k_new, v_new, k_cache, v_cache, block_tables, context_lens,
-            layer, scale=scale, window=window)
+            layer, scale=scale, window=window, softcap=softcap)
         return attn, k_cache, v_cache, None, None
 
     page_ids, offsets = slot_coords(block_tables, context_lens, page_size)
@@ -116,7 +127,7 @@ def paged_decode_append_auto(q, k_new, v_new, k_cache, v_cache,
         attn = paged_decode_attention_ref(
             q, k_cache[layer], v_cache[layer], block_tables,
             context_lens + 1, scale, k_scales[layer], v_scales[layer],
-            window=window)
+            window=window, softcap=softcap)
         return attn, k_cache, v_cache, k_scales, v_scales
     k_cache = k_cache.at[layer, page_ids, :, offsets].set(
         k_new.astype(k_cache.dtype))
@@ -124,7 +135,7 @@ def paged_decode_append_auto(q, k_new, v_new, k_cache, v_cache,
         v_new.astype(v_cache.dtype))
     attn = paged_decode_attention_ref(
         q, k_cache[layer], v_cache[layer], block_tables, context_lens + 1,
-        scale, window=window)
+        scale, window=window, softcap=softcap)
     return attn, k_cache, v_cache, None, None
 
 
@@ -221,6 +232,7 @@ def paged_decode_attention_ref(q: jnp.ndarray, k_pages: jnp.ndarray,
                                k_scales: jnp.ndarray | None = None,
                                v_scales: jnp.ndarray | None = None,
                                window: int | None = None,
+                               softcap: float | None = None,
                                ) -> jnp.ndarray:
     """Single-token decode attention reading the paged KV cache.
 
@@ -243,7 +255,9 @@ def paged_decode_attention_ref(q: jnp.ndarray, k_pages: jnp.ndarray,
     v = gather_kv_pages(v_pages, v_scales, block_tables)
 
     qg = q.reshape(B, kv_heads, group, head_dim).astype(jnp.float32)
-    scores = jnp.einsum("bkgd,bksd->bkgs", qg, k.astype(jnp.float32)) * scale
+    scores = softcap_scores(
+        jnp.einsum("bkgd,bksd->bkgs", qg, k.astype(jnp.float32)) * scale,
+        softcap)
 
     positions = jnp.arange(max_pages * page_size, dtype=jnp.int32)
     valid = positions[None, :] < seq_lens[:, None]          # [B, S_max]
@@ -263,7 +277,8 @@ def paged_decode_attention_ref(q: jnp.ndarray, k_pages: jnp.ndarray,
 
 def prefill_attention_ref(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                           scale: float,
-                          window: int | None = None) -> jnp.ndarray:
+                          window: int | None = None,
+                          softcap: float | None = None) -> jnp.ndarray:
     """Causal self-attention over a rectangular ``[B, S]`` batch with GQA.
 
     q: ``[B, S, num_heads, head_dim]``; k/v: ``[B, S, kv_heads, head_dim]``.
@@ -277,7 +292,9 @@ def prefill_attention_ref(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     group = num_heads // kv_heads
 
     qg = q.reshape(B, S, kv_heads, group, head_dim).astype(jnp.float32)
-    scores = jnp.einsum("bqkgd,bskd->bkgqs", qg, k.astype(jnp.float32)) * scale
+    scores = softcap_scores(
+        jnp.einsum("bqkgd,bskd->bkgqs", qg, k.astype(jnp.float32)) * scale,
+        softcap)
 
     causal = jnp.tril(jnp.ones((S, S), dtype=bool))
     if window is not None:
@@ -303,6 +320,7 @@ def chunked_prefill_attention_ref(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray
                                   k_scales: jnp.ndarray | None = None,
                                   v_scales: jnp.ndarray | None = None,
                                   window: int | None = None,
+                                  softcap: float | None = None,
                                   ) -> jnp.ndarray:
     """Attention for a prefill chunk: queries attend to all cached history
     tokens plus causally to the current chunk.
@@ -325,7 +343,8 @@ def chunked_prefill_attention_ref(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray
     q_abs = history_lens[:, None] + jnp.arange(S, dtype=jnp.int32)[None, :]
 
     # Scores vs history.
-    h_scores = jnp.einsum("bqkgd,bksd->bkgqs", qg, hk.astype(jnp.float32)) * scale
+    h_scores = softcap_scores(jnp.einsum(
+        "bqkgd,bksd->bkgqs", qg, hk.astype(jnp.float32)) * scale, softcap)
     hpos = jnp.arange(max_pages * page_size, dtype=jnp.int32)
     h_valid = (hpos[None, None, :] < history_lens[:, None, None]
                ) & jnp.ones((1, S, 1), bool)                  # [B, S, H]
@@ -334,7 +353,8 @@ def chunked_prefill_attention_ref(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray
     h_scores = jnp.where(h_valid[:, None, None, :, :], h_scores, NEG_INF)
 
     # Scores vs current chunk (causal).
-    c_scores = jnp.einsum("bqkgd,bskd->bkgqs", qg, k.astype(jnp.float32)) * scale
+    c_scores = softcap_scores(jnp.einsum(
+        "bqkgd,bskd->bkgqs", qg, k.astype(jnp.float32)) * scale, softcap)
     causal = jnp.tril(jnp.ones((S, S), dtype=bool))[None]    # [1, S, S]
     if window is not None:
         idx = jnp.arange(S)

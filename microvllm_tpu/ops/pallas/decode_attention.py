@@ -31,6 +31,13 @@ from jax.experimental.pallas import tpu as pltpu
 MASK_VALUE = -2.0e38
 
 
+def _softcap(s, cap):
+    """Attention-logit soft-capping (gemma2): cap*tanh(s/cap); None=id."""
+    if cap is None:
+        return s
+    return cap * jnp.tanh(s * (1.0 / cap))
+
+
 def _decode_kernel(
     # scalar-prefetch refs
     block_tables_ref,   # [B * max_pages] int32 (SMEM)
@@ -52,6 +59,7 @@ def _decode_kernel(
     pages_per_chunk: int,
     scale: float,
     window: int | None = None,
+    softcap: float | None = None,
 ):
     b = pl.program_id(0)
     h = pl.program_id(1)
@@ -60,13 +68,15 @@ def _decode_kernel(
         block_tables_ref, ctx, q_ref, k_hbm, v_hbm, o_ref,
         k_buf, v_buf, k_sems, v_sems,
         page_size=page_size, max_pages=max_pages,
-        pages_per_chunk=pages_per_chunk, scale=scale, window=window)
+        pages_per_chunk=pages_per_chunk, scale=scale, window=window,
+        softcap=softcap)
 
 
 def _decode_attention_body(
     block_tables_ref, ctx, q_ref, k_hbm, v_hbm, o_ref,
     k_buf, v_buf, k_sems, v_sems,
     *, page_size, max_pages, pages_per_chunk, scale, window=None,
+    softcap=None,
 ):
     b = pl.program_id(0)
     h = pl.program_id(1)
@@ -117,6 +127,7 @@ def _decode_attention_body(
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32) * scale        # [G, T]
+        s = _softcap(s, softcap)
 
         pos = c * chunk_tokens + jax.lax.broadcasted_iota(
             jnp.int32, (G, chunk_tokens), 1)
@@ -148,7 +159,8 @@ def _decode_attention_body(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("scale", "pages_per_chunk", "interpret", "window"))
+    static_argnames=("scale", "pages_per_chunk", "interpret", "window",
+                     "softcap"))
 def paged_decode_attention(
     q: jnp.ndarray,             # [B, num_heads, head_dim]
     k_pages: jnp.ndarray,       # [num_pages, kv_heads, page_size, head_dim]
@@ -160,6 +172,7 @@ def paged_decode_attention(
     pages_per_chunk: int = 4,
     interpret: bool = False,
     window: int | None = None,
+    softcap: float | None = None,
 ) -> jnp.ndarray:
     B, num_heads, head_dim = q.shape
     num_pages, kv_heads, page_size, _ = k_pages.shape
@@ -201,6 +214,7 @@ def paged_decode_attention(
         pages_per_chunk=pages_per_chunk,
         scale=scale,
         window=window,
+        softcap=softcap,
     )
 
     out = pl.pallas_call(
@@ -247,6 +261,7 @@ def _decode_append_kernel(
     pages_per_chunk: int,
     scale: float,
     window: int | None = None,
+    softcap: float | None = None,
 ):
     b = pl.program_id(0)
     layer = layer_ref[0]
@@ -363,6 +378,7 @@ def _decode_append_kernel(
                 (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32)
             for h in range(KV)], axis=0) * scale       # [KV*Gp, T]
+        s = _softcap(s, softcap)
         s = jnp.where(jnp.tile(valid, (KV, 1)), s, MASK_VALUE)
         m2 = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
         p = jnp.exp(s - m2)                            # [KV*Gp, T]
@@ -413,6 +429,7 @@ def _decode_append_kernel_q(
     pages_per_chunk: int,
     scale: float,
     window: int | None = None,
+    softcap: float | None = None,
 ):
     """INT8 KV-cache variant: new rows are quantized per (token, head) in
     kernel; dequantization happens as lane-wise scaling of scores (K) and
@@ -558,6 +575,7 @@ def _decode_append_kernel_q(
                 preferred_element_type=jnp.float32)
             * chunk_scales(ks_buf, h)
             for h in range(KV)], axis=0) * scale              # [KV*Gp, T]
+        s = _softcap(s, softcap)
         pos = c * T + jax.lax.broadcasted_iota(jnp.int32, (KV * Gp, T), 1)
         valid = pos <= ctx
         if window is not None:
@@ -592,7 +610,8 @@ def _decode_append_kernel_q(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("scale", "pages_per_chunk", "interpret", "window"))
+    static_argnames=("scale", "pages_per_chunk", "interpret", "window",
+                     "softcap"))
 def paged_decode_attention_append_q(
     q: jnp.ndarray,             # [B, num_heads, D]
     k_new: jnp.ndarray,         # [B, kv_heads, D]
@@ -609,6 +628,7 @@ def paged_decode_attention_append_q(
     pages_per_chunk: int = 4,
     interpret: bool = False,
     window: int | None = None,
+    softcap: float | None = None,
 ):
     """INT8-KV fused append + decode attention. Returns
     (attn_out, k_cache, v_cache, k_scales, v_scales)."""
@@ -672,6 +692,7 @@ def paged_decode_attention_append_q(
         pages_per_chunk=pages_per_chunk,
         scale=scale,
         window=window,
+        softcap=softcap,
     )
 
     out, k_cache, v_cache, k_scales, v_scales = pl.pallas_call(
@@ -700,7 +721,8 @@ def paged_decode_attention_append_q(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("scale", "pages_per_chunk", "interpret", "window"))
+    static_argnames=("scale", "pages_per_chunk", "interpret", "window",
+                     "softcap"))
 def paged_decode_attention_append(
     q: jnp.ndarray,             # [B, num_heads, head_dim(padded)]
     k_new: jnp.ndarray,         # [B, kv_heads, head_dim(padded)]
@@ -715,6 +737,7 @@ def paged_decode_attention_append(
     pages_per_chunk: int = 4,
     interpret: bool = False,
     window: int | None = None,
+    softcap: float | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Fused in-kernel KV append + paged decode attention.
 
@@ -773,6 +796,7 @@ def paged_decode_attention_append(
         pages_per_chunk=pages_per_chunk,
         scale=scale,
         window=window,
+        softcap=softcap,
     )
 
     out, k_cache, v_cache = pl.pallas_call(

@@ -26,6 +26,13 @@ from jax.experimental.pallas import tpu as pltpu
 MASK_VALUE = -2.0e38
 
 
+def _softcap(s, cap):
+    """Attention-logit soft-capping (gemma2): cap*tanh(s/cap); None=id."""
+    if cap is None:
+        return s
+    return cap * jnp.tanh(s * (1.0 / cap))
+
+
 def _prefill_kernel(
     # scalar prefetch
     layer_ref,            # [1]
@@ -51,6 +58,7 @@ def _prefill_kernel(
     block_q: int,
     block_k: int,
     scale: float,
+    softcap: float | None = None,
     with_history: bool,
     window: int | None = None,
 ):
@@ -118,8 +126,9 @@ def _prefill_kernel(
 
             kh = k_buf[slot].reshape(chunk_tokens, D)
             vh = v_buf[slot].reshape(chunk_tokens, D)
-            s = jax.lax.dot_general(q, kh, (((1,), (1,)), ((), ())),
-                                    preferred_element_type=jnp.float32)
+            s = _softcap(jax.lax.dot_general(
+                q, kh, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32), softcap)
             kpos = c * chunk_tokens + jax.lax.broadcasted_iota(
                 jnp.int32, (G * BQ, chunk_tokens), 1)
             valid = kpos < hist
@@ -141,7 +150,8 @@ def _prefill_kernel(
     # ---- phase 2: causal attention over the current chunk ----------------
     m, l, acc = _attend_current_chunk(
         q, q_pos, k_ref, v_ref, chunk_len, qb, m, l, acc,
-        block_q=block_q, block_k=block_k, window=window)
+        block_q=block_q, block_k=block_k, window=window,
+        softcap=softcap)
 
     out = acc / jnp.maximum(l, 1e-30)
     o_ref[0, 0] = out.reshape(G, BQ, D).astype(o_ref.dtype)
@@ -149,7 +159,8 @@ def _prefill_kernel(
 
 def _attend_current_chunk(q, q_pos, k_ref, v_ref, chunk_len, qb, m, l, acc,
                           *, block_q: int, block_k: int,
-                          window: int | None = None):
+                          window: int | None = None,
+                          softcap: float | None = None):
     """Causal flash pass over the current chunk's (bf16) keys/values.
     Window distances are local-position differences (query and key share
     the same history offset)."""
@@ -166,8 +177,9 @@ def _attend_current_chunk(q, q_pos, k_ref, v_ref, chunk_len, qb, m, l, acc,
         m, l, acc = carry
         kh = k_ref[0, 0, pl.ds(j * block_k, block_k), :].astype(jnp.float32)
         vh = v_ref[0, 0, pl.ds(j * block_k, block_k), :]
-        s = jax.lax.dot_general(q, kh, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32)
+        s = _softcap(jax.lax.dot_general(
+            q, kh, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32), softcap)
         kpos = j * block_k + jax.lax.broadcasted_iota(
             jnp.int32, (R, block_k), 1)
         valid = (kpos <= q_pos) & (kpos < chunk_len)
@@ -209,6 +221,7 @@ def _prefill_kernel_q(
     block_q: int,
     block_k: int,
     scale: float,
+    softcap: float | None = None,
     window: int | None = None,
 ):
     """INT8-KV history variant: streams quantized pages + per-token scale
@@ -284,7 +297,7 @@ def _prefill_kernel_q(
             vs = vs_buf[slot, i, :page_size].reshape(1, page_size)
             s = jax.lax.dot_general(q, kh, (((1,), (1,)), ((), ())),
                                     preferred_element_type=jnp.float32)
-            s = s * ks                                      # dequant K
+            s = _softcap(s * ks, softcap)                   # dequant K
             kpos = ((c * pages_per_chunk + i) * page_size
                     + jax.lax.broadcasted_iota(
                         jnp.int32, (G * BQ, page_size), 1))
@@ -310,7 +323,8 @@ def _prefill_kernel_q(
     # ---- phase 2: causal attention over the current chunk (bf16) ---------
     m, l, acc = _attend_current_chunk(
         q, q_pos, k_ref, v_ref, chunk_len, qb, m, l, acc,
-        block_q=block_q, block_k=block_k, window=window)
+        block_q=block_q, block_k=block_k, window=window,
+        softcap=softcap)
 
     out = acc / jnp.maximum(l, 1e-30)
     o_ref[0, 0] = out.reshape(G, BQ, D).astype(o_ref.dtype)
@@ -319,7 +333,7 @@ def _prefill_kernel_q(
 @functools.partial(
     jax.jit,
     static_argnames=("scale", "block_q", "block_k", "pages_per_chunk",
-                     "with_history", "interpret", "window"))
+                     "with_history", "interpret", "window", "softcap"))
 def flash_prefill_attention(
     q: jnp.ndarray,             # [B, KV, G, S, D]
     k: jnp.ndarray,             # [B, KV, S, D] current chunk (post-RoPE)
@@ -340,6 +354,7 @@ def flash_prefill_attention(
     v_scales: jnp.ndarray | None = None,
     interpret: bool = False,
     window: int | None = None,
+    softcap: float | None = None,
 ) -> jnp.ndarray:
     """Returns attention output ``[B, KV, G, S, D]`` in q.dtype."""
     B, KV, G, S, D = q.shape
@@ -392,14 +407,15 @@ def flash_prefill_attention(
         kernel = functools.partial(
             _prefill_kernel_q, page_size=page_size, max_pages=max_pages,
             pages_per_chunk=pages_per_chunk, block_q=block_q,
-            block_k=block_k, scale=scale, window=window)
+            block_k=block_k, scale=scale, window=window,
+            softcap=softcap)
         operands = (q, k, v, k_cache, v_cache, k_scales, v_scales)
     else:
         kernel = functools.partial(
             _prefill_kernel, page_size=page_size, max_pages=max_pages,
             pages_per_chunk=pages_per_chunk, block_q=block_q,
             block_k=block_k, scale=scale, with_history=with_history,
-            window=window)
+            window=window, softcap=softcap)
         operands = (q, k, v, k_cache, v_cache)
 
     return pl.pallas_call(

@@ -55,6 +55,21 @@ def _build_hf(family: str):
             max_position_embeddings=512, tie_word_embeddings=False,
             sliding_window=4, attn_implementation="eager")
         return MistralForCausalLM(cfg)
+    if family == "gemma2":
+        # sandwich norms, (1+w) RMSNorm, GeGLU, softcaps, embed scaling,
+        # ALTERNATING sliding/global attention (layer 0 sliding w=4 bites
+        # on a 9-token prompt; layer 1 global)
+        from transformers import Gemma2Config, Gemma2ForCausalLM
+        cfg = Gemma2Config(
+            vocab_size=256, hidden_size=64, intermediate_size=128,
+            num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+            head_dim=16, query_pre_attn_scalar=16,
+            attn_logit_softcapping=50.0, final_logit_softcapping=30.0,
+            sliding_window=4, rope_theta=10000.0, rms_norm_eps=1e-6,
+            hidden_activation="gelu_pytorch_tanh",
+            max_position_embeddings=512, tie_word_embeddings=True,
+            attn_implementation="eager")
+        return Gemma2ForCausalLM(cfg)
     if family == "mixtral":
         # Mixture-of-Experts: 4 experts, top-2 routing
         from transformers import MixtralConfig, MixtralForCausalLM
@@ -76,7 +91,8 @@ def _build_hf(family: str):
 
 
 @pytest.fixture(scope="module",
-                params=["qwen2", "qwen3", "llama", "mistral", "mixtral"])
+                params=["qwen2", "qwen3", "gemma2", "llama", "mistral",
+                        "mixtral"])
 def snapshot(request, tmp_path_factory):
     hf = _build_hf(request.param).eval()
     d = tmp_path_factory.mktemp(f"hf_{request.param}")

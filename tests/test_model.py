@@ -197,3 +197,40 @@ def test_qwen3_qk_norm_model():
     p2["layers"]["q_norm"] = params["layers"]["q_norm"] * 2.0
     alt = T.forward_logits(cfg, p2, tokens)
     assert not np.allclose(np.asarray(alt), np.asarray(ref), atol=1e-3)
+
+
+def test_gemma2_style_model():
+    """gemma2 family: sandwich norms, GeGLU, softcaps, sqrt(H) embed
+    scaling, query_pre_attn_scalar, and ALTERNATING sliding/global
+    attention via the period-2 layer scan."""
+    cfg = ModelConfig.tiny(
+        qkv_bias=False, tie_word_embeddings=True, model_type="gemma2",
+        hidden_act="gelu_tanh", post_norms=True, embed_scale=True,
+        attn_logit_softcap=50.0, final_logit_softcap=30.0,
+        query_pre_attn_scalar=32, sliding_window=4,
+        sliding_pattern=(True, False))
+    cache = CacheConfig(num_pages=16, page_size=16, max_pages_per_seq=4)
+    params = T.init_params(cfg, jax.random.PRNGKey(0))
+    assert "post_attn_norm" in params["layers"]
+    k, v = T.init_kv_cache(cfg, cache)
+    B, S = 1, 8
+    tokens = jax.random.randint(jax.random.PRNGKey(1), (B, S), 0,
+                                cfg.vocab_size)
+    ref = T.forward_logits(cfg, params, tokens)
+    bt = jnp.array([[1, 2, 3, 4]], dtype=jnp.int32)
+    logits, k, v = T.prefill_step(cfg, params, k, v, tokens, bt,
+                                  jnp.array([S], jnp.int32),
+                                  jnp.zeros(B, jnp.int32))
+    np.testing.assert_allclose(logits, ref[:, -1], rtol=2e-4, atol=2e-4)
+    logits2, k, v = T.decode_step(cfg, params, k, v, tokens[:, -1], bt,
+                                  jnp.array([S], jnp.int32))
+    ref2 = T.forward_logits(
+        cfg, params, jnp.concatenate([tokens, tokens[:, -1:]], axis=1))
+    np.testing.assert_allclose(logits2, ref2[:, -1], rtol=2e-4, atol=3e-4)
+    # the alternating window bites: an all-global variant diverges
+    import dataclasses as _dc
+    cfg_g = _dc.replace(cfg, sliding_window=None, sliding_pattern=())
+    alt = T.forward_logits(cfg_g, params, tokens)
+    assert not np.allclose(np.asarray(alt), np.asarray(ref), atol=1e-3)
+    # final softcap bounds the logits
+    assert float(jnp.abs(logits).max()) <= 30.0

@@ -880,3 +880,118 @@ def test_fused_norm_kernels_match_jnp():
     u = jax.random.normal(jax.random.PRNGKey(4), (24, 256))
     np.testing.assert_allclose(swiglu_pallas(g, u, interpret=True),
                                swiglu(g, u), rtol=1e-5, atol=1e-5)
+
+
+def test_decode_append_kernel_softcap():
+    """Attention-logit soft-capping (gemma2) in the fused append kernel vs
+    the capped jnp oracle — and the cap must actually change the output."""
+    from microvllm_tpu.ops.attention import paged_decode_append_auto
+    from microvllm_tpu.ops.pallas.decode_attention import (
+        paged_decode_attention_append)
+
+    lens, cap = [17, 33, 0], 3.0
+    B, KV, G, D, layer = len(lens), 2, 2, 128, 1
+    H = KV * G
+    kc, vc, bt = _stacked_cache(lens, layer=layer, KV=KV, D=D)
+    ctx = jnp.asarray(lens, jnp.int32)
+    q = jax.random.normal(jax.random.PRNGKey(0), (B, H, D)) * 4.0
+    k_new = jax.random.normal(jax.random.PRNGKey(1), (B, KV, D))
+    v_new = jax.random.normal(jax.random.PRNGKey(2), (B, KV, D))
+
+    ref_attn, ref_k, ref_v, _, _ = paged_decode_append_auto(
+        q, k_new, v_new, kc, vc, bt, ctx, jnp.int32(layer), D ** -0.5,
+        softcap=cap)
+    got_attn, got_k, got_v = paged_decode_attention_append(
+        q, k_new, v_new, kc, vc, bt, ctx, jnp.int32(layer),
+        scale=D ** -0.5, pages_per_chunk=2, interpret=True, softcap=cap)
+    np.testing.assert_allclose(got_attn, ref_attn, rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(got_k, ref_k, rtol=1e-6, atol=1e-6)
+
+    uncapped, *_ = paged_decode_attention_append(
+        q, k_new, v_new, kc, vc, bt, ctx, jnp.int32(layer),
+        scale=D ** -0.5, pages_per_chunk=2, interpret=True)
+    assert float(jnp.abs(uncapped[:2] - got_attn[:2]).max()) > 1e-4
+
+
+def test_decode_append_q_kernel_softcap():
+    """Soft-capping composes with the INT8-KV decode kernel."""
+    from microvllm_tpu.ops.attention import (paged_decode_append_auto,
+                                             quantize_kv)
+    from microvllm_tpu.ops.pallas.decode_attention import (
+        paged_decode_attention_append_q)
+
+    lens, cap = [21, 7], 2.5
+    B, KV, G, D, layer, L = len(lens), 2, 2, 128, 1, 2
+    H = KV * G
+    NP, PS = 8, 16
+    rng = np.random.default_rng(3)
+    bt_rows = []
+    kc = jnp.zeros((L, NP, KV, PS, D), jnp.int8)
+    vc = jnp.zeros((L, NP, KV, PS, D), jnp.int8)
+    ks = jnp.zeros((L, NP, KV, 128), jnp.float32)
+    vs = jnp.zeros((L, NP, KV, 128), jnp.float32)
+    next_page = 1
+    for blen in lens:
+        n = -(-max(blen, 1) // PS) or 1
+        row = list(range(next_page, next_page + n))
+        next_page += n
+        row += [0] * (4 - len(row))
+        bt_rows.append(row)
+        for t in range(blen):
+            kq, kscale = quantize_kv(jnp.asarray(
+                rng.standard_normal((KV, D)), jnp.float32))
+            vq, vscale = quantize_kv(jnp.asarray(
+                rng.standard_normal((KV, D)), jnp.float32))
+            pg, off = row[t // PS], t % PS
+            kc = kc.at[layer, pg, :, off].set(kq)
+            vc = vc.at[layer, pg, :, off].set(vq)
+            ks = ks.at[layer, pg, :, off].set(kscale)
+            vs = vs.at[layer, pg, :, off].set(vscale)
+    bt = jnp.asarray(bt_rows, jnp.int32)
+    ctx = jnp.asarray(lens, jnp.int32)
+    q = jax.random.normal(jax.random.PRNGKey(0), (B, H, D)) * 4.0
+    k_new = jax.random.normal(jax.random.PRNGKey(1), (B, KV, D))
+    v_new = jax.random.normal(jax.random.PRNGKey(2), (B, KV, D))
+
+    ref_attn, *_ = paged_decode_append_auto(
+        q, k_new, v_new, kc, vc, bt, ctx, jnp.int32(layer), D ** -0.5,
+        k_scales=ks, v_scales=vs, softcap=cap)
+    got_attn, *_ = paged_decode_attention_append_q(
+        q, k_new, v_new, kc, vc, ks, vs, bt, ctx, jnp.int32(layer),
+        scale=D ** -0.5, pages_per_chunk=1, interpret=True, softcap=cap)
+    # bf16 in-kernel dots vs the fp32 gather-dequant oracle: the 4x-scaled
+    # q pushes |scores| up where bf16 rounding is ~0.4% relative
+    np.testing.assert_allclose(got_attn, ref_attn, rtol=5e-2, atol=5e-3)
+
+
+def test_flash_prefill_softcap():
+    """Soft-capping in the flash prefill kernel (history + current chunk)
+    vs the capped chunked jnp oracle."""
+    from microvllm_tpu.ops.attention import chunked_prefill_attention_ref
+    from microvllm_tpu.ops.pallas.prefill_attention import (
+        flash_prefill_attention)
+
+    B, KV, G, S, D, layer, cap = 2, 2, 2, 32, 128, 1, 4.0
+    H = KV * G
+    hist = [20, 0]
+    kc, vc, bt = _stacked_cache(hist, layer=layer, KV=KV, D=D)
+    hl = jnp.asarray(hist, jnp.int32)
+    cl = jnp.asarray([S, S - 5], jnp.int32)
+    q = jax.random.normal(jax.random.PRNGKey(0), (B, S, H, D)) * 3.0
+    k = jax.random.normal(jax.random.PRNGKey(1), (B, S, KV, D))
+    v = jax.random.normal(jax.random.PRNGKey(2), (B, S, KV, D))
+
+    ref = chunked_prefill_attention_ref(
+        q, k, v, kc[layer], vc[layer], bt, hl, D ** -0.5, softcap=cap)
+
+    qt = q.reshape(B, S, KV, G, D).transpose(0, 2, 3, 1, 4)
+    got = flash_prefill_attention(
+        qt, k.transpose(0, 2, 1, 3), v.transpose(0, 2, 1, 3),
+        kc, vc, bt, hl, cl, jnp.int32(layer), scale=D ** -0.5,
+        block_q=16, block_k=16, pages_per_chunk=1, interpret=True,
+        softcap=cap)
+    got = got.transpose(0, 3, 1, 2, 4).reshape(B, S, H, D)
+    # rows beyond chunk_len are don't-care
+    np.testing.assert_allclose(got[0], ref[0], rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(got[1, :S - 5], ref[1, :S - 5],
+                               rtol=2e-5, atol=2e-5)
