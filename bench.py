@@ -56,7 +56,10 @@ def build_engine(model: str, bits: int, batch: int, kv_pages: int,
             prefill_len_buckets=(128, 256, 512),
             prefill_batch_buckets=(1, batch) if batch > 1 else (1,),
             prefill_wait_s=0.0,
-            decode_spans=(span,)),
+            # span 64 rides along for short generations (TTFT probes pick
+            # the smallest bucket covering max_new_tokens) and for batch
+            # runs that are page-capacity-bound at the large span
+            decode_spans=(span,) if span <= 64 else (64, span)),
         quant=QuantConfig(weight_bits=bits, kv_bits=kv_bits),
         max_model_len=page_size * max_pages_per_seq,
         seed=0,
@@ -156,9 +159,9 @@ def main():
     ap.add_argument("--page-size", type=int, default=None,
                     help="KV page size (default: auto — 128 for long-"
                          "context runs, else 64; see config.auto_page_size)")
-    ap.add_argument("--kv-pages", type=int, default=200)
-    ap.add_argument("--max-pages-per-seq", type=int, default=32)
-    ap.add_argument("--span", type=int, default=64,
+    ap.add_argument("--kv-pages", type=int, default=240)
+    ap.add_argument("--max-pages-per-seq", type=int, default=40)
+    ap.add_argument("--span", type=int, default=128,
                     help="decode tokens per jitted multi-step span (the "
                          "tunnel's ~28 ms RTT is amortized across the span; "
                          "serving uses adaptive spans instead)")

@@ -165,6 +165,9 @@ class EngineMetrics:
     # burden spreads evenly instead of starving the tail
     decode_slots_served: int = 0
     decode_slots_skipped: int = 0
+    # sliding-window KV eviction (uniformly-windowed models): pages freed
+    # because they fell wholly behind the attention window
+    window_pages_evicted: int = 0
     last_step: StepStats = field(default_factory=StepStats)
 
 
@@ -246,6 +249,13 @@ class InferenceEngine:
         from .native_alloc import make_allocator
         self.allocator = make_allocator(config.cache)  # C++ when buildable
         self._prefix_caching = hasattr(self.allocator, "register_seq")
+        # Sliding-window KV eviction: only when EVERY layer is windowed
+        # (mistral) — gemma2's global layers read the full history. A
+        # window >= cache capacity never frees anything; skip the walk.
+        m = config.model
+        self._window_evict = (
+            m.sliding_window is not None and not m.sliding_pattern
+            and m.sliding_window < config.cache.max_context)
         self.scheduler = Scheduler(config.scheduler, config.max_model_len,
                                    allocator=self.allocator)
         self.metrics = EngineMetrics()
@@ -684,6 +694,7 @@ class InferenceEngine:
                 self._apply_token(seq, int(next_tokens[i]),
                                   lp_entry=self._lp_entry(lp, seq, i))
                 produced += 1
+        self._evict_window(seqs)
         return produced
 
     def _lp_entry(self, lp: tuple, seq: Sequence, i: int, j=None):
@@ -852,6 +863,7 @@ class InferenceEngine:
                 # drop the unused reservation + any rejected-slot tail
                 self.allocator.truncate(seq.seq_id,
                                         int(ctx0[i]) + applied)
+        self._evict_window(seqs)
         self.metrics.last_step.span = steps * S
         return produced
 
@@ -927,10 +939,30 @@ class InferenceEngine:
                 produced += 1
                 if seq.is_finished:
                     break                               # discard span tail
+        self._evict_window(seqs)
         self.metrics.last_step.span = span
         return produced
 
     # -- helpers -----------------------------------------------------------
+
+    def _evict_window(self, seqs: list[Sequence]) -> None:
+        """Free KV pages wholly behind the sliding window (windowed-model
+        capacity win: live KV stays O(window) pages per stream, so N
+        long-running windowed streams fit where O(context) paging would
+        preempt). The kernels never read below the window (chunk skipping)
+        and the jnp oracles mask it, so the freed slots' trash content is
+        inert; the position-indexed block table keeps its width."""
+        if not self._window_evict:
+            return
+        w = self.config.model.sliding_window
+        for seq in seqs:
+            if not self.allocator.has_seq(seq.seq_id):
+                continue
+            ctx = self.allocator.seq_len(seq.seq_id)
+            if ctx <= w:
+                continue
+            self.metrics.window_pages_evicted += self.allocator.release_below(
+                seq.seq_id, ctx - w + 1)
 
     def _hits_stop_string(self, seq: Sequence) -> bool:
         """Whether the decoded output tail now contains a stop string.

@@ -127,14 +127,40 @@ class PageAllocator:
         assert new_len <= self._lens[seq_id], (new_len, self._lens[seq_id])
         keep = self.pages_needed(new_len)
         while len(table) > keep:
-            self._release_page(table.pop())
+            p = table.pop()
+            if p != TRASH_PAGE:           # window-evicted slot
+                self._release_page(p)
         self._lens[seq_id] = new_len
+
+    def release_below(self, seq_id: int, first_needed_token: int) -> int:
+        """Sliding-window KV eviction: free whole pages strictly below
+        ``first_needed_token`` (positions <= ctx - window are never read
+        again by ANY future query once every layer's attention is windowed).
+        Freed slots are replaced with the trash page so the fixed-width,
+        position-indexed block table keeps addressing later pages; the
+        kernels never DMA below the window (`ops/pallas/decode_attention.py`
+        start_chunk) and the jnp oracles mask those positions, so trash
+        content is inert. Bounds a windowed sequence's live KV to
+        O(window) pages regardless of generation length (capacity win for
+        concurrent windowed streams; the position-indexed table still caps
+        total length at max_pages_per_seq * page_size). Returns #freed."""
+        table = self._tables[seq_id]
+        keep_from = min(max(first_needed_token, 0) // self.cfg.page_size,
+                        len(table))
+        freed = 0
+        for i in range(keep_from):
+            if table[i] != TRASH_PAGE:
+                self._release_page(table[i])
+                table[i] = TRASH_PAGE
+                freed += 1
+        return freed
 
     def free(self, seq_id: int) -> None:
         pages = self._tables.pop(seq_id, None)
         if pages:
             for p in pages:
-                self._release_page(p)
+                if p != TRASH_PAGE:       # window-evicted slot
+                    self._release_page(p)
         self._lens.pop(seq_id, None)
 
     def reset(self) -> None:
@@ -173,7 +199,9 @@ class PageAllocator:
         used_slots = sum(self._lens.values())
         frag = 0.0
         if allocated_slots:
-            frag = 1.0 - used_slots / allocated_slots
+            # clamp: window eviction frees pages while lens keep counting
+            # logical positions, which can push used_slots past allocated
+            frag = max(0.0, 1.0 - used_slots / allocated_slots)
         return CacheStats(
             total_pages=usable,
             free_pages=self.num_free,
@@ -328,6 +356,8 @@ class PrefixCachingAllocator(PageAllocator):
         n = min(upto, self._lens[seq_id]) // ps
         for i, key in enumerate(page_keys(token_ids, ps, n)):
             page = table[i]
+            if page == TRASH_PAGE:
+                continue                           # window-evicted slot
             if page in self._key_of:
                 continue                           # already indexed (matched
                                                    # head / earlier chunk)

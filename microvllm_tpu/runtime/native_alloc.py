@@ -60,6 +60,9 @@ def _load_lib() -> Optional[ctypes.CDLL]:
                                      ctypes.c_int64]
     lib.mvt_alloc_append_token.restype = ctypes.c_int32
     lib.mvt_alloc_append_token.argtypes = [ctypes.c_void_p, ctypes.c_int64]
+    lib.mvt_alloc_release_below.restype = ctypes.c_int64
+    lib.mvt_alloc_release_below.argtypes = [ctypes.c_void_p, ctypes.c_int64,
+                                            ctypes.c_int64]
     lib.mvt_alloc_truncate.restype = ctypes.c_int32
     lib.mvt_alloc_truncate.argtypes = [ctypes.c_void_p, ctypes.c_int64,
                                        ctypes.c_int64]
@@ -165,6 +168,15 @@ class NativePageAllocator:
         if rc != 0:
             raise AssertionError(
                 f"truncate: bad state for seq {seq_id} (rc={rc})")
+
+    def release_below(self, seq_id: int, first_needed_token: int) -> int:
+        """Sliding-window KV eviction (see the Python twin's docstring —
+        kv_cache.py::PageAllocator.release_below defines the semantics)."""
+        n = int(self._lib.mvt_alloc_release_below(
+            self._h, seq_id, first_needed_token))
+        if n == -3:
+            raise AssertionError(f"release_below: unknown seq {seq_id}")
+        return n
 
     def free(self, seq_id: int) -> None:
         self._lib.mvt_alloc_free(self._h, seq_id)

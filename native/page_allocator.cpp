@@ -176,18 +176,46 @@ int32_t mvt_alloc_truncate(void* h, int64_t seq_id, int64_t new_len) {
   if (new_len > a->lens[seq_id]) return -4;
   int64_t keep = a->pages_needed(new_len);
   while (static_cast<int64_t>(it->second.size()) > keep) {
-    a->release_page(it->second.back());
+    int32_t p = it->second.back();
+    if (p != 0) a->release_page(p);  // 0 = window-evicted slot (trash)
     it->second.pop_back();
   }
   a->lens[seq_id] = new_len;
   return 0;
 }
 
+// Sliding-window KV eviction: free whole pages strictly below
+// first_needed_token (see kv_cache.py::release_below — the Python twin
+// defines the semantics). Freed slots become the trash page so the
+// position-indexed block table keeps addressing later pages. Returns the
+// number of pages freed, or -3 for an unknown sequence.
+int64_t mvt_alloc_release_below(void* h, int64_t seq_id,
+                                int64_t first_needed_token) {
+  auto* a = static_cast<Allocator*>(h);
+  auto it = a->tables.find(seq_id);
+  if (it == a->tables.end()) return -3;
+  int64_t keep_from = first_needed_token < 0 ? 0
+                      : first_needed_token / a->page_size;
+  if (keep_from > static_cast<int64_t>(it->second.size()))
+    keep_from = static_cast<int64_t>(it->second.size());
+  int64_t freed = 0;
+  for (int64_t i = 0; i < keep_from; ++i) {
+    int32_t p = it->second[i];
+    if (p != 0) {
+      a->release_page(p);
+      it->second[i] = 0;
+      ++freed;
+    }
+  }
+  return freed;
+}
+
 void mvt_alloc_free(void* h, int64_t seq_id) {
   auto* a = static_cast<Allocator*>(h);
   auto it = a->tables.find(seq_id);
   if (it == a->tables.end()) return;
-  for (int32_t p : it->second) a->release_page(p);
+  for (int32_t p : it->second)
+    if (p != 0) a->release_page(p);  // 0 = window-evicted slot
   a->tables.erase(it);
   a->lens.erase(seq_id);
 }
@@ -254,6 +282,7 @@ void mvt_alloc_register_seq(void* h, int64_t seq_id, const uint64_t* keys,
                                 a->lens[seq_id] / a->page_size));
   for (int64_t i = 0; i < n; ++i) {
     int32_t p = it->second[i];
+    if (p == 0) continue;               // window-evicted slot
     if (a->key_of.count(p)) continue;   // already indexed
     if (a->index.count(keys[i])) continue;  // duplicate content elsewhere
     a->index[keys[i]] = p;

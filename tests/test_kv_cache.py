@@ -181,3 +181,92 @@ def test_native_matches_python_behavior():
         for sid in live:
             assert py.seq_len(sid) == nat.seq_len(sid)
             assert (py.block_table_row(sid) == nat.block_table_row(sid)).all()
+
+
+def test_release_below_window_eviction():
+    """Sliding-window KV eviction: pages wholly behind the window are
+    freed, their table slots become trash, later pages keep their
+    position-indexed addresses, and lifecycle ops stay consistent."""
+    cfg = CacheConfig(num_pages=16, page_size=16, max_pages_per_seq=8)
+    a = PageAllocator(cfg)
+    a.allocate(1, 100)                      # 7 pages (0..99)
+    before = list(a.block_table_row(1)[:7])
+    free0 = a.num_free
+    # window 40: ctx=100 -> first needed position 61 -> pages 0..2 dead
+    freed = a.release_below(1, 100 - 40 + 1)
+    assert freed == 3 and a.num_free == free0 + 3
+    row = a.block_table_row(1)
+    assert list(row[:3]) == [0, 0, 0]
+    assert list(row[3:7]) == before[3:7]    # later pages keep addresses
+    assert a.seq_len(1) == 100              # logical length unchanged
+    # idempotent
+    assert a.release_below(1, 61) == 0
+    # growth still works and free() doesn't double-release trash slots
+    a.extend(1, 16)
+    a.free(1)
+    assert a.num_free == cfg.num_usable_pages
+    # truncate over a trashed head must not free page 0: seq 2 ends up
+    # holding ONLY its trashed slot (0 real pages) and the free count
+    # must balance exactly — double-releasing page 0 would corrupt it
+    a.allocate(2, 64)
+    a.release_below(2, 33)                  # first 2 pages -> trash
+    a.truncate(2, 8)                        # drops the 2 real tail pages
+    assert a.num_free == cfg.num_usable_pages
+    a.free(2)
+    assert a.num_free == cfg.num_usable_pages
+
+
+def test_release_below_native_lockstep():
+    if not native.native_available():
+        pytest.skip("native allocator not buildable here")
+    cfg = CacheConfig(num_pages=32, page_size=16, max_pages_per_seq=16)
+    py = PageAllocator(cfg)
+    nat = native.NativePageAllocator(cfg)
+    rng = __import__("random").Random(11)
+    live = []
+    next_id = 0
+    for _ in range(300):
+        op = rng.random()
+        if op < 0.3 or not live:
+            n = rng.randrange(1, 80)
+            try:
+                py.allocate(next_id, n)
+                ok = True
+            except OutOfPagesError:
+                ok = False
+            try:
+                nat.allocate(next_id, n)
+                ok_n = True
+            except OutOfPagesError:
+                ok_n = False
+            assert ok == ok_n
+            if ok:
+                live.append(next_id)
+            next_id += 1
+        elif op < 0.55:
+            sid = rng.choice(live)
+            n = rng.randrange(1, 40)
+            try:
+                py.extend(sid, n)
+                ok = True
+            except OutOfPagesError:
+                ok = False
+            try:
+                nat.extend(sid, n)
+                ok_n = True
+            except OutOfPagesError:
+                ok_n = False
+            assert ok == ok_n
+        elif op < 0.85:
+            sid = rng.choice(live)
+            first = rng.randrange(0, py.seq_len(sid) + 5)
+            assert (py.release_below(sid, first)
+                    == nat.release_below(sid, first))
+        else:
+            sid = live.pop(rng.randrange(len(live)))
+            py.free(sid)
+            nat.free(sid)
+        assert py.num_free == nat.num_free
+        for sid in live:
+            assert (py.block_table_row(sid)
+                    == nat.block_table_row(sid)).all()
