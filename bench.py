@@ -90,6 +90,17 @@ def bench_decode(eng, batch: int, steps: int, context: int) -> float:
             f"{needed} exceeds per-seq capacity {capacity}; sequences will "
             f"finish early and the tok/s number will be wrong — raise "
             f"--max-pages-per-seq or lower --steps")
+    # Clamp the timed loop to what the KV page pool can hold: running out
+    # of pages mid-bench triggers a preemption + recompute that corrupts
+    # the throughput number (one reserve page per seq covers trash rows).
+    cache = eng.config.cache
+    pool_tokens = (cache.num_pages - batch) * cache.page_size
+    fit_steps = (pool_tokens // batch - context) // span - 4
+    if steps > fit_steps:
+        log(f"clamping steps {steps} -> {fit_steps} to fit the "
+            f"{cache.num_pages}-page KV pool at batch {batch} "
+            f"(span {span}); raise --kv-pages for longer runs")
+        steps = max(1, fit_steps)
     for i in range(batch):
         eng.add_request(prompt_token_ids=list(np.random.randint(
             1, eng.mcfg.vocab_size - 1, size=context)), sampling=sp)

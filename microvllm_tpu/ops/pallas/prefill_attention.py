@@ -173,10 +173,20 @@ def _attend_current_chunk(q, q_pos, k_ref, v_ref, chunk_len, qb, m, l, acc,
         # earliest key any query of this q-block can see
         start_kblock = jnp.maximum(qb * block_q + 1 - window, 0) // block_k
 
+    S_chunk = k_ref.shape[2]
+
     def cur_body(j, carry):
         m, l, acc = carry
-        kh = k_ref[0, 0, pl.ds(j * block_k, block_k), :].astype(jnp.float32)
-        vh = v_ref[0, 0, pl.ds(j * block_k, block_k), :]
+        if S_chunk == block_k:
+            # single k-block: STATIC sublane indexing — dynamic sub-8-row
+            # vector loads at j*block_k offsets are unprovably aligned for
+            # Mosaic (spec-verify windows have S = k+1, e.g. 5 rows)
+            kh = k_ref[0, 0].astype(jnp.float32)
+            vh = v_ref[0, 0]
+        else:
+            kh = k_ref[0, 0, pl.ds(j * block_k, block_k), :].astype(
+                jnp.float32)
+            vh = v_ref[0, 0, pl.ds(j * block_k, block_k), :]
         s = _softcap(jax.lax.dot_general(
             q, kh, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32), softcap)
@@ -195,6 +205,12 @@ def _attend_current_chunk(q, q_pos, k_ref, v_ref, chunk_len, qb, m, l, acc,
                                  preferred_element_type=jnp.float32)
         return m2, l2, acc * alpha + pv
 
+    if S_chunk == block_k:
+        # one block total: run it statically (fori bounds would be dynamic)
+        def run_one(carry):
+            return cur_body(0, carry)
+        return jax.lax.cond(num_kblocks > start_kblock, run_one,
+                            lambda c: c, (m, l, acc))
     return jax.lax.fori_loop(start_kblock, num_kblocks, cur_body,
                              (m, l, acc))
 
