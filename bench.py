@@ -95,7 +95,7 @@ def bench_decode(eng, batch: int, steps: int, context: int) -> float:
     # the throughput number (one reserve page per seq covers trash rows).
     cache = eng.config.cache
     pool_tokens = (cache.num_pages - batch) * cache.page_size
-    fit_steps = (pool_tokens // batch - context) // span - 4
+    fit_steps = max(1, (pool_tokens // batch - context) // span - 4)
     if steps > fit_steps:
         log(f"clamping steps {steps} -> {fit_steps} to fit the "
             f"{cache.num_pages}-page KV pool at batch {batch} "

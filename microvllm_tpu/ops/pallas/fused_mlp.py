@@ -31,16 +31,13 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from microvllm_tpu.ops.pallas.unpack import unpack4
+
 
 def _unpack4(p, group_size: int, rows: int, cols: int):
     """Nibble-packed [rows/2, cols] int8 -> [rows, cols] int8 (group-local
-    split, see `ops/quant.py::pack_int4_rows`)."""
-    half_g = group_size // 2
-    x = p.astype(jnp.int32).reshape(rows // group_size, half_g, cols)
-    lo = (x << 28) >> 28
-    hi = x >> 4
-    return jnp.concatenate([lo, hi], axis=1).reshape(rows, cols).astype(
-        jnp.int8)
+    split, see `ops/quant.py::pack_int4_rows`; impl in pallas/unpack.py)."""
+    return unpack4(p, group_size)
 
 
 def _group_dots(x_q, w, row_scale_fn, w_scale_fn, group_size: int):

@@ -21,6 +21,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from microvllm_tpu.ops.pallas.unpack import unpack4
+
 
 def _qmm_kernel(x_ref, q_ref, s_ref, o_ref, acc_ref, *,
                 group_size: int, groups_per_tile: int, n_k: int, bits: int):
@@ -33,14 +35,7 @@ def _qmm_kernel(x_ref, q_ref, s_ref, o_ref, acc_ref, *,
     if bits == 4:
         # unpack nibble-packed rows: [TK/2, TN] int8 -> [TK, TN]
         # (group-local split: low nibbles are each group's first gs/2 rows)
-        p = q_ref[...].astype(jnp.int32)
-        half_g = group_size // 2
-        tn_ = p.shape[-1]
-        p = p.reshape(groups_per_tile, half_g, tn_)
-        lo = (p << 28) >> 28                  # sign-extended low nibble
-        hi = p >> 4                           # arithmetic shift: high nibble
-        w = jnp.concatenate([lo, hi], axis=1).reshape(
-            groups_per_tile * group_size, tn_).astype(jnp.bfloat16)
+        w = unpack4(q_ref[...], group_size).astype(jnp.bfloat16)
     else:
         w = q_ref[...].astype(jnp.bfloat16)   # [TK, TN]
     # s_ref block is this k-tile's row-padded scales [8m, TN]; expand the
@@ -71,14 +66,7 @@ def _qmm_stacked_kernel(layer_ref, x_ref, q_ref, s_ref, o_ref, acc_ref, *,
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
     if bits == 4:
-        p = q_ref[0].astype(jnp.int32)
-        half_g = group_size // 2
-        tn_ = p.shape[-1]
-        p = p.reshape(groups_per_tile, half_g, tn_)
-        lo = (p << 28) >> 28
-        hi = p >> 4
-        w = jnp.concatenate([lo, hi], axis=1).reshape(
-            groups_per_tile * group_size, tn_).astype(jnp.bfloat16)
+        w = unpack4(q_ref[0], group_size).astype(jnp.bfloat16)
     else:
         w = q_ref[0].astype(jnp.bfloat16)
     s = s_ref[0, 0, :groups_per_tile, :].astype(jnp.bfloat16)
@@ -177,12 +165,8 @@ def _qmm_stacked_a8_kernel(layer_ref, x_ref, xs_ref, q_ref, s_ref, o_ref,
 
     tn = q_ref.shape[-1]
     if bits == 4:
-        p = q_ref[0].astype(jnp.int32)
-        half_g = group_size // 2
-        p = p.reshape(groups_per_tile, half_g, tn)
-        lo = (p << 28) >> 28
-        hi = p >> 4
-        w = jnp.concatenate([lo, hi], axis=1).astype(jnp.int8)
+        w = unpack4(q_ref[0], group_size).reshape(
+            groups_per_tile, group_size, tn)
     else:
         w = q_ref[0].reshape(groups_per_tile, group_size, tn)
     ws = s_ref[0, 0, :groups_per_tile, :]          # [gpt, TN] f32
@@ -239,12 +223,7 @@ def _qmm_a8_fused_kernel(layer_ref, x_ref, nw_ref, q_ref, s_ref, o_ref,
 
     tn = q_ref.shape[-1]
     if bits == 4:
-        p = q_ref[0].astype(jnp.int32)
-        half_g = gs // 2
-        p = p.reshape(groups_per_tile, half_g, tn)
-        lo4 = (p << 28) >> 28
-        hi4 = p >> 4
-        w = jnp.concatenate([lo4, hi4], axis=1).astype(jnp.int8)
+        w = unpack4(q_ref[0], gs).reshape(groups_per_tile, gs, tn)
     else:
         w = q_ref[0].reshape(groups_per_tile, gs, tn)
     ws = s_ref[0, 0, :groups_per_tile, :]

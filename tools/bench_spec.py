@@ -90,6 +90,10 @@ def main() -> None:
     ap.add_argument("--kv-pages", type=int, default=200)
     ap.add_argument("--page-size", type=int, default=64)
     ap.add_argument("--max-pages-per-seq", type=int, default=8)
+    ap.add_argument("--kinds", default="random,templated,cyclic",
+                    help="comma-separated prompt classes, run in order")
+    ap.add_argument("--spec-only", action="store_true",
+                    help="skip the spec_k=0 baseline engine")
     ap.add_argument("--platform", default=None, choices=["cpu", "tpu"])
     args = ap.parse_args()
     import jax
@@ -104,14 +108,14 @@ def main() -> None:
 
     rng = np.random.default_rng(0)
     results = {}
-    for spec in (0, args.spec_k):
+    for spec in ((args.spec_k,) if args.spec_only else (0, args.spec_k)):
         eng = build_engine(args.model, args.bits, batch=args.prompts,
                            kv_pages=args.kv_pages, page_size=args.page_size,
                            max_pages_per_seq=args.max_pages_per_seq,
                            span=8, kv_bits=args.kv_bits,
                            spec_k=spec, spec_steps=args.spec_steps)
         vocab = eng.mcfg.vocab_size
-        for kind in ("random", "templated", "cyclic"):
+        for kind in args.kinds.split(","):
             prompts = make_prompts(kind, args.prompts, args.context, vocab,
                                    rng)
             # warm the shapes once, measure on the second run
