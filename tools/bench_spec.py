@@ -114,6 +114,12 @@ def main() -> None:
                            max_pages_per_seq=args.max_pages_per_seq,
                            span=8, kv_bits=args.kv_bits,
                            spec_k=spec, spec_steps=args.spec_steps)
+        # Warm ALL decode-bucket shapes (incl. the bucket-1 spec span).
+        # Without this, the first ramp-down straggler — which only exists
+        # when acceptance < 1.0 breaks batch lockstep — pays a remote
+        # compile / cache load mid-measurement and craters the class's
+        # tok/s (observed: 642 -> 75 tok/s at acceptance 0.953).
+        eng.warmup()
         vocab = eng.mcfg.vocab_size
         for kind in args.kinds.split(","):
             prompts = make_prompts(kind, args.prompts, args.context, vocab,
