@@ -46,9 +46,15 @@ class ModelConfig:
     # SwiGLU experts with top-`num_experts_per_tok` selection per token.
     num_experts: int = 0
     num_experts_per_tok: int = 2
-    # QK-norm (qwen3 family): RMSNorm each query/key head over head_dim
-    # before RoPE (per-layer weights q_norm/k_norm of shape [head_dim]).
+    # QK-norm: RMSNorm the query/key projections before RoPE.
+    # kind "head" (qwen3): each head separately over head_dim (per-layer
+    # weights of shape [head_dim]); kind "full" (olmoe): the whole flat
+    # projection at once (weights of shape [q_dim] / [kv_dim]).
     qk_norm: bool = False
+    qk_norm_kind: str = "head"
+    # Renormalize the selected top-k routing weights to sum to 1 (HF
+    # `norm_topk_prob`): mixtral does, olmoe does not.
+    moe_renorm: bool = True
     # --- gemma2 family -----------------------------------------------------
     # Attention-logit soft-capping: s = cap * tanh(s / cap) before softmax,
     # applied in the jnp oracles AND inside the Pallas kernels.
@@ -125,7 +131,9 @@ class ModelConfig:
         gemma2 = model_type == "gemma2"
         act = cfg.get("hidden_activation") or cfg.get("hidden_act", "silu")
         return cls(
-            qk_norm=model_type == "qwen3",
+            qk_norm=model_type in ("qwen3", "olmoe"),
+            qk_norm_kind="full" if model_type == "olmoe" else "head",
+            moe_renorm=cfg.get("norm_topk_prob", model_type == "mixtral"),
             attn_logit_softcap=cfg.get("attn_logit_softcapping")
             if gemma2 else None,
             final_logit_softcap=cfg.get("final_logit_softcapping")
@@ -138,7 +146,9 @@ class ModelConfig:
             # gemma2 alternates sliding (even) / global (odd) layers
             sliding_pattern=(True, False) if gemma2 else (),
             sliding_window=window,
-            num_experts=cfg.get("num_local_experts", 0) or 0,
+            # mixtral names the field num_local_experts; olmoe num_experts
+            num_experts=(cfg.get("num_local_experts")
+                         or cfg.get("num_experts", 0) or 0),
             num_experts_per_tok=cfg.get("num_experts_per_tok", 2),
             vocab_size=cfg["vocab_size"],
             hidden_size=hidden,
@@ -252,6 +262,14 @@ PRESETS: dict[str, ModelConfig] = {
         rope_theta=1000000.0, tie_word_embeddings=False, qkv_bias=False,
         rms_norm_eps=1e-5, model_type="mixtral",
         num_experts=8, num_experts_per_tok=2),
+    "olmoe-1b-7b": ModelConfig(    # chip-sized MoE: 64 experts, top-8,
+        vocab_size=50304,          # 6.9B total / 1.3B active params
+        hidden_size=2048, intermediate_size=1024,
+        num_layers=16, num_heads=16, num_kv_heads=16, head_dim=128,
+        rope_theta=10000.0, tie_word_embeddings=False, qkv_bias=False,
+        rms_norm_eps=1e-5, max_position_embeddings=4096,
+        model_type="olmoe", num_experts=64, num_experts_per_tok=8,
+        qk_norm=True, qk_norm_kind="full", moe_renorm=False),
 }
 
 

@@ -110,17 +110,22 @@ def load_params(path: str, cfg: ModelConfig | None = None) -> tuple[ModelConfig,
         layers[key] = x
 
     if cfg.num_experts > 0:
-        # Mixtral MoE: router + per-expert w1 (gate), w3 (up), w2 (down)
-        # stacked [L, E, in, out] (HF stores [out, in] per matrix).
+        # MoE: router + per-expert gate/up/down stacked [L, E, in, out]
+        # (HF stores [out, in] per matrix). Name conventions: mixtral uses
+        # block_sparse_moe.gate + experts.{e}.w1/w3/w2; olmoe uses
+        # mlp.gate + experts.{e}.gate_proj/up_proj/down_proj.
         E = cfg.num_experts
+        if f"model.layers.0.block_sparse_moe.gate.weight" in ckpt:
+            blk, names = "block_sparse_moe", ("w1", "w3", "w2")
+        else:
+            blk, names = "mlp", ("gate_proj", "up_proj", "down_proj")
         layers["w_router"] = jnp.stack([jnp.swapaxes(get(
-            f"model.layers.{i}.block_sparse_moe.gate.weight"), 0, 1)
+            f"model.layers.{i}.{blk}.gate.weight"), 0, 1)
             for i in range(cfg.num_layers)])
-        for key, wname in (("w_gate_e", "w1"), ("w_up_e", "w3"),
-                           ("w_down_e", "w2")):
+        for key, wname in zip(("w_gate_e", "w_up_e", "w_down_e"), names):
             layers[key] = jnp.stack([
                 jnp.stack([jnp.swapaxes(get(
-                    f"model.layers.{i}.block_sparse_moe.experts.{e}"
+                    f"model.layers.{i}.{blk}.experts.{e}"
                     f".{wname}.weight"), 0, 1) for e in range(E)])
                 for i in range(cfg.num_layers)])
 

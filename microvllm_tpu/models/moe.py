@@ -1,21 +1,37 @@
-"""Mixture-of-Experts MLP (mixtral family).
+"""Mixture-of-Experts MLP (mixtral / olmoe families).
 
 A new architecture family beyond the reference (which serves dense qwen2
-only). Routing follows HF Mixtral exactly (`MixtralSparseMoeBlock`):
-softmax over ALL router logits, top-k selection, renormalize the selected
-weights, weighted sum of the selected experts' SwiGLU outputs.
+only). Routing follows HF exactly (`MixtralSparseMoeBlock` /
+`OlmoeSparseMoeBlock`): softmax over ALL router logits, top-k selection,
+optionally renormalize the selected weights (mixtral: yes; olmoe:
+``norm_topk_prob=False``), weighted sum of the selected experts' SwiGLU
+outputs.
 
-Compute strategy: the correctness path evaluates every expert and masks
-(one XLA-friendly einsum chain, no data-dependent shapes — fine for the
-small-E tiny models in tests and for prefill where most experts are hit
-anyway). A Pallas expert-gather kernel that DMAs only the selected
-experts' weight tiles (the decode-time HBM win; same scalar-prefetch
-indexing the layer-stacked quantized kernels use) is the perf follow-up.
+Compute strategies:
 
-Under tensor parallelism the expert FFNs shard exactly like the dense
-MLP — gate/up column-parallel on the intermediate dim, down row-parallel
-— with the router replicated; the caller psums the output. Expert
-parallelism (sharding E itself) composes with the same math.
+* ``moe_mlp`` — bf16 correctness path: evaluate every expert and mask
+  (one XLA-friendly einsum chain, no data-dependent shapes). Used for
+  tiny test models, and under TP/EP where expert weights are sharded
+  bf16 arrays.
+* ``moe_mlp_quant`` — quantized expert stacks ``[L*E, ...]`` riding the
+  same layer-stacked Pallas a8 kernels as the dense MLP, with the
+  weight index ``l*E + e`` a traced scalar (scalar-prefetch BlockSpecs,
+  like the layer index of the dense path):
+  - single-row decode (B=1): top-k GATHER — only the k selected
+    experts' weights are ever DMA'd from HBM (k/E of the expert bytes;
+    the decode-time HBM win that makes large-E MoE fast single-stream);
+  - batched rows: masked all-E sweep via ``lax.fori_loop`` — each
+    expert's (quantized) weights are read exactly once per layer and
+    every row's contribution is masked by its routing weight. For
+    ``rows*k >= E`` this is HBM-optimal; a sorted grouped-GEMM kernel
+    for the in-between regime is a follow-up.
+
+Under tensor parallelism the bf16 expert FFNs shard exactly like the
+dense MLP — gate/up column-parallel on the intermediate dim, down
+row-parallel — with the router replicated; the caller psums the output.
+Expert parallelism (sharding E itself) composes with the same math.
+Quantized expert stacks are single-rank-only for now (init/quantize gate
+on tp == 1).
 """
 
 from __future__ import annotations
@@ -24,13 +40,35 @@ import jax
 import jax.numpy as jnp
 
 
+def moe_route(x: jnp.ndarray, w_router: jnp.ndarray, top_k: int,
+              renorm: bool = True):
+    """Router math shared by every path (HF-exact, fp32).
+
+    Returns ``(sel, top_w, top_i)``: ``sel`` is the dense ``[..., E]``
+    per-expert weight vector (zero for unselected experts), ``top_w`` /
+    ``top_i`` the ``[..., k]`` selected weights / indices.
+    """
+    E = w_router.shape[-1]
+    f32 = jnp.float32
+    logits = jnp.einsum("...h,he->...e", x.astype(f32),
+                        w_router.astype(f32))
+    probs = jax.nn.softmax(logits, axis=-1)                 # [..., E]
+    top_w, top_i = jax.lax.top_k(probs, top_k)              # [..., k]
+    if renorm:   # HF norm_topk_prob (mixtral yes, olmoe no)
+        top_w = top_w / jnp.sum(top_w, axis=-1, keepdims=True)
+    sel = jnp.sum(jax.nn.one_hot(top_i, E, dtype=f32)
+                  * top_w[..., None], axis=-2)              # [..., E]
+    return sel, top_w, top_i
+
+
 def moe_mlp(x: jnp.ndarray,          # [..., H] (post-norm)
             w_router: jnp.ndarray,   # [H, E] (always the FULL router)
             w_gate: jnp.ndarray,     # [E(_local), H, I(_shard)]
             w_up: jnp.ndarray,       # [E(_local), H, I(_shard)]
             w_down: jnp.ndarray,     # [E(_local), I(_shard), H]
             top_k: int,
-            ep_axis: str | None = None) -> jnp.ndarray:
+            ep_axis: str | None = None,
+            renorm: bool = True) -> jnp.ndarray:
     """Routed SwiGLU MLP; returns the (pre-psum) expert-weighted output.
 
     Two sharding regimes compose with the caller's single psum:
@@ -46,14 +84,7 @@ def moe_mlp(x: jnp.ndarray,          # [..., H] (post-norm)
     E = w_router.shape[-1]
     E_local = w_gate.shape[0]
     f32 = jnp.float32
-    logits = jnp.einsum("...h,he->...e", x.astype(f32),
-                        w_router.astype(f32))
-    probs = jax.nn.softmax(logits, axis=-1)                 # [..., E]
-    top_w, top_i = jax.lax.top_k(probs, top_k)              # [..., k]
-    top_w = top_w / jnp.sum(top_w, axis=-1, keepdims=True)  # HF renormalize
-    # mask back to a dense per-expert weight vector
-    sel = jnp.sum(jax.nn.one_hot(top_i, E, dtype=f32)
-                  * top_w[..., None], axis=-2)              # [..., E]
+    sel, _, _ = moe_route(x, w_router, top_k, renorm)
     if ep_axis is not None and E_local != E:
         # slice this rank's expert weights out of the global selection
         rank = jax.lax.axis_index(ep_axis)
@@ -66,3 +97,53 @@ def moe_mlp(x: jnp.ndarray,          # [..., H] (post-norm)
     y = jnp.einsum("...ei,eih->...eh", a, w_down)           # [..., E_l, H]
     return jnp.einsum("...eh,...e->...h", y.astype(f32),
                       sel).astype(x.dtype)
+
+
+def moe_mlp_quant(x: jnp.ndarray,        # [..., H] (post-norm)
+                  w_router: jnp.ndarray,  # [H, E]
+                  w_gu,                   # QuantizedTensor [L*E, H, 2I]
+                  w_dn,                   # QuantizedTensor [L*E, I, H]
+                  layer,                  # traced layer index l
+                  num_experts: int,
+                  top_k: int,
+                  renorm: bool = True,
+                  act: str = "silu") -> jnp.ndarray:
+    """Routed SwiGLU MLP over QUANTIZED expert stacks (single rank).
+
+    The expert weight index ``layer*E + e`` is a traced scalar consumed
+    by the layer-stacked kernels' scalar-prefetch BlockSpecs, exactly
+    like the dense path's layer index — so expert selection costs a
+    dynamic index, not a weight gather/copy.
+    """
+    from ..ops.activations import glu_act
+    from ..ops.linear import linear
+
+    f = glu_act(act)
+    lead = x.shape[:-1]
+    H = x.shape[-1]
+    x2 = x.reshape(-1, H)
+    rows = x2.shape[0]
+    sel, top_w, top_i = moe_route(x2, w_router, top_k, renorm)
+    base = layer * num_experts
+
+    def expert_out(idx):
+        gu = linear(x2, w_gu, layer=idx)
+        half = gu.shape[-1] // 2
+        a = f(gu[..., :half], gu[..., half:]).astype(x.dtype)
+        return linear(a, w_dn, layer=idx).astype(jnp.float32)
+
+    if rows == 1:
+        # decode gather: only the k selected experts' weights are read
+        out = jnp.zeros((1, H), jnp.float32)
+        for j in range(top_k):
+            out = out + (top_w[0, j].astype(jnp.float32)
+                         * expert_out(base + top_i[0, j]))
+        return out.reshape(*lead, H).astype(x.dtype)
+
+    # batched rows: masked all-E sweep, each expert's weights read once
+    def body(e, acc):
+        return acc + sel[:, e, None] * expert_out(base + e)
+
+    out = jax.lax.fori_loop(0, num_experts, body,
+                            jnp.zeros((rows, H), jnp.float32))
+    return out.reshape(*lead, H).astype(x.dtype)

@@ -100,14 +100,34 @@ def init_params(cfg: ModelConfig, key: jax.Array,
         "wo": wq_(keys[3], (L, q_dim, h), q_dim),
     }
     if moe:
-        # Mixtral family: router + expert-stacked SwiGLU weights. Experts
-        # stay in the model dtype (expert-gather quantized kernels are a
-        # follow-up); attention projections quantize normally.
+        # MoE families: router + expert-stacked SwiGLU weights.
         E = cfg.num_experts
         layers["w_router"] = w(keys[9], (L, h, E), h)
-        layers["w_gate_e"] = w(keys[4], (L, E, h, inter), h)
-        layers["w_up_e"] = w(keys[5], (L, E, h, inter), h)
-        layers["w_down_e"] = w(keys[6], (L, E, inter, h), inter)
+        if quant_bits is not None and quant_tp == 1:
+            # Quantized expert stacks [L*E, ...] for the gather/sweep
+            # kernels (models/moe.py::moe_mlp_quant). Generate + quantize
+            # per expert inside lax.map so the bf16 transient stays one
+            # expert large — the full expert tensor of a 7B-class MoE
+            # (e.g. OLMoE: 6.4 of 6.9 B params) never materializes.
+            from ..ops.quant import quantize
+
+            def one_expert(kk):
+                kg, kd = jax.random.split(kk)
+                gu = w(kg, (h, 2 * inter), h)
+                dn = w(kd, (inter, h), inter)
+                return (quantize(gu, quant_bits, quant_group_size, 1),
+                        quantize(dn, quant_bits, quant_group_size, 1))
+
+            ekeys = jax.random.split(keys[4], L * E)
+            layers["w_gate_up_e"], layers["w_down_e"] = jax.lax.map(
+                one_expert, ekeys)
+            jax.block_until_ready(layers["w_down_e"].q)
+        else:
+            # bf16 experts: TP/EP sharding paths (quantized expert stacks
+            # are single-rank for now)
+            layers["w_gate_e"] = w(keys[4], (L, E, h, inter), h)
+            layers["w_up_e"] = w(keys[5], (L, E, h, inter), h)
+            layers["w_down_e"] = w(keys[6], (L, E, inter, h), inter)
     else:
         layers["w_down"] = wq_(keys[6], (L, inter, h), inter)
     if fuse:
@@ -141,9 +161,14 @@ def init_params(cfg: ModelConfig, key: jax.Array,
             layers["w_gate"] = wq_(keys[4], (L, h, inter), h)
             layers["w_up"] = wq_(keys[5], (L, h, inter), h)
     if cfg.qk_norm:
-        # qwen3: per-head RMSNorm weights over head_dim, applied pre-RoPE
-        layers["q_norm"] = jnp.ones((L, cfg.head_dim), dtype)
-        layers["k_norm"] = jnp.ones((L, cfg.head_dim), dtype)
+        if cfg.qk_norm_kind == "full":
+            # olmoe: RMSNorm the whole flat q/k projection pre-RoPE
+            layers["q_norm"] = jnp.ones((L, q_dim), dtype)
+            layers["k_norm"] = jnp.ones((L, kv_dim), dtype)
+        else:
+            # qwen3: per-head RMSNorm weights over head_dim, pre-RoPE
+            layers["q_norm"] = jnp.ones((L, cfg.head_dim), dtype)
+            layers["k_norm"] = jnp.ones((L, cfg.head_dim), dtype)
     if cfg.post_norms:
         # gemma2 sandwich norms: on the attention/MLP output pre-residual
         layers["post_attn_norm"] = jnp.ones((L, h), dtype)
@@ -271,14 +296,44 @@ def _mlp_out(cfg: ModelConfig, w, lp, l, normed2: jnp.ndarray,
     (returns the pre-psum output; the caller reduces under TP)."""
     if cfg.num_experts:
         from ..config import moe_uses_ep
-        from .moe import moe_mlp
+        from .moe import moe_mlp, moe_mlp_quant
+        if w("w_gate_up_e") is not None:
+            # quantized expert stacks [L*E, ...] (single-rank): top-k
+            # gather at B=1, masked all-E sweep otherwise (moe.py)
+            return moe_mlp_quant(normed2, lp["w_router"],
+                                 w("w_gate_up_e"), w("w_down_e"), l,
+                                 cfg.num_experts, cfg.num_experts_per_tok,
+                                 renorm=cfg.moe_renorm, act=cfg.hidden_act)
         ep = moe_uses_ep(cfg, tp_size)
         return moe_mlp(normed2, lp["w_router"], lp["w_gate_e"],
                        lp["w_up_e"], lp["w_down_e"],
                        cfg.num_experts_per_tok,
-                       ep_axis=tp_axis if ep else None)
+                       ep_axis=tp_axis if ep else None,
+                       renorm=cfg.moe_renorm)
     return linear(_swiglu_proj(normed2, w, l, cfg.hidden_act),
                   w("w_down"), layer=l)
+
+
+def _qk_norm(cfg: ModelConfig, lp, q: jnp.ndarray,
+             k: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """QK-norm on head-split q/k ``[..., heads, head_dim]`` pre-RoPE.
+
+    kind "head" (qwen3, HF `Qwen3Attention`): RMSNorm each head over
+    head_dim. kind "full" (olmoe, HF `OlmoeAttention.q_norm` over
+    hidden_size): RMSNorm the flat projection, so the mean square runs
+    across ALL heads — flatten, norm, split back.
+    """
+    from ..ops.normalization import rmsnorm
+
+    if cfg.qk_norm_kind == "full":
+        qs, ks_ = q.shape, k.shape
+        q = rmsnorm(q.reshape(*qs[:-2], -1), lp["q_norm"],
+                    cfg.rms_norm_eps).reshape(qs)
+        k = rmsnorm(k.reshape(*ks_[:-2], -1), lp["k_norm"],
+                    cfg.rms_norm_eps).reshape(ks_)
+        return q, k
+    return (rmsnorm(q, lp["q_norm"], cfg.rms_norm_eps),
+            rmsnorm(k, lp["k_norm"], cfg.rms_norm_eps))
 
 
 def _qkv(normed, w, lp, l, q_dim, kv_dim):
@@ -413,9 +468,8 @@ def decode_step(cfg: ModelConfig, params: Params,
         q = q.reshape(B, n_heads, cfg.head_dim)
         k = k.reshape(B, n_kv, cfg.head_dim)
         v = v.reshape(B, n_kv, cfg.head_dim)
-        if cfg.qk_norm:   # qwen3: per-head RMSNorm before RoPE
-            q = rmsnorm(q, lp["q_norm"], cfg.rms_norm_eps)
-            k = rmsnorm(k, lp["k_norm"], cfg.rms_norm_eps)
+        if cfg.qk_norm:   # per-head (qwen3) / full-width (olmoe) pre-RoPE
+            q, k = _qk_norm(cfg, lp, q, k)
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
 
@@ -442,12 +496,21 @@ def decode_step(cfg: ModelConfig, params: Params,
                                cfg.rms_norm_eps)
 
         # fused_mlp_block implements the llama/qwen norm+SwiGLU structure;
-        # sandwich-norm / GeGLU families take the explicit path.
+        # sandwich-norm / GeGLU families take the explicit path. MoE with
+        # quantized expert stacks gets the one-launch routed block.
         new_hid = None
         if not cfg.post_norms and cfg.hidden_act == "silu":
-            new_hid = fused_mlp_block(attn_out, hid, lp["mlp_norm"],
-                                      cfg.rms_norm_eps, w("w_gate_up"),
-                                      w("w_down"), l, tp_axis=tp_axis)
+            if cfg.num_experts and tp_axis is None:
+                from ..ops.linear import fused_moe_mlp_block
+                new_hid = fused_moe_mlp_block(
+                    attn_out, hid, lp["mlp_norm"], cfg.rms_norm_eps,
+                    lp["w_router"], w("w_gate_up_e"), w("w_down_e"), l,
+                    cfg.num_experts, cfg.num_experts_per_tok,
+                    cfg.moe_renorm)
+            elif not cfg.num_experts:
+                new_hid = fused_mlp_block(attn_out, hid, lp["mlp_norm"],
+                                          cfg.rms_norm_eps, w("w_gate_up"),
+                                          w("w_down"), l, tp_axis=tp_axis)
         if new_hid is None:
             normed2, resid = rmsnorm_residual(attn_out, hid, lp["mlp_norm"],
                                               cfg.rms_norm_eps)
@@ -727,9 +790,8 @@ def prefill_step(cfg: ModelConfig, params: Params,
         q = q.reshape(B, S, n_heads, cfg.head_dim)
         k = k.reshape(B, S, n_kv, cfg.head_dim)
         v = v.reshape(B, S, n_kv, cfg.head_dim)
-        if cfg.qk_norm:   # qwen3: per-head RMSNorm before RoPE
-            q = rmsnorm(q, lp["q_norm"], cfg.rms_norm_eps)
-            k = rmsnorm(k, lp["k_norm"], cfg.rms_norm_eps)
+        if cfg.qk_norm:   # per-head (qwen3) / full-width (olmoe) pre-RoPE
+            q, k = _qk_norm(cfg, lp, q, k)
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
 
@@ -776,9 +838,19 @@ def prefill_step(cfg: ModelConfig, params: Params,
                                cfg.rms_norm_eps)
         new_hid = None
         if not cfg.post_norms and cfg.hidden_act == "silu":
-            new_hid = fused_mlp_block(attn_out, hid, lp["mlp_norm"],
-                                      cfg.rms_norm_eps, w("w_gate_up"),
-                                      w("w_down"), l, tp_axis=tp_axis)
+            if cfg.num_experts and tp_axis is None:
+                # spec-verify windows / short chunks ride the one-launch
+                # MoE block (gates itself on row count)
+                from ..ops.linear import fused_moe_mlp_block
+                new_hid = fused_moe_mlp_block(
+                    attn_out, hid, lp["mlp_norm"], cfg.rms_norm_eps,
+                    lp["w_router"], w("w_gate_up_e"), w("w_down_e"), l,
+                    cfg.num_experts, cfg.num_experts_per_tok,
+                    cfg.moe_renorm)
+            elif not cfg.num_experts:
+                new_hid = fused_mlp_block(attn_out, hid, lp["mlp_norm"],
+                                          cfg.rms_norm_eps, w("w_gate_up"),
+                                          w("w_down"), l, tp_axis=tp_axis)
         if new_hid is None:
             normed2, resid = rmsnorm_residual(attn_out, hid, lp["mlp_norm"],
                                               cfg.rms_norm_eps)
@@ -870,9 +942,8 @@ def forward_logits(cfg: ModelConfig, params: Params,
         q = q.reshape(B, S, cfg.num_heads, cfg.head_dim)
         k = k.reshape(B, S, cfg.num_kv_heads, cfg.head_dim)
         v = v.reshape(B, S, cfg.num_kv_heads, cfg.head_dim)
-        if cfg.qk_norm:   # qwen3: per-head RMSNorm before RoPE
-            q = rmsnorm(q, lp["q_norm"], cfg.rms_norm_eps)
-            k = rmsnorm(k, lp["k_norm"], cfg.rms_norm_eps)
+        if cfg.qk_norm:   # per-head (qwen3) / full-width (olmoe) pre-RoPE
+            q, k = _qk_norm(cfg, lp, q, k)
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
         attn = prefill_attention_ref(q, k, v, scale, window=window,

@@ -174,6 +174,68 @@ def fused_mlp_block(attn_out: jnp.ndarray, hid: jnp.ndarray, norm_w, eps,
             + jax.lax.psum(y, tp_axis).astype(attn_out.dtype))
 
 
+def fused_moe_mlp_block(attn_out: jnp.ndarray, hid: jnp.ndarray, norm_w,
+                        eps, w_router: jnp.ndarray, w_gu, w_dn, layer,
+                        num_experts: int, top_k: int,
+                        renorm: bool) -> jnp.ndarray | None:
+    """One-launch routed post-attention half of a MoE decoder layer
+    (`ops/pallas/fused_moe.py::fused_moe_block`); returns None when not
+    applicable and the caller falls back to per-expert launches.
+
+    Routing runs here in jnp on a recomputed norm of the residual (the
+    kernel re-derives the identical norm internally). One row -> GATHER
+    mode (only the top-k experts' weights are read); small batches ->
+    SWEEP mode (all E experts, per-row masked weights, each expert's
+    weights read once).
+    """
+    import os
+
+    if os.environ.get("MVT_FUSED_MOE", "1") == "0":
+        return None
+    if not _a8_fusion_ok(w_gu, w_dn):
+        return None
+    if not (w_gu.stacked and w_dn.stacked):
+        return None
+    if w_gu.bits != w_dn.bits or w_gu.group_size != w_dn.group_size:
+        return None
+    gs = w_gu.group_size
+    K = w_gu.in_dim
+    I = w_gu.out_dim // 2
+    tile = w_dn.block_k
+    if I % tile or tile % gs or K % gs or w_dn.in_dim != I or K > 128 * gs:
+        return None
+    lead = attn_out.shape[:-1]
+    rows = 1
+    for d in lead:
+        rows *= d
+    if rows > 64:
+        return None   # prefill-sized batches: per-expert wide matmuls win
+    if rows > 1 and num_experts > 128:
+        return None   # sweep mode: one slot per lane of the weight vector
+
+    from ..models.moe import moe_route
+    from .normalization import rmsnorm
+    from .pallas.fused_moe import fused_moe_block as _kernel
+
+    a2 = attn_out.reshape(rows, K)
+    h2 = hid.reshape(rows, K)
+    normed = rmsnorm((a2.astype(jnp.float32)
+                      + h2.astype(jnp.float32)).astype(attn_out.dtype),
+                     norm_w, eps)
+    sel, top_w, top_i = moe_route(normed, w_router, top_k, renorm)
+    base = layer * num_experts
+    if rows == 1:
+        idx = base + top_i[0]                       # [k] selected experts
+        wts = top_w                                  # [1, k]
+    else:
+        idx = base + jnp.arange(num_experts, dtype=jnp.int32)
+        wts = sel                                    # [rows, E]
+    y = _kernel(a2, h2, norm_w, idx, wts, w_gu.q, w_gu.scales_tiled,
+                w_dn.q, w_dn.scales_tiled, group_size=gs, bits=w_gu.bits,
+                tile_i=tile, eps=float(eps), out_dtype=attn_out.dtype)
+    return y.reshape(*lead, K)
+
+
 def quant_linear_normed(x: jnp.ndarray, w, norm_w, eps, layer,
                         bias=None) -> jnp.ndarray | None:
     """``rmsnorm(x) @ w`` (or plain ``x @ w`` when norm_w is None) with the

@@ -1,0 +1,216 @@
+"""Fused W4A8 Mixture-of-Experts block: the whole routed post-attention
+half of a decoder layer in ONE kernel launch.
+
+The naive quantized MoE decode (models/moe.py::moe_mlp_quant) costs
+2 kernel launches per selected expert — 16 launches/layer for OLMoE's
+top-8, and decode at M<=8 is launch-overhead-bound (RESULTS.md r2). This
+kernel runs a (expert_slot, I_tile) grid over the SAME expert weight
+stacks, with the expert ids delivered as a scalar-prefetch vector
+(``idx[j] = layer*E + expert_j``) so each slot's BlockSpec DMAs that
+expert's weight tiles directly from the ``[L*E, ...]`` stack:
+
+    step (0, 0):  resid = attn_out + hid; rmsnorm; int8-quantize -> scratch
+    step (j, i):  a   = silu(x @ Wg[idx_j, :, t]) * (x @ Wu[idx_j, :, t])
+                  acc += wts[:, j] * (quant(a) @ Wd[idx_j, t, :])
+    last step:    out = resid + acc
+
+Weighting modes (both exact):
+* GATHER (decode, one row): ``idx`` = the top-k selected experts,
+  ``wts[0, j]`` = routing weight of slot j — only k/E of the expert
+  bytes are ever read from HBM;
+* SWEEP (small batched rows): ``idx`` = all E experts, ``wts[m, j]`` =
+  row m's routing weight for expert j (zero if unselected) — each
+  expert's weights are read exactly once per layer.
+
+Routing (router matmul + top_k) runs outside in jnp on a recomputed
+norm of the residual — the kernel re-derives the identical norm
+internally, so the launch-count win costs one [M, H] VPU norm.
+
+The reference has no MoE at all (dense qwen2 only); HF semantics
+anchored via tests/test_hf_differential.py (mixtral, olmoe).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from microvllm_tpu.ops.pallas.fused_mlp import _group_dots
+from microvllm_tpu.ops.pallas.unpack import unpack4
+
+
+def _fused_moe_kernel(idx_ref, attn_ref, hid_ref, nw_ref, wts_ref, qg_ref,
+                      qu_ref, sg_ref, su_ref, qd_ref, sd_ref, o_ref,
+                      acc_ref, xq_scr, xs_scr, *, group_size: int,
+                      bits: int, K: int, TI: int, H: int, n_tiles: int,
+                      n_slots: int, eps: float):
+    j = pl.program_id(0)          # expert slot
+    i = pl.program_id(1)          # intermediate tile
+    gs = group_size
+    G_k = K // gs
+
+    @pl.when((j == 0) & (i == 0))
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+        r = (attn_ref[...].astype(jnp.float32)
+             + hid_ref[...].astype(jnp.float32))
+        var = jnp.mean(r * r, axis=-1, keepdims=True)
+        x = r * jax.lax.rsqrt(var + eps) * nw_ref[0][None, :]
+        for g in range(G_k):
+            seg = x[:, g * gs:(g + 1) * gs]
+            s = jnp.maximum(
+                jnp.max(jnp.abs(seg), axis=-1, keepdims=True) / 127.0,
+                1e-10)
+            xq_scr[:, g * gs:(g + 1) * gs] = jnp.clip(
+                jnp.round(seg / s), -127, 127).astype(jnp.int8)
+            xs_scr[:, g] = s[:, 0]
+
+    gpt = G_k // sg_ref.shape[1]
+
+    if bits == 4:
+        wg = unpack4(qg_ref[0], gs)
+        wu = unpack4(qu_ref[0], gs)
+    else:
+        wg = qg_ref[0]
+        wu = qu_ref[0]
+
+    x_q = xq_scr[...]
+    xs = xs_scr[...]
+
+    def xrow(g):
+        return xs[:, g][:, None]
+
+    def wrow(ref):
+        return lambda g: ref[0, g // gpt, g % gpt][None, :]
+
+    g_acc = _group_dots(x_q, wg, xrow, wrow(sg_ref), gs)
+    u_acc = _group_dots(x_q, wu, xrow, wrow(su_ref), gs)
+    a = g_acc * jax.nn.sigmoid(g_acc) * u_acc        # silu(g)*u, [Mp, TI]
+
+    a_absmax = jnp.max(jnp.abs(a), axis=-1, keepdims=True)
+    a_s = jnp.maximum(a_absmax / 127.0, 1e-10)
+    a_q = jnp.clip(jnp.round(a / a_s), -127, 127).astype(jnp.int8)
+
+    if bits == 4:
+        wd = unpack4(qd_ref[0], gs)
+    else:
+        wd = qd_ref[0]
+    part = _group_dots(
+        a_q, wd, lambda g: a_s, lambda g: sd_ref[0, 0, g][None, :], gs)
+    # slot j's routing weight: dynamic LANE indexing is not lowerable
+    # (Mosaic requires static 128-multiples), so select via a lane mask
+    lane = jax.lax.broadcasted_iota(jnp.int32, wts_ref.shape, 1)
+    w_j = jnp.sum(jnp.where(lane == j, wts_ref[...], 0.0), axis=1,
+                  keepdims=True)                             # [Mp, 1]
+    acc_ref[...] += w_j * part
+
+    @pl.when((j == n_slots - 1) & (i == n_tiles - 1))
+    def _():
+        resid = (attn_ref[...].astype(jnp.float32)
+                 + hid_ref[...].astype(jnp.float32))
+        o_ref[...] = (resid + acc_ref[...]).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("group_size", "bits", "tile_i", "eps", "out_dtype",
+                     "interpret"))
+def fused_moe_block(
+    attn_out: jnp.ndarray,       # [M, H] (o-proj output)
+    hid: jnp.ndarray,            # [M, H] (layer input / residual)
+    norm_w: jnp.ndarray,         # [H] mlp rmsnorm weight
+    idx: jnp.ndarray,            # [n_slots] int32: layer*E + expert ids
+    wts: jnp.ndarray,            # [M, n_slots] f32 routing weights
+    q_gu: jnp.ndarray,           # [L*E, K(/2), 2*I] int8 (gate|up stacks)
+    s_gu_tiled: jnp.ndarray,
+    q_dn: jnp.ndarray,           # [L*E, I(/2), H] int8 (down stacks)
+    s_dn_tiled: jnp.ndarray,
+    *,
+    group_size: int,
+    bits: int,
+    tile_i: int = 512,
+    eps: float = 1e-6,
+    out_dtype=jnp.bfloat16,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """``resid + sum_j wts[:, j] * expert_{idx[j]}(rmsnorm(resid))`` where
+    ``resid = attn_out + hid`` — the routed post-attention half of a
+    decoder layer in one launch."""
+    M, K = attn_out.shape
+    n_slots = idx.shape[0]
+    assert n_slots <= 128, "routing weights ride one 128-lane vector"
+    LE, _, two_i = q_gu.shape
+    I = two_i // 2
+    H = q_dn.shape[2]
+    assert H == K
+    pack = 2 if bits == 4 else 1
+    TI = min(tile_i, I)
+    assert I % TI == 0 and TI % group_size == 0 and K % group_size == 0
+    n_tiles = I // TI
+    n_kg, srows = s_gu_tiled.shape[1], s_gu_tiled.shape[2]
+    n_kd, srows_d = s_dn_tiled.shape[1], s_dn_tiled.shape[2]
+    assert I // n_kd == TI, "down block_k must equal tile_i"
+    assert K // group_size <= 128
+
+    Mp = max(8, M)
+
+    def pad(z):
+        return z if M == Mp else jnp.zeros((Mp, K), z.dtype).at[:M].set(z)
+
+    nw = jnp.asarray(norm_w, jnp.float32).reshape(1, K)
+    # routing weights: [Mp, 128] lane-padded (slot j in lane j)
+    wp = jnp.zeros((Mp, 128), jnp.float32).at[:M, :n_slots].set(
+        wts.astype(jnp.float32))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_slots, n_tiles),
+        in_specs=[
+            pl.BlockSpec((Mp, K), lambda j, i, ix: (0, 0)),
+            pl.BlockSpec((Mp, K), lambda j, i, ix: (0, 0)),
+            pl.BlockSpec((1, K), lambda j, i, ix: (0, 0)),
+            pl.BlockSpec((Mp, 128), lambda j, i, ix: (0, 0)),
+            # gate columns [i*TI, (i+1)*TI) of expert idx[j]
+            pl.BlockSpec((1, K // pack, TI), lambda j, i, ix: (ix[j], 0, i)),
+            # up columns [I + i*TI, ...): block index n_tiles + i
+            pl.BlockSpec((1, K // pack, TI),
+                         lambda j, i, ix, _n=n_tiles: (ix[j], 0, _n + i)),
+            pl.BlockSpec((1, n_kg, srows, TI),
+                         lambda j, i, ix: (ix[j], 0, 0, i)),
+            pl.BlockSpec((1, n_kg, srows, TI),
+                         lambda j, i, ix, _n=n_tiles: (ix[j], 0, 0, _n + i)),
+            pl.BlockSpec((1, TI // pack, H), lambda j, i, ix: (ix[j], i, 0)),
+            pl.BlockSpec((1, 1, srows_d, H),
+                         lambda j, i, ix: (ix[j], i, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((Mp, H), lambda j, i, ix: (0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((Mp, H), jnp.float32),
+            pltpu.VMEM((Mp, K), jnp.int8),
+            pltpu.VMEM((Mp, 128), jnp.float32),
+        ],
+    )
+
+    kernel = functools.partial(
+        _fused_moe_kernel, group_size=group_size, bits=bits, K=K, TI=TI,
+        H=H, n_tiles=n_tiles, n_slots=n_slots, eps=eps)
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((Mp, H), out_dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary")),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * M * n_slots * (K * 2 * I + I * H),
+            bytes_accessed=int(n_slots * (K * 2 * I + I * H) / pack
+                               + 4 * M * K),
+            transcendentals=M * (n_slots * I + K),
+        ),
+        interpret=interpret,
+    )(jnp.asarray(idx, jnp.int32), pad(attn_out), pad(hid), nw, wp,
+      q_gu, q_gu, s_gu_tiled, s_gu_tiled, q_dn, s_dn_tiled)
+    return out[:M]

@@ -236,6 +236,25 @@ def quantize_params(params, bits: int, group_size: int = 128, tp: int = 1,
         layers["w_gate_up"] = interleave_columns(
             [layers.pop("w_gate"), layers.pop("w_up")], tp)
 
+    if (tp == 1 and isinstance(layers.get("w_gate_e"), jnp.ndarray)
+            and isinstance(layers.get("w_up_e"), jnp.ndarray)):
+        # MoE expert stacks [L, E, H, I] -> quantized [L*E, ...] for the
+        # gather/sweep kernels (models/moe.py::moe_mlp_quant). gate|up
+        # fuse column-wise per expert (bit-identical, like the dense
+        # w_gate_up); the concat happens per expert inside lax.map so the
+        # fp transient stays one expert large. Single-rank only: under TP
+        # the bf16 expert paths shard instead.
+        ge, ue = layers.pop("w_gate_e"), layers.pop("w_up_e")
+        Lx, Ex, Hx, Ix = ge.shape
+        pair = (ge.reshape(Lx * Ex, Hx, Ix), ue.reshape(Lx * Ex, Hx, Ix))
+        layers["w_gate_up_e"] = jax.lax.map(
+            lambda t: quantize(jnp.concatenate(t, axis=-1), bits,
+                               group_size, 1), pair)
+        del ge, ue, pair
+        dn = layers.pop("w_down_e").reshape(Lx * Ex, Ix, Hx)
+        layers["w_down_e"] = _quant_layer_stack(dn, 1)
+        del dn
+
     for name in ("wqkv", "w_gate_up", "wq", "wk", "wv", "wo", "w_gate",
                  "w_up", "w_down"):
         if name in layers and isinstance(layers[name], jnp.ndarray):

@@ -70,6 +70,19 @@ def _build_hf(family: str):
             max_position_embeddings=512, tie_word_embeddings=True,
             attn_implementation="eager")
         return Gemma2ForCausalLM(cfg)
+    if family == "olmoe":
+        # MoE with full-width QK-norm (RMSNorm over the flat q/k
+        # projections pre-RoPE) and norm_topk_prob=False (the selected
+        # routing weights are NOT renormalized)
+        from transformers import OlmoeConfig, OlmoeForCausalLM
+        cfg = OlmoeConfig(
+            vocab_size=256, hidden_size=64, intermediate_size=128,
+            num_hidden_layers=2, num_attention_heads=4,
+            num_key_value_heads=2, num_experts=4, num_experts_per_tok=2,
+            rope_theta=10000.0, rms_norm_eps=1e-5,
+            max_position_embeddings=512, tie_word_embeddings=False,
+            attn_implementation="eager")
+        return OlmoeForCausalLM(cfg)
     if family == "mixtral":
         # Mixture-of-Experts: 4 experts, top-2 routing
         from transformers import MixtralConfig, MixtralForCausalLM
@@ -92,7 +105,7 @@ def _build_hf(family: str):
 
 @pytest.fixture(scope="module",
                 params=["qwen2", "qwen3", "gemma2", "llama", "mistral",
-                        "mixtral"])
+                        "mixtral", "olmoe"])
 def snapshot(request, tmp_path_factory):
     hf = _build_hf(request.param).eval()
     d = tmp_path_factory.mktemp(f"hf_{request.param}")

@@ -72,6 +72,108 @@ def test_moe_engine_batch():
     assert eng.cache_stats.used_pages == 0
 
 
+def test_moe_route_no_renorm():
+    """olmoe semantics (HF norm_topk_prob=False): the selected routing
+    weights are the raw softmax probabilities, NOT renormalized."""
+    from microvllm_tpu.models.moe import moe_route
+
+    H, E, k = 16, 8, 3
+    x = jax.random.normal(jax.random.PRNGKey(0), (4, H))
+    wr = jax.random.normal(jax.random.PRNGKey(1), (H, E))
+    sel, top_w, _ = moe_route(x, wr, k, renorm=False)
+    probs = np.asarray(jax.nn.softmax((x @ wr).astype(jnp.float32)))
+    for b in range(4):
+        top = np.argsort(-probs[b])[:k]
+        np.testing.assert_allclose(np.asarray(sel)[b, top], probs[b, top],
+                                   rtol=1e-6)
+        # NOT renormalized: total selected mass == raw top-k softmax mass
+        np.testing.assert_allclose(np.asarray(sel)[b].sum(),
+                                   probs[b, top].sum(), rtol=1e-5)
+    sel_rn, _, _ = moe_route(x, wr, k, renorm=True)
+    np.testing.assert_allclose(np.asarray(sel_rn).sum(-1), 1.0, rtol=1e-5)
+
+
+def test_moe_quant_paths_match_dense_eval():
+    """moe_mlp_quant (B=1 gather AND batched masked sweep) equals the bf16
+    dense-eval oracle run on the dequantized expert weights."""
+    from microvllm_tpu.models.moe import moe_mlp, moe_mlp_quant
+    from microvllm_tpu.ops.quant import quantize
+
+    H, I, E, k, L = 16, 32, 4, 2, 3
+    kg = jax.random.PRNGKey
+    gu = jax.random.normal(kg(0), (L * E, H, 2 * I))
+    dn = jax.random.normal(kg(1), (L * E, I, H))
+    wr = jax.random.normal(kg(2), (H, E))
+    qgu = jax.lax.map(lambda t: quantize(t, 4, 8, 1), gu)
+    qdn = jax.lax.map(lambda t: quantize(t, 4, 8, 1), dn)
+    # oracle weights: exactly what the quantized kernels see
+    dgu = np.asarray(qgu.dequant(jnp.float32)).reshape(L, E, H, 2 * I)
+    ddn = np.asarray(qdn.dequant(jnp.float32)).reshape(L, E, I, H)
+
+    for renorm in (True, False):
+        for rows in (1, 5):
+            x = jax.random.normal(kg(10 + rows), (rows, H))
+            for layer in (0, L - 1):
+                got = moe_mlp_quant(x, wr, qgu, qdn, jnp.int32(layer), E,
+                                    k, renorm=renorm)
+                ref = moe_mlp(x, wr,
+                              jnp.asarray(dgu[layer, :, :, :I]),
+                              jnp.asarray(dgu[layer, :, :, I:]),
+                              jnp.asarray(ddn[layer]), k, renorm=renorm)
+                np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                           rtol=2e-4, atol=2e-4)
+
+
+def test_moe_quant_engine_gather_matches_batched():
+    """Quantized-MoE engine end-to-end: the B=1 decode (expert GATHER path)
+    and the batched decode (masked all-E sweep) produce identical greedy
+    tokens, and runs are deterministic."""
+    from microvllm_tpu.config import QuantConfig
+
+    cfg = EngineConfig(
+        model=_moe_cfg(),
+        cache=CacheConfig(num_pages=64, page_size=16, max_pages_per_seq=8),
+        scheduler=SchedulerConfig(
+            max_batch_size=4, max_prefill_tokens=256, prefill_wait_s=0.0,
+            decode_buckets=(1, 4), prefill_len_buckets=(16, 32),
+            prefill_batch_buckets=(1, 2), decode_spans=(1, 4)),
+        quant=QuantConfig(weight_bits=4),
+        max_model_len=128, default_max_new_tokens=6)
+    eng = InferenceEngine(cfg)
+    assert "w_gate_up_e" in eng.params["layers"]  # quantized stacks active
+    sp = SamplingParams(temperature=0.0, max_new_tokens=6)
+    prompts = [[1, 2, 3, 4], [9, 8, 7], [5, 6]]
+    batched = [s.output_token_ids for s in eng.generate(prompts, sampling=sp)]
+    again = [s.output_token_ids for s in eng.generate(prompts, sampling=sp)]
+    assert batched == again
+    singles = [eng.generate([p], sampling=sp)[0].output_token_ids
+               for p in prompts]
+    assert batched == singles
+    assert eng.cache_stats.used_pages == 0
+
+
+def test_olmoe_engine():
+    """olmoe-family tiny model (full-width QK-norm, no routing renorm)
+    through the engine: greedy determinism, B=1 == batched."""
+    cfg = EngineConfig(
+        model=_moe_cfg(model_type="olmoe", num_experts=8,
+                       num_experts_per_tok=3, qk_norm=True,
+                       qk_norm_kind="full", moe_renorm=False),
+        cache=CacheConfig(num_pages=64, page_size=16, max_pages_per_seq=8),
+        scheduler=SchedulerConfig(
+            max_batch_size=4, max_prefill_tokens=256, prefill_wait_s=0.0,
+            decode_buckets=(1, 4), prefill_len_buckets=(16, 32),
+            prefill_batch_buckets=(1, 2), decode_spans=(1, 4)),
+        max_model_len=128, default_max_new_tokens=6)
+    eng = InferenceEngine(cfg)
+    sp = SamplingParams(temperature=0.0, max_new_tokens=6)
+    prompts = [[1, 2, 3, 4], [9, 8, 7]]
+    a = [s.output_token_ids for s in eng.generate(prompts, sampling=sp)]
+    singles = [eng.generate([p], sampling=sp)[0].output_token_ids
+               for p in prompts]
+    assert a == singles
+
+
 def _run_sharded(mcfg, params, parallel):
     cfg = EngineConfig(
         model=mcfg,

@@ -995,3 +995,66 @@ def test_flash_prefill_softcap():
     np.testing.assert_allclose(got[0], ref[0], rtol=2e-5, atol=2e-5)
     np.testing.assert_allclose(got[1, :S - 5], ref[1, :S - 5],
                                rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("bits,mode", [(4, "gather"), (4, "sweep"),
+                                       (8, "sweep")])
+def test_fused_moe_block_matches_composition(bits, mode):
+    """One-launch routed MoE block (resid + sum_j w_j * expert_{idx_j}(
+    rmsnorm(resid))) vs composing the tested fused_mlp_a8 per expert.
+
+    GATHER mode: one row, idx = the selected experts only. SWEEP mode:
+    several rows, idx = all experts, per-row masked weights.
+    """
+    from microvllm_tpu.ops.normalization import rmsnorm
+    from microvllm_tpu.ops.pallas.fused_mlp import fused_mlp_a8
+    from microvllm_tpu.ops.pallas.fused_moe import fused_moe_block
+    from microvllm_tpu.ops.pallas.quant_matmul import quantize_activations
+    from microvllm_tpu.ops.quant import quantize
+
+    L, E, K, I, gs, eps = 2, 4, 256, 512, 128, 1e-6
+    kg = jax.random.PRNGKey
+    gu = [jnp.concatenate(
+        [jax.random.normal(kg(10 + n), (K, I)) * 0.05,
+         jax.random.normal(kg(40 + n), (K, I)) * 0.05], 1)
+        for n in range(L * E)]
+    dn = [jax.random.normal(kg(70 + n), (I, K)) * 0.05 for n in range(L * E)]
+    q_gu = [quantize(w, bits, gs) for w in gu]
+    q_dn = [quantize(w, bits, gs) for w in dn]
+    TI = q_dn[0].block_k
+    layer = 1
+    if mode == "gather":
+        M = 1
+        idx = jnp.asarray([layer * E + 2, layer * E + 0], jnp.int32)
+        wts = jnp.asarray([[0.7, 0.2]], jnp.float32)
+    else:
+        M = 5
+        idx = layer * E + jnp.arange(E, dtype=jnp.int32)
+        wts = jax.nn.softmax(jax.random.normal(kg(5), (M, E)))
+        wts = jnp.where(wts > 0.2, wts, 0.0)     # sparse per-row selection
+    attn = jax.random.normal(kg(1), (M, K))
+    hid = jax.random.normal(kg(2), (M, K))
+    nw = jax.random.normal(kg(3), (K,)) * 0.1 + 1.0
+
+    got = fused_moe_block(
+        attn, hid, nw, idx, wts, jnp.stack([t.q for t in q_gu]),
+        jnp.stack([t.scales_tiled for t in q_gu]),
+        jnp.stack([t.q for t in q_dn]),
+        jnp.stack([t.scales_tiled for t in q_dn]),
+        group_size=gs, bits=bits, tile_i=TI, eps=eps,
+        out_dtype=jnp.float32, interpret=True)
+
+    resid = attn + hid
+    normed = rmsnorm(resid.astype(jnp.float32), nw, eps)
+    x_q, x_s = quantize_activations(normed, gs)
+    out = resid.astype(jnp.float32)
+    for j in range(idx.shape[0]):
+        mlp_j = fused_mlp_a8(
+            x_q, x_s, jnp.stack([t.q for t in q_gu]),
+            jnp.stack([t.scales_tiled for t in q_gu]),
+            jnp.stack([t.q for t in q_dn]),
+            jnp.stack([t.scales_tiled for t in q_dn]),
+            idx[j], group_size=gs, bits=bits, tile_i=TI,
+            out_dtype=jnp.float32, interpret=True)
+        out = out + wts[:, j:j + 1] * mlp_j
+    np.testing.assert_allclose(got, out, rtol=2e-3, atol=2e-3)
