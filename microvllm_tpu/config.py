@@ -456,6 +456,13 @@ class EngineConfig:
     # than a mid-serving cold compile. Requests opt in per-call via
     # SamplingParams.logprobs <= logprobs_k.
     logprobs_k: int = 0
+    # Sampling penalties (presence/frequency/repetition). When True the
+    # decode/prefill steps carry on-device (counts, seen) state built from
+    # each sequence's token history and apply OpenAI/HF penalties to the
+    # logits before sampling (`ops/sampling.py::apply_penalties`) — one
+    # compiled variant for the whole engine, warmed with the rest.
+    # Requests that set penalties on an engine built without this raise.
+    enable_penalties: bool = False
 
     def replace(self, **kw) -> "EngineConfig":
         return dataclasses.replace(self, **kw)
@@ -487,6 +494,10 @@ class EngineConfig:
         if self.lora is not None:
             if self.lora.rank < 1 or self.lora.max_adapters < 2:
                 raise ValueError("LoRA needs rank >= 1, max_adapters >= 2")
+        if self.enable_penalties and (tp > 1 or self.parallel.dp_size > 1):
+            raise ValueError(
+                "enable_penalties is single-rank only for now (the sharded "
+                "step fns do not thread the penalty state)")
 
 
 def pick_bucket(n: int, buckets: Sequence[int]) -> int:

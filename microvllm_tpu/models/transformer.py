@@ -129,9 +129,26 @@ def init_params(cfg: ModelConfig, key: jax.Array,
             layers["w_up_e"] = w(keys[5], (L, E, h, inter), h)
             layers["w_down_e"] = w(keys[6], (L, E, inter, h), inter)
     else:
-        layers["w_down"] = wq_(keys[6], (L, inter, h), inter)
+        from ..ops.quant import mlp_pad_cols
+        # padding requires the fused gate|up layout (both sides padded)
+        pad_i = mlp_pad_cols(inter) if fuse and quant_tp == 1 else 0
+        if pad_i:
+            # pad the down-projection's contraction rows PER LAYER inside
+            # the map — a whole-stack concat would double the bf16
+            # transient (7.6 GB at 7B) and OOM the 16 GB HBM at init
+            from ..ops.quant import quantize as _q
+            dn_f = w(keys[6], (L, inter, h), inter)
+            layers["w_down"] = jax.lax.map(
+                lambda x: _q(jnp.concatenate(
+                    [x, jnp.zeros((pad_i, h), x.dtype)], axis=0),
+                    quant_bits, quant_group_size, quant_tp), dn_f)
+            jax.block_until_ready(layers["w_down"].q)
+            del dn_f
+        else:
+            layers["w_down"] = wq_(keys[6], (L, inter, h), inter)
     if fuse:
-        from ..ops.quant import interleave_columns, quantize
+        from ..ops.quant import (interleave_columns, pad_gate_up_stack,
+                                 quantize)
 
         def quant_stack(full):
             # column-parallel: contraction dim (h) is replicated under TP,
@@ -151,7 +168,15 @@ def init_params(cfg: ModelConfig, key: jax.Array,
             gu_f = interleave_columns(
                 [w(keys[4], (L, h, inter), h),
                  w(keys[5], (L, h, inter), h)], quant_tp)
-            layers["w_gate_up"] = quant_stack(gu_f)
+            if pad_i:
+                # per-layer padding inside the map (see w_down note)
+                layers["w_gate_up"] = jax.lax.map(
+                    lambda x: quantize(pad_gate_up_stack(
+                        x[None], inter, pad_i)[0],
+                        quant_bits, quant_group_size, 1), gu_f)
+                jax.block_until_ready(layers["w_gate_up"].q)
+            else:
+                layers["w_gate_up"] = quant_stack(gu_f)
             del gu_f
     else:
         layers["wq"] = wq_(keys[0], (L, h, q_dim), h)
@@ -575,11 +600,18 @@ def decode_span(cfg: ModelConfig, params: Params,
                 adapter_ids: jnp.ndarray | None = None,
                 lora_scaling: float = 1.0,
                 logprobs_k: int = 0,
+                penalties: tuple | None = None,
                 ):
     """Run ``num_steps`` decode steps entirely on device, feeding each
     sampled token into the next step (no host round-trips — the TPU
     equivalent of replaying a captured CUDA graph N times, but with
     sampling fused in).
+
+    ``penalties``: optional ``(hist [B, L], hist_lens [B], out_start [B],
+    presence [B], freq [B], rep [B])`` — builds on-device (counts, seen)
+    state from the prompt+output history once per span and maintains it
+    incrementally inside the scan, applying OpenAI/HF sampling penalties
+    to the logits before each sample (`ops/sampling.py::apply_penalties`).
 
     Returns (tokens ``[B, num_steps]`` int32, lp, new_k, new_v[,
     new_k_scales, new_v_scales]) where ``lp`` is ``()`` when
@@ -588,12 +620,20 @@ def decode_span(cfg: ModelConfig, params: Params,
     Sequences that hit EOS mid-span keep generating; the host discards
     the tail.
     """
-    from ..ops.sampling import sample_tokens, token_logprobs
+    from ..ops.sampling import (apply_penalties, penalty_state,
+                                penalty_update, sample_tokens,
+                                token_logprobs)
 
     quantized = k_scales is not None
+    if penalties is not None:
+        hist, hist_lens, out_start, p_pres, p_freq, p_rep = penalties
+        counts0, seen0 = penalty_state(hist, hist_lens, out_start,
+                                       cfg.vocab_size)
+    else:
+        counts0 = seen0 = jnp.zeros((), jnp.float32)   # inert carry
 
     def body(carry, _):
-        toks, ctx, kc, vc, ks, vs, key = carry
+        toks, ctx, kc, vc, ks, vs, key, counts, seen = carry
         if quantized:
             logits, kc, vc, ks, vs = decode_step(
                 cfg, params, kc, vc, toks, block_tables, ctx, tp_axis,
@@ -605,16 +645,25 @@ def decode_span(cfg: ModelConfig, params: Params,
                 tp_size, adapter_ids=adapter_ids,
                 lora_scaling=lora_scaling)
         key, sub = jax.random.split(key)
+        raw = logits
+        if penalties is not None:
+            logits = apply_penalties(logits, counts, seen, p_pres, p_freq,
+                                     p_rep)
         nxt = sample_tokens(logits, sub, temperature, top_p,
                             top_k_per_seq=top_ks)
+        if penalties is not None:
+            counts, seen = penalty_update(counts, seen, nxt)
         out = (nxt,)
         if logprobs_k:
-            out += token_logprobs(logits, nxt, logprobs_k)
-        return (nxt, ctx + 1, kc, vc, ks, vs, key), out
+            # logprobs report the RAW model distribution (what the model
+            # believed), not the penalty-shaped sampling distribution
+            out += token_logprobs(raw, nxt, logprobs_k)
+        return (nxt, ctx + 1, kc, vc, ks, vs, key, counts, seen), out
 
-    (_, _, k_cache, v_cache, k_scales, v_scales, _), out = jax.lax.scan(
-        body, (tokens, context_lens, k_cache, v_cache, k_scales, v_scales,
-               rng), None, length=num_steps)
+    (_, _, k_cache, v_cache, k_scales, v_scales, _, _, _), out = \
+        jax.lax.scan(
+            body, (tokens, context_lens, k_cache, v_cache, k_scales,
+                   v_scales, rng, counts0, seen0), None, length=num_steps)
     toks = out[0].T                                   # [B, num_steps]
     lp = ()
     if logprobs_k:

@@ -72,6 +72,35 @@ def default_block_k(K: int, group_size: int, tp: int = 1) -> int:
     return best
 
 
+def mlp_pad_cols(I: int) -> int:
+    """Extra intermediate columns (per gate/up half) so a 1024-wide
+    contraction tile divides the padded I (env ``MVT_MLP_PAD_I=1``).
+
+    The fused-MLP kernel's tile_i is pinned to w_down's block_k; 7B's
+    I=18944 only admits 512 (148 groups = 4x37), so the kernel runs 37
+    grid steps per launch. Zero-padding to 19456 (+2.7% HBM) admits 1024
+    -> 19 steps: trades bytes for per-step overhead. Exact: silu(0)*up=0
+    through zero down-rows.
+    """
+    import os
+
+    v = os.environ.get("MVT_MLP_PAD_I", "0")
+    if v in ("0", ""):
+        return 0
+    target = 1024 if v == "1" else int(v)   # pad-to-multiple-of tile width
+    return (target - I % target) % target
+
+
+def pad_gate_up_stack(gu: jnp.ndarray, I: int, pad: int) -> jnp.ndarray:
+    """``[L, K, 2I]`` fused gate|up -> ``[L, K, 2(I+pad)]`` with zero
+    columns appended to EACH half (the kernel indexes up at block I/TI)."""
+    if pad == 0:
+        return gu
+    L, K, _ = gu.shape
+    z = jnp.zeros((L, K, pad), gu.dtype)
+    return jnp.concatenate([gu[..., :I], z, gu[..., I:], z], axis=-1)
+
+
 def interleave_columns(ws: list, tp: int) -> jnp.ndarray:
     """Rank-major fused column concat for tensor parallelism.
 
@@ -233,8 +262,18 @@ def quantize_params(params, bits: int, group_size: int = 128, tp: int = 1,
                 [layers.pop("bq"), layers.pop("bk"), layers.pop("bv")], tp)
     if fuse and all(isinstance(layers.get(n), jnp.ndarray)
                     for n in ("w_gate", "w_up")) and _tp_ok("w_gate", "w_up"):
+        inter = layers["w_gate"].shape[-1]
         layers["w_gate_up"] = interleave_columns(
             [layers.pop("w_gate"), layers.pop("w_up")], tp)
+        if tp == 1:
+            pad_i = mlp_pad_cols(inter)
+            if pad_i:
+                layers["w_gate_up"] = pad_gate_up_stack(
+                    layers["w_gate_up"], inter, pad_i)
+                dn = layers.pop("w_down")
+                layers["w_down"] = jnp.concatenate(
+                    [dn, jnp.zeros((dn.shape[0], pad_i, dn.shape[2]),
+                                   dn.dtype)], axis=1)
 
     if (tp == 1 and isinstance(layers.get("w_gate_e"), jnp.ndarray)
             and isinstance(layers.get("w_up_e"), jnp.ndarray)):

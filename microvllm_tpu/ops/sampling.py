@@ -68,6 +68,58 @@ def sample_tokens(logits: jnp.ndarray, rng: jax.Array,
                         lambda _: greedy, operand=None)
 
 
+def penalty_state(hist: jnp.ndarray, hist_lens: jnp.ndarray,
+                  out_start: jnp.ndarray, vocab: int):
+    """Build the on-device penalty state from a token-id history.
+
+    hist:      ``[B, L]`` int32 — prompt + generated ids, padded arbitrarily
+    hist_lens: ``[B]`` — valid length of each row
+    out_start: ``[B]`` — index where GENERATED tokens begin (= prompt len)
+
+    Returns (counts ``[B, V]`` f32 — occurrences among generated tokens,
+    seen ``[B, V]`` bool — occurs anywhere in prompt+generated). One
+    scatter per span; the decode scan then maintains both incrementally.
+    """
+    B, L = hist.shape
+    pos = jnp.arange(L, dtype=jnp.int32)[None, :]
+    valid = pos < hist_lens[:, None]
+    gen = valid & (pos >= out_start[:, None])
+    rows = jnp.broadcast_to(jnp.arange(B, dtype=jnp.int32)[:, None], (B, L))
+    ids_all = jnp.where(valid, hist, vocab)      # out-of-range -> dropped
+    ids_gen = jnp.where(gen, hist, vocab)
+    counts = jnp.zeros((B, vocab), jnp.float32).at[rows, ids_gen].add(
+        1.0, mode="drop")
+    seen = jnp.zeros((B, vocab), jnp.bool_).at[rows, ids_all].set(
+        True, mode="drop")
+    return counts, seen
+
+
+def penalty_update(counts: jnp.ndarray, seen: jnp.ndarray,
+                   tokens: jnp.ndarray):
+    """Fold one step's sampled ``[B]`` tokens into (counts, seen)."""
+    rows = jnp.arange(tokens.shape[0], dtype=jnp.int32)
+    return (counts.at[rows, tokens].add(1.0),
+            seen.at[rows, tokens].set(True))
+
+
+def apply_penalties(logits: jnp.ndarray, counts: jnp.ndarray,
+                    seen: jnp.ndarray, presence: jnp.ndarray,
+                    freq: jnp.ndarray, rep: jnp.ndarray) -> jnp.ndarray:
+    """OpenAI/vLLM sampling penalties, in vLLM's application order.
+
+    repetition (HF semantics, over prompt + generated): positive logits of
+    seen tokens divide by ``rep``, negative multiply (``rep == 1`` = off);
+    then ``logits -= freq * count + presence * (count > 0)`` over
+    GENERATED-token counts (OpenAI semantics). All ``[B]``-shaped knobs.
+    """
+    logits = logits.astype(jnp.float32)
+    rp = rep[:, None]
+    pen = jnp.where(logits > 0, logits / rp, logits * rp)
+    logits = jnp.where(seen, pen, logits)
+    gen_seen = (counts > 0).astype(jnp.float32)
+    return logits - (freq[:, None] * counts + presence[:, None] * gen_seen)
+
+
 def token_logprobs(logits: jnp.ndarray, tokens: jnp.ndarray, k: int):
     """Per-token log-probabilities for a sampled batch.
 

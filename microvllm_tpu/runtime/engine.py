@@ -43,12 +43,32 @@ StreamCallback = Callable[[int, int, bool], None]  # (seq_id, token_id, finished
 def _decode_span_jit(cfg, params, k_cache, v_cache, tokens, block_tables,
                      context_lens, temperature, top_p, top_ks, rng,
                      num_steps, adapter_ids=None, lora_scaling=1.0,
-                     logprobs_k=0):
+                     logprobs_k=0, penalties=None):
     return model_lib.decode_span(
         cfg, params, k_cache, v_cache, tokens, block_tables, context_lens,
         temperature, top_p, rng, num_steps, top_ks=top_ks,
         adapter_ids=adapter_ids, lora_scaling=lora_scaling,
-        logprobs_k=logprobs_k)
+        logprobs_k=logprobs_k, penalties=penalties)
+
+
+def _penalized_prefill_sample(cfg, logits, rng, temperature, top_p, top_ks,
+                              logprobs_k, penalties):
+    """Shared prefill-token sampling: penalties shape the sampling
+    distribution; logprobs report the raw one."""
+    raw = logits
+    if penalties is not None:
+        from ..ops.sampling import apply_penalties, penalty_state
+        hist, hist_lens, out_start, pp, pf, pr = penalties
+        counts, seen = penalty_state(hist, hist_lens, out_start,
+                                     cfg.vocab_size)
+        logits = apply_penalties(logits, counts, seen, pp, pf, pr)
+    next_tokens = sample_tokens(logits, rng, temperature, top_p,
+                                top_k_per_seq=top_ks)
+    lp = ()
+    if logprobs_k:
+        from ..ops.sampling import token_logprobs
+        lp = token_logprobs(raw, next_tokens, logprobs_k)
+    return next_tokens, lp
 
 
 @partial(jax.jit, static_argnums=(0, 12),
@@ -57,17 +77,13 @@ def _decode_span_jit(cfg, params, k_cache, v_cache, tokens, block_tables,
 def _prefill_jit(cfg, params, k_cache, v_cache, tokens, block_tables,
                  chunk_lens, history_lens, temperature, top_p, top_ks, rng,
                  has_history, adapter_ids=None, lora_scaling=1.0,
-                 logprobs_k=0):
+                 logprobs_k=0, penalties=None):
     logits, k_cache, v_cache = model_lib.prefill_step(
         cfg, params, k_cache, v_cache, tokens, block_tables,
         chunk_lens, history_lens, has_history,
         adapter_ids=adapter_ids, lora_scaling=lora_scaling)
-    next_tokens = sample_tokens(logits, rng, temperature, top_p,
-                                top_k_per_seq=top_ks)
-    lp = ()
-    if logprobs_k:
-        from ..ops.sampling import token_logprobs
-        lp = token_logprobs(logits, next_tokens, logprobs_k)
+    next_tokens, lp = _penalized_prefill_sample(
+        cfg, logits, rng, temperature, top_p, top_ks, logprobs_k, penalties)
     return next_tokens, lp, k_cache, v_cache
 
 
@@ -104,13 +120,13 @@ def _spec_span_q_jit(cfg, params, k_cache, v_cache, k_scales, v_scales,
 def _decode_span_q_jit(cfg, params, k_cache, v_cache, k_scales, v_scales,
                        tokens, block_tables, context_lens, temperature,
                        top_p, top_ks, rng, num_steps, adapter_ids=None,
-                       lora_scaling=1.0, logprobs_k=0):
+                       lora_scaling=1.0, logprobs_k=0, penalties=None):
     return model_lib.decode_span(
         cfg, params, k_cache, v_cache, tokens, block_tables, context_lens,
         temperature, top_p, rng, num_steps,
         k_scales=k_scales, v_scales=v_scales, top_ks=top_ks,
         adapter_ids=adapter_ids, lora_scaling=lora_scaling,
-        logprobs_k=logprobs_k)
+        logprobs_k=logprobs_k, penalties=penalties)
 
 
 @partial(jax.jit, static_argnums=(0, 14),
@@ -119,18 +135,14 @@ def _decode_span_q_jit(cfg, params, k_cache, v_cache, k_scales, v_scales,
 def _prefill_q_jit(cfg, params, k_cache, v_cache, k_scales, v_scales, tokens,
                    block_tables, chunk_lens, history_lens, temperature,
                    top_p, top_ks, rng, has_history, adapter_ids=None,
-                   lora_scaling=1.0, logprobs_k=0):
+                   lora_scaling=1.0, logprobs_k=0, penalties=None):
     logits, k_cache, v_cache, k_scales, v_scales = model_lib.prefill_step(
         cfg, params, k_cache, v_cache, tokens, block_tables,
         chunk_lens, history_lens, has_history,
         k_scales=k_scales, v_scales=v_scales,
         adapter_ids=adapter_ids, lora_scaling=lora_scaling)
-    next_tokens = sample_tokens(logits, rng, temperature, top_p,
-                                top_k_per_seq=top_ks)
-    lp = ()
-    if logprobs_k:
-        from ..ops.sampling import token_logprobs
-        lp = token_logprobs(logits, next_tokens, logprobs_k)
+    next_tokens, lp = _penalized_prefill_sample(
+        cfg, logits, rng, temperature, top_p, top_ks, logprobs_k, penalties)
     return next_tokens, lp, k_cache, v_cache, k_scales, v_scales
 
 
@@ -370,11 +382,43 @@ class InferenceEngine:
             return self._greedy_rng
         return self._step_rng()
 
+    def _penalty_kw(self, seqs: list, B: int) -> dict:
+        """Penalty-state inputs for the jitted steps: each row's token
+        history (prompt + generated so far), where generation starts, and
+        the three penalty knobs. Rows beyond len(seqs) (trash padding) get
+        rep=1 / zeros — inert. Only built on engines with
+        ``enable_penalties`` (one extra [B, max_model_len] upload per
+        span; the compiled variant is warmed like the rest)."""
+        if not self.config.enable_penalties:
+            return {}
+        Lcap = self.config.max_model_len
+        hist = np.zeros((B, Lcap), np.int32)
+        hist_lens = np.zeros(B, np.int32)
+        out_start = np.zeros(B, np.int32)
+        pres = np.zeros(B, np.float32)
+        freq = np.zeros(B, np.float32)
+        rep = np.ones(B, np.float32)
+        for i, seq in enumerate(seqs):
+            ids = seq.prompt_token_ids + seq.output_token_ids
+            hist[i, :len(ids)] = ids[:Lcap]
+            hist_lens[i] = min(len(ids), Lcap)
+            out_start[i] = min(len(seq.prompt_token_ids), Lcap)
+            s = seq.sampling
+            pres[i] = s.presence_penalty
+            freq[i] = s.frequency_penalty
+            rep[i] = s.repetition_penalty
+        return {"penalties": (
+            jnp.asarray(hist), jnp.asarray(hist_lens),
+            jnp.asarray(out_start), self._put_cached("pen_p", pres),
+            self._put_cached("pen_f", freq), self._put_cached("pen_r", rep))}
+
     def _call_decode(self, tokens, tables, context, temperature, top_p,
-                     top_ks, span: int, adapter_ids=None):
+                     top_ks, span: int, adapter_ids=None, extra_kw=None):
         """Returns (tokens [B, span] np, lp) where lp is () or the
         (chosen, top, top_ids) logprob arrays (engine-wide logprobs_k)."""
         kw = self._lora_kw(adapter_ids) if adapter_ids is not None else {}
+        if extra_kw:
+            kw.update(extra_kw)
         if self._lp_k:
             kw["logprobs_k"] = self._lp_k
         rng = self._span_rng(temperature)
@@ -396,8 +440,11 @@ class InferenceEngine:
         return np.asarray(toks), tuple(np.asarray(x) for x in lp)
 
     def _call_prefill(self, tokens, tables, chunk_lens, history, temperature,
-                      top_p, top_ks, has_history: bool, adapter_ids=None):
+                      top_p, top_ks, has_history: bool, adapter_ids=None,
+                      extra_kw=None):
         kw = self._lora_kw(adapter_ids) if adapter_ids is not None else {}
+        if extra_kw:
+            kw.update(extra_kw)
         if self._lp_k:
             kw["logprobs_k"] = self._lp_k
         rng = self._span_rng(temperature)
@@ -457,7 +504,8 @@ class InferenceEngine:
         f = np.ones(bs, dtype=np.float32)
         k64 = np.full(bs, 64, dtype=np.int32)
         self._call_decode(z, tables, z, f, f, k64, span,
-                          adapter_ids=z if self.config.lora else None)
+                          adapter_ids=z if self.config.lora else None,
+                          extra_kw=self._penalty_kw([], bs))
 
     def _run_spec_shapes(self, bs: int) -> None:
         cfg = self.config
@@ -476,7 +524,8 @@ class InferenceEngine:
         f = np.ones(bs, dtype=np.float32)
         k64 = np.full(bs, 64, dtype=np.int32)
         self._call_prefill(tokens, tables, z, z, f, f, k64, has_history,
-                           adapter_ids=z if self.config.lora else None)
+                           adapter_ids=z if self.config.lora else None,
+                           extra_kw=self._penalty_kw([], bs))
 
     def _step_rng(self) -> jax.Array:
         self._rng, sub = jax.random.split(self._rng)
@@ -504,6 +553,12 @@ class InferenceEngine:
             raise ValueError(
                 "logprobs requested but the engine was built with "
                 "logprobs_k=0 (the logprob step variant is not compiled)")
+        if (sampling is not None and sampling.has_penalties
+                and not self.config.enable_penalties):
+            raise ValueError(
+                "sampling penalties require an engine built with "
+                "enable_penalties=True (the penalized step variant is "
+                "compiled and warmed only then)")
         seq = Sequence(prompt_token_ids=prompt_token_ids,
                        sampling=sampling or SamplingParams(
                            max_new_tokens=self.config.default_max_new_tokens),
@@ -677,7 +732,8 @@ class InferenceEngine:
         next_tokens, lp = self._call_prefill(
             tokens, tables, chunk_lens, history, temperature, top_p, top_ks,
             bool(history.any()),
-            adapter_ids=adapters if self.config.lora else None)
+            adapter_ids=adapters if self.config.lora else None,
+            extra_kw=self._penalty_kw(seqs, B))
 
         self.scheduler.on_prefill_done(batch)
         if self._prefix_caching:
@@ -783,6 +839,8 @@ class InferenceEngine:
             return fallback("sampled")  # greedy-only (bit-identical)
         if any(s.sampling.logprobs > 0 for s in seqs):
             return fallback("logprobs")  # spec span emits tokens only
+        if any(s.sampling.has_penalties for s in seqs):
+            return fallback("penalties")  # penalties alter greedy argmax
         reserve = cfg.spec_steps * (cfg.spec_k + 1)
         max_ctx = cfg.cache.max_context
         if not all(self.allocator.seq_len(s.seq_id) + reserve <= max_ctx
@@ -929,7 +987,8 @@ class InferenceEngine:
 
         span_tokens, lp = self._call_decode(
             tokens, tables, context, temperature, top_p, top_ks, span,
-            adapter_ids=adapters if self.config.lora else None)  # [B, span]
+            adapter_ids=adapters if self.config.lora else None,
+            extra_kw=self._penalty_kw(seqs, B))  # [B, span]
 
         produced = 0
         for i, seq in enumerate(seqs):

@@ -48,6 +48,17 @@ class SamplingParams:
     # logprobs_k > 0 (the logprob-emitting step variant is compiled and
     # warmed only then).
     logprobs: int = 0
+    # Sampling penalties (require EngineConfig.enable_penalties):
+    # presence/frequency follow OpenAI semantics (over GENERATED tokens);
+    # repetition follows HF/vLLM (over prompt + generated, 1.0 = off).
+    presence_penalty: float = 0.0
+    frequency_penalty: float = 0.0
+    repetition_penalty: float = 1.0
+
+    @property
+    def has_penalties(self) -> bool:
+        return (self.presence_penalty != 0.0 or self.frequency_penalty != 0.0
+                or self.repetition_penalty != 1.0)
 
 
 @dataclass

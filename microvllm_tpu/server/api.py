@@ -447,7 +447,8 @@ def _parse_adapter(data: dict[str, Any]) -> int:
 
 
 def _parse_sampling(data: dict[str, Any], default_max: int,
-                    max_logprobs: int = 0) -> SamplingParams:
+                    max_logprobs: int = 0,
+                    penalties_enabled: bool = False) -> SamplingParams:
     """Validate client sampling params (the reference passes them through
     unvalidated; see ADVICE r1 — top_p<=0 and top_k<=0 silently misbehaved).
     """
@@ -486,7 +487,26 @@ def _parse_sampling(data: dict[str, Any], default_max: int,
         raise _bad_request(
             f"logprobs={logprobs} not available (server started with "
             f"--logprobs-k {max_logprobs})")
+    try:
+        presence = float(data.get("presence_penalty", 0.0))
+        frequency = float(data.get("frequency_penalty", 0.0))
+        repetition = float(data.get("repetition_penalty", 1.0))
+    except (TypeError, ValueError):
+        raise _bad_request("penalties must be numeric")
+    if not (-2.0 <= presence <= 2.0 and -2.0 <= frequency <= 2.0):
+        raise _bad_request(
+            "presence_penalty / frequency_penalty must be in [-2, 2]")
+    if not (0.0 < repetition <= 100.0):
+        raise _bad_request("repetition_penalty must be in (0, 100]")
+    has_pen = presence != 0.0 or frequency != 0.0 or repetition != 1.0
+    if has_pen and not penalties_enabled:
+        raise _bad_request(
+            "sampling penalties not available (start the server with "
+            "--enable-penalties)")
     return SamplingParams(
+        presence_penalty=presence,
+        frequency_penalty=frequency,
+        repetition_penalty=repetition,
         temperature=temperature,
         top_p=top_p,
         top_k=top_k,
@@ -543,8 +563,10 @@ def build_app(server: EngineServer) -> web.Application:
         prompt, ids = _request_fields(data)
         loop = asyncio.get_running_loop()
         req = _PendingRequest(prompt=prompt, prompt_token_ids=ids,
-                              sampling=_parse_sampling(data, default_max,
-                                                       engine.config.logprobs_k),
+                              sampling=_parse_sampling(
+                                  data, default_max,
+                                  engine.config.logprobs_k,
+                                  engine.config.enable_penalties),
                               priority=_parse_priority(data),
                               adapter_id=_parse_adapter(data),
                               loop=loop, done=loop.create_future())
@@ -571,7 +593,8 @@ def build_app(server: EngineServer) -> web.Application:
                 content_type="application/json")
         loop = asyncio.get_running_loop()
         sampling = _parse_sampling(data, default_max,
-                                   engine.config.logprobs_k)
+                                   engine.config.logprobs_k,
+                                   engine.config.enable_penalties)
         prio = _parse_priority(data)
         adapter = _parse_adapter(data)
         reqs = []
@@ -602,8 +625,10 @@ def build_app(server: EngineServer) -> web.Application:
         loop = asyncio.get_running_loop()
         q: asyncio.Queue = asyncio.Queue()
         req = _PendingRequest(prompt=prompt, prompt_token_ids=ids,
-                              sampling=_parse_sampling(data, default_max,
-                                                       engine.config.logprobs_k),
+                              sampling=_parse_sampling(
+                                  data, default_max,
+                                  engine.config.logprobs_k,
+                                  engine.config.enable_penalties),
                               priority=_parse_priority(data),
                               adapter_id=_parse_adapter(data),
                               stream_queue=q, loop=loop,
@@ -866,6 +891,10 @@ def main() -> None:
                     help="enable per-token logprobs: compile the logprob-"
                          "emitting step variant with this top-k (0 = off); "
                          "requests opt in with \"logprobs\": N")
+    ap.add_argument("--enable-penalties", action="store_true",
+                    help="compile the penalty-carrying step variant so "
+                         "requests may set presence_penalty / "
+                         "frequency_penalty / repetition_penalty")
     ap.add_argument("--prefix-cache", action="store_true",
                     help="automatic prefix caching: requests sharing a "
                          "prompt prefix reuse its KV pages and skip "
@@ -920,6 +949,7 @@ def main() -> None:
         spec_k=args.spec_k,
         spec_steps=args.spec_steps,
         logprobs_k=args.logprobs_k,
+        enable_penalties=args.enable_penalties,
     )
     if args.fanout_port or args.leader:
         # multi-host SPMD serving: jax.distributed from MVT_* env vars, and

@@ -83,11 +83,9 @@ def add_openai_routes(app: web.Application, server, default_max: int) -> None:
             raise _err("echo is not supported")
         if data.get("suffix"):
             raise _err("suffix is not supported")
-        for pen in ("presence_penalty", "frequency_penalty",
-                    "repetition_penalty", "logit_bias"):
-            if data.get(pen):
-                raise _err(f"{pen} is not supported (explicit, rather than "
-                           "silently ignored)")
+        if data.get("logit_bias"):
+            raise _err("logit_bias is not supported (explicit, rather than "
+                       "silently ignored)")
         return n, best_of
 
     def _sampling(data: dict, lp_count: int, chat: bool):
@@ -108,9 +106,14 @@ def add_openai_routes(app: web.Application, server, default_max: int) -> None:
             native["stop"] = [stop] if isinstance(stop, str) else stop
         if data.get("stop_token_ids"):
             native["stop_token_ids"] = data["stop_token_ids"]
+        for pen in ("presence_penalty", "frequency_penalty",
+                    "repetition_penalty"):
+            if data.get(pen) is not None:
+                native[pen] = data[pen]
         try:
             return _parse_sampling(native, default_max,
-                                   engine.config.logprobs_k)
+                                   engine.config.logprobs_k,
+                                   engine.config.enable_penalties)
         except web.HTTPBadRequest as e:
             msg = json.loads(e.text).get("error", "bad sampling params")
             raise _err(msg)

@@ -33,7 +33,7 @@ class FakeTokenizer:
         return "".join(f"<{i}>" for i in ids)
 
 
-def make_server(lp_k=4) -> EngineServer:
+def make_server(lp_k=4, penalties=False) -> EngineServer:
     cfg = EngineConfig(
         model=ModelConfig.tiny(dtype="float32"),
         cache=CacheConfig(num_pages=64, page_size=16, max_pages_per_seq=8),
@@ -44,6 +44,7 @@ def make_server(lp_k=4) -> EngineServer:
         max_model_len=128,
         default_max_new_tokens=8,
         logprobs_k=lp_k,
+        enable_penalties=penalties,
     )
     engine = InferenceEngine(cfg, tokenizer=FakeTokenizer())
     srv = EngineServer(engine)
@@ -263,3 +264,30 @@ def test_chat_streaming_and_logprobs(client, loop):
         assert len(lp) == 2 and len(lp[0]["top_logprobs"]) == 2
         assert lp[0]["top_logprobs"][0]["token"] == lp[0]["token"]
     loop.run_until_complete(go())
+
+
+def test_penalties_flow_through_openai_dialect(loop):
+    """presence/frequency/repetition penalties map onto the native sampler
+    when the engine enables them; logit_bias stays explicitly rejected."""
+    srv = make_server(penalties=True)
+    app = build_app(srv)
+
+    async def go():
+        client = TestClient(TestServer(app), loop=asyncio.get_running_loop())
+        await client.start_server()
+        try:
+            resp = await client.post("/v1/completions", json={
+                "model": "m", "prompt": "<5><9><2>", "max_tokens": 10,
+                "temperature": 0.0, "frequency_penalty": 2.0,
+                "presence_penalty": 2.0, "ignore_eos": True})
+            assert resp.status == 200, await resp.text()
+            text = (await resp.json())["choices"][0]["text"]
+            ids = re.findall(r"<(\d+)>", text)
+            assert len(set(ids)) == len(ids)     # all-distinct under penalty
+            resp = await client.post("/v1/completions", json={
+                "model": "m", "prompt": "<5>", "logit_bias": {"5": -100}})
+            assert resp.status == 400
+        finally:
+            await client.close()
+    loop.run_until_complete(go())
+    srv.shutdown()

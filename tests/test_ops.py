@@ -195,3 +195,32 @@ def test_sample_per_seq_top_k():
                           top_p=jnp.ones(2), top_k=4,
                           top_k_per_seq=jnp.array([1, 4], jnp.int32))
     assert int(toks2[0]) == 0
+
+
+def test_mlp_pad_i_outputs_unchanged(monkeypatch):
+    """MVT_MLP_PAD_I pads the fused gate|up columns and down rows with
+    zeros so a 1024-wide k-tile divides I — the padded quantized model's
+    logits equal the unpadded quantized model's (zero columns produce
+    silu(0)*up = 0 through zero down-rows; real columns quantize
+    identically since groups are per-column)."""
+    import jax
+    import numpy as np
+
+    from microvllm_tpu.config import ModelConfig
+    from microvllm_tpu.models import transformer as T
+    from microvllm_tpu.ops.quant import quantize_params
+
+    cfg = ModelConfig.tiny(dtype="float32", intermediate_size=384)
+    params = T.init_params(cfg, jax.random.PRNGKey(0))
+    toks = jnp.asarray(np.random.default_rng(0).integers(
+        0, cfg.vocab_size, size=(2, 7)), jnp.int32)
+
+    monkeypatch.delenv("MVT_MLP_PAD_I", raising=False)
+    q_plain = quantize_params(jax.tree.map(jnp.copy, params), 4, 64)
+    ref = np.asarray(T.forward_logits(cfg, q_plain, toks))
+
+    monkeypatch.setenv("MVT_MLP_PAD_I", "1")
+    q_pad = quantize_params(jax.tree.map(jnp.copy, params), 4, 64)
+    assert q_pad["layers"]["w_gate_up"].out_dim % 2048 == 0  # 2*(I+pad)
+    got = np.asarray(T.forward_logits(cfg, q_pad, toks))
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)

@@ -308,3 +308,48 @@ def test_load_adapter_endpoint_while_serving(loop, tmp_path):
     loop.run_until_complete(go())
     loop.run_until_complete(client.close())
     srv.shutdown()
+
+
+def test_penalties_rejected_without_flag(client, loop):
+    async def go():
+        resp = await client.post("/generate", json={
+            "prompt_token_ids": [1, 2, 3], "max_tokens": 4,
+            "presence_penalty": 1.0})
+        assert resp.status == 400
+        assert "enable-penalties" in (await resp.json())["error"]
+    loop.run_until_complete(go())
+
+
+def test_penalties_served_when_enabled(loop):
+    cfg = EngineConfig(
+        model=ModelConfig.tiny(),
+        cache=CacheConfig(num_pages=64, page_size=16, max_pages_per_seq=8),
+        scheduler=SchedulerConfig(
+            max_batch_size=4, max_prefill_tokens=256, prefill_wait_s=0.0,
+            decode_buckets=(1, 4), prefill_len_buckets=(16,),
+            prefill_batch_buckets=(1,), decode_spans=(1, 4)),
+        max_model_len=128, default_max_new_tokens=8,
+        enable_penalties=True)
+    srv = EngineServer(InferenceEngine(cfg))
+    srv.start()
+    app = build_app(srv)
+
+    async def go():
+        client = TestClient(TestServer(app), loop=asyncio.get_running_loop())
+        await client.start_server()
+        try:
+            body = {"prompt_token_ids": [5, 9, 2], "max_tokens": 10,
+                    "temperature": 0.0, "ignore_eos": True,
+                    "frequency_penalty": 2.0, "presence_penalty": 2.0}
+            resp = await client.post("/generate", json=body)
+            assert resp.status == 200
+            toks = (await resp.json())["token_ids"]
+            assert len(set(toks)) == len(toks)   # penalty forces distinct
+            # out-of-range penalty -> 400
+            resp = await client.post("/generate", json={
+                "prompt_token_ids": [1], "repetition_penalty": -1.0})
+            assert resp.status == 400
+        finally:
+            await client.close()
+    loop.run_until_complete(go())
+    srv.shutdown()
