@@ -33,6 +33,10 @@ class ModelConfig:
     num_kv_heads: int = 2
     head_dim: int = 64
     rope_theta: float = 1000000.0
+    # RoPE frequency scaling: None or ("llama3", factor, low_freq_factor,
+    # high_freq_factor, original_max_position_embeddings) — the llama-3.1
+    # long-context remap (`ops/rope.py::_llama3_scaled`).
+    rope_scaling: Optional[tuple] = None
     rms_norm_eps: float = 1e-6
     max_position_embeddings: int = 32768
     qkv_bias: bool = True  # qwen2 uses bias on q/k/v projections
@@ -158,6 +162,7 @@ class ModelConfig:
             num_kv_heads=cfg.get("num_key_value_heads", heads),
             head_dim=head_dim,
             rope_theta=cfg.get("rope_theta", 10000.0),
+            rope_scaling=_parse_rope_scaling(cfg.get("rope_scaling")),
             rms_norm_eps=cfg.get("rms_norm_eps", 1e-6),
             max_position_embeddings=cfg.get("max_position_embeddings", 4096),
             qkv_bias=(model_type == "qwen2" and cfg.get("attention_bias", True))
@@ -220,6 +225,13 @@ PRESETS: dict[str, ModelConfig] = {
         num_layers=32, num_heads=32, num_kv_heads=8, head_dim=128,
         rope_theta=500000.0, tie_word_embeddings=False, qkv_bias=False,
         rms_norm_eps=1e-5, model_type="llama"),
+    "llama-3.1-8b": ModelConfig(   # llama3 rope scaling: 128k context
+        vocab_size=128256, hidden_size=4096, intermediate_size=14336,
+        num_layers=32, num_heads=32, num_kv_heads=8, head_dim=128,
+        rope_theta=500000.0, tie_word_embeddings=False, qkv_bias=False,
+        rms_norm_eps=1e-5, model_type="llama",
+        max_position_embeddings=131072,
+        rope_scaling=("llama3", 8.0, 1.0, 4.0, 8192.0)),
     "llama-3-70b": ModelConfig(
         vocab_size=128256, hidden_size=8192, intermediate_size=28672,
         num_layers=80, num_heads=64, num_kv_heads=8, head_dim=128,
@@ -276,6 +288,22 @@ PRESETS: dict[str, ModelConfig] = {
 # ---------------------------------------------------------------------------
 # Quantization config
 # ---------------------------------------------------------------------------
+
+
+def _parse_rope_scaling(rs) -> Optional[tuple]:
+    """HF ``rope_scaling`` dict -> our frozen tuple (llama-3.1 only; the
+    default/null and unsupported kinds raise rather than silently
+    mis-position long contexts)."""
+    if not rs:
+        return None
+    kind = rs.get("rope_type") or rs.get("type")
+    if kind in (None, "default"):
+        return None
+    if kind != "llama3":
+        raise ValueError(f"unsupported rope_scaling type {kind!r}")
+    return ("llama3", float(rs["factor"]), float(rs["low_freq_factor"]),
+            float(rs["high_freq_factor"]),
+            float(rs["original_max_position_embeddings"]))
 
 
 @dataclass(frozen=True)

@@ -452,7 +452,8 @@ def decode_step(cfg: ModelConfig, params: Params,
     h = jnp.take(params["embed"], tokens, axis=0)          # [B, H]
     if cfg.embed_scale:   # gemma: sqrt(H) normalizer, cast to model dtype
         h = h * jnp.asarray(cfg.hidden_size ** 0.5, h.dtype)
-    cos, sin = rope_cos_sin(context_lens, cfg.head_dim, cfg.rope_theta)
+    cos, sin = rope_cos_sin(context_lens, cfg.head_dim, cfg.rope_theta,
+                            scaling=cfg.rope_scaling)
 
     stacked = _stacked_weights(params)
 
@@ -722,7 +723,8 @@ def prefill_step(cfg: ModelConfig, params: Params,
     if cfg.embed_scale:   # gemma: sqrt(H) normalizer, cast to model dtype
         h = h * jnp.asarray(cfg.hidden_size ** 0.5, h.dtype)
     positions = history_lens[:, None] + jnp.arange(S, dtype=jnp.int32)[None, :]
-    cos, sin = rope_cos_sin(positions, cfg.head_dim, cfg.rope_theta)
+    cos, sin = rope_cos_sin(positions, cfg.head_dim, cfg.rope_theta,
+                            scaling=cfg.rope_scaling)
 
     quantized = k_scales is not None
 
@@ -980,7 +982,8 @@ def forward_logits(cfg: ModelConfig, params: Params,
     if cfg.embed_scale:
         h = h * jnp.asarray(cfg.hidden_size ** 0.5, h.dtype)
     positions = jnp.broadcast_to(jnp.arange(S, dtype=jnp.int32)[None, :], (B, S))
-    cos, sin = rope_cos_sin(positions, cfg.head_dim, cfg.rope_theta)
+    cos, sin = rope_cos_sin(positions, cfg.head_dim, cfg.rope_theta,
+                            scaling=cfg.rope_scaling)
 
     stacked = _stacked_weights(params)
 

@@ -12,16 +12,43 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 
+def _llama3_scaled(inv_freq: jnp.ndarray, factor: float, low_f: float,
+                   high_f: float, orig_ctx: float) -> jnp.ndarray:
+    """Llama-3.1 frequency scaling (HF ``_compute_llama3_parameters``):
+    long wavelengths (low frequencies) divide by ``factor``, short ones
+    stay, and the band in between interpolates smoothly."""
+    import math
+
+    wavelen = 2.0 * math.pi / inv_freq
+    low_wl = orig_ctx / low_f
+    high_wl = orig_ctx / high_f
+    scaled = inv_freq / factor
+    smooth = (orig_ctx / wavelen - low_f) / (high_f - low_f)
+    mid = (1.0 - smooth) * scaled + smooth * inv_freq
+    return jnp.where(wavelen > low_wl, scaled,
+                     jnp.where(wavelen < high_wl, inv_freq, mid))
+
+
 def rope_cos_sin(positions: jnp.ndarray, head_dim: int, theta: float,
-                 dtype=jnp.float32) -> tuple[jnp.ndarray, jnp.ndarray]:
+                 dtype=jnp.float32,
+                 scaling: tuple | None = None
+                 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """cos/sin tables for the given positions.
 
     positions: int array of any shape ``[...]``.
+    scaling: optional ``("llama3", factor, low_freq_factor,
+    high_freq_factor, original_max_position_embeddings)`` — the
+    llama-3.1 long-context frequency remap.
     Returns (cos, sin) with shape ``[..., head_dim // 2]``.
     """
     half = head_dim // 2
     freq_exponents = jnp.arange(half, dtype=jnp.float32) / half
     inv_freq = 1.0 / (theta ** freq_exponents)          # [half]
+    if scaling is not None:
+        kind, *args = scaling
+        if kind != "llama3":
+            raise ValueError(f"unsupported rope scaling {kind!r}")
+        inv_freq = _llama3_scaled(inv_freq, *map(float, args))
     angles = positions.astype(jnp.float32)[..., None] * inv_freq
     return jnp.cos(angles).astype(dtype), jnp.sin(angles).astype(dtype)
 

@@ -95,6 +95,20 @@ def _build_hf(family: str):
             sliding_window=None, attn_implementation="eager")
         return MixtralForCausalLM(cfg)
     from transformers import LlamaConfig, LlamaForCausalLM
+    if family == "llama3.1":
+        # llama3 rope scaling with parameters that BITE on a 9-token
+        # prompt (original_max_position=8 << prompt length, so low- and
+        # mid-frequency bands are remapped)
+        cfg = LlamaConfig(
+            vocab_size=256, hidden_size=64, intermediate_size=128,
+            num_hidden_layers=2, num_attention_heads=4,
+            num_key_value_heads=2, rope_theta=10000.0, rms_norm_eps=1e-5,
+            max_position_embeddings=512, tie_word_embeddings=False,
+            attention_bias=False,
+            rope_scaling={"rope_type": "llama3", "factor": 4.0,
+                          "low_freq_factor": 1.0, "high_freq_factor": 2.0,
+                          "original_max_position_embeddings": 8})
+        return LlamaForCausalLM(cfg)
     cfg = LlamaConfig(
         vocab_size=256, hidden_size=64, intermediate_size=128,
         num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
@@ -104,8 +118,8 @@ def _build_hf(family: str):
 
 
 @pytest.fixture(scope="module",
-                params=["qwen2", "qwen3", "gemma2", "llama", "mistral",
-                        "mixtral", "olmoe"])
+                params=["qwen2", "qwen3", "gemma2", "llama", "llama3.1",
+                        "mistral", "mixtral", "olmoe"])
 def snapshot(request, tmp_path_factory):
     hf = _build_hf(request.param).eval()
     d = tmp_path_factory.mktemp(f"hf_{request.param}")
