@@ -602,6 +602,7 @@ def decode_span(cfg: ModelConfig, params: Params,
                 lora_scaling: float = 1.0,
                 logprobs_k: int = 0,
                 penalties: tuple | None = None,
+                seed_state: tuple | None = None,
                 ):
     """Run ``num_steps`` decode steps entirely on device, feeding each
     sampled token into the next step (no host round-trips — the TPU
@@ -622,7 +623,7 @@ def decode_span(cfg: ModelConfig, params: Params,
     the tail.
     """
     from ..ops.sampling import (apply_penalties, penalty_state,
-                                penalty_update, sample_tokens,
+                                penalty_update, per_row_keys, sample_tokens,
                                 token_logprobs)
 
     quantized = k_scales is not None
@@ -632,9 +633,13 @@ def decode_span(cfg: ModelConfig, params: Params,
                                        cfg.vocab_size)
     else:
         counts0 = seen0 = jnp.zeros((), jnp.float32)   # inert carry
+    if seed_state is not None:
+        seeds, pos0 = seed_state        # [B] (0 = unseeded), [B] out pos
+    else:
+        pos0 = jnp.zeros((), jnp.int32)  # inert carry
 
     def body(carry, _):
-        toks, ctx, kc, vc, ks, vs, key, counts, seen = carry
+        toks, ctx, kc, vc, ks, vs, key, counts, seen, pos = carry
         if quantized:
             logits, kc, vc, ks, vs = decode_step(
                 cfg, params, kc, vc, toks, block_tables, ctx, tp_axis,
@@ -650,8 +655,10 @@ def decode_span(cfg: ModelConfig, params: Params,
         if penalties is not None:
             logits = apply_penalties(logits, counts, seen, p_pres, p_freq,
                                      p_rep)
+        rk = (per_row_keys(sub, seeds, pos) if seed_state is not None
+              else None)
         nxt = sample_tokens(logits, sub, temperature, top_p,
-                            top_k_per_seq=top_ks)
+                            top_k_per_seq=top_ks, row_keys=rk)
         if penalties is not None:
             counts, seen = penalty_update(counts, seen, nxt)
         out = (nxt,)
@@ -659,12 +666,14 @@ def decode_span(cfg: ModelConfig, params: Params,
             # logprobs report the RAW model distribution (what the model
             # believed), not the penalty-shaped sampling distribution
             out += token_logprobs(raw, nxt, logprobs_k)
-        return (nxt, ctx + 1, kc, vc, ks, vs, key, counts, seen), out
+        return (nxt, ctx + 1, kc, vc, ks, vs, key, counts, seen,
+                pos + 1), out
 
-    (_, _, k_cache, v_cache, k_scales, v_scales, _, _, _), out = \
+    (_, _, k_cache, v_cache, k_scales, v_scales, _, _, _, _), out = \
         jax.lax.scan(
             body, (tokens, context_lens, k_cache, v_cache, k_scales,
-                   v_scales, rng, counts0, seen0), None, length=num_steps)
+                   v_scales, rng, counts0, seen0, pos0), None,
+            length=num_steps)
     toks = out[0].T                                   # [B, num_steps]
     lp = ()
     if logprobs_k:

@@ -15,10 +15,32 @@ import jax.numpy as jnp
 NEG_INF = -2.0e38
 
 
+def per_row_keys(rng: jax.Array, seeds: jnp.ndarray,
+                 pos: jnp.ndarray) -> jax.Array:
+    """``[B]`` typed PRNG keys for per-request reproducible sampling.
+
+    seeds: ``[B]`` int32 — 0 = unseeded (engine maps a user seed s to
+    s + 1). Seeded rows derive their key purely from ``(seed, pos)`` —
+    pos being the row's output position — so a request's random stream
+    does not depend on batch composition, restarts, or neighbors
+    (vLLM's ``SamplingParams.seed`` semantics). Unseeded rows salt from
+    the step rng (fresh randomness every step, the prior behavior).
+    """
+    B = seeds.shape[0]
+    salt = jax.random.randint(rng, (B,), 0, jnp.iinfo(jnp.int32).max)
+    seeded = seeds != 0
+    eff = jnp.where(seeded, seeds, salt)
+    eff_pos = jnp.where(seeded, pos, jnp.arange(B, dtype=jnp.int32))
+    base = jax.random.key(0)
+    return jax.vmap(lambda s, p: jax.random.fold_in(
+        jax.random.fold_in(base, s), p))(eff, eff_pos)
+
+
 def sample_tokens(logits: jnp.ndarray, rng: jax.Array,
                   temperature: jnp.ndarray, top_p: jnp.ndarray,
                   top_k: int = 64,
-                  top_k_per_seq: jnp.ndarray | None = None) -> jnp.ndarray:
+                  top_k_per_seq: jnp.ndarray | None = None,
+                  row_keys: jax.Array | None = None) -> jnp.ndarray:
     """Sample next tokens.
 
     logits:      ``[B, V]`` float
@@ -29,6 +51,8 @@ def sample_tokens(logits: jnp.ndarray, rng: jax.Array,
     top_k_per_seq: optional ``[B]`` int32 — per-request top-k applied as a
                  rank mask within the static pool (effective k is
                  min(top_k_per_seq, top_k)).
+    row_keys:    optional ``[B]`` typed keys (`per_row_keys`) — when given,
+                 each row samples from its own stream (per-request seeds).
     Returns ``[B]`` int32 token ids.
     """
     logits = logits.astype(jnp.float32)
@@ -55,7 +79,11 @@ def sample_tokens(logits: jnp.ndarray, rng: jax.Array,
         keep = (cumulative - probs) < top_p[:, None]
         masked = jnp.where(keep, scaled, NEG_INF)
 
-        choice = jax.random.categorical(rng, masked, axis=-1)  # [B]
+        if row_keys is not None:
+            choice = jax.vmap(
+                lambda k, m: jax.random.categorical(k, m))(row_keys, masked)
+        else:
+            choice = jax.random.categorical(rng, masked, axis=-1)  # [B]
         sampled = jnp.take_along_axis(idxs, choice[:, None], axis=-1)[:, 0]
         return jnp.where(temperature <= 0.0, greedy,
                          sampled.astype(jnp.int32))

@@ -43,18 +43,19 @@ StreamCallback = Callable[[int, int, bool], None]  # (seq_id, token_id, finished
 def _decode_span_jit(cfg, params, k_cache, v_cache, tokens, block_tables,
                      context_lens, temperature, top_p, top_ks, rng,
                      num_steps, adapter_ids=None, lora_scaling=1.0,
-                     logprobs_k=0, penalties=None):
+                     logprobs_k=0, penalties=None, seed_state=None):
     return model_lib.decode_span(
         cfg, params, k_cache, v_cache, tokens, block_tables, context_lens,
         temperature, top_p, rng, num_steps, top_ks=top_ks,
         adapter_ids=adapter_ids, lora_scaling=lora_scaling,
-        logprobs_k=logprobs_k, penalties=penalties)
+        logprobs_k=logprobs_k, penalties=penalties, seed_state=seed_state)
 
 
 def _penalized_prefill_sample(cfg, logits, rng, temperature, top_p, top_ks,
-                              logprobs_k, penalties):
+                              logprobs_k, penalties, seed_state=None):
     """Shared prefill-token sampling: penalties shape the sampling
-    distribution; logprobs report the raw one."""
+    distribution; logprobs report the raw one; per-request seeds make the
+    first token reproducible too."""
     raw = logits
     if penalties is not None:
         from ..ops.sampling import apply_penalties, penalty_state
@@ -62,8 +63,12 @@ def _penalized_prefill_sample(cfg, logits, rng, temperature, top_p, top_ks,
         counts, seen = penalty_state(hist, hist_lens, out_start,
                                      cfg.vocab_size)
         logits = apply_penalties(logits, counts, seen, pp, pf, pr)
+    rk = None
+    if seed_state is not None:
+        from ..ops.sampling import per_row_keys
+        rk = per_row_keys(rng, *seed_state)
     next_tokens = sample_tokens(logits, rng, temperature, top_p,
-                                top_k_per_seq=top_ks)
+                                top_k_per_seq=top_ks, row_keys=rk)
     lp = ()
     if logprobs_k:
         from ..ops.sampling import token_logprobs
@@ -77,13 +82,14 @@ def _penalized_prefill_sample(cfg, logits, rng, temperature, top_p, top_ks,
 def _prefill_jit(cfg, params, k_cache, v_cache, tokens, block_tables,
                  chunk_lens, history_lens, temperature, top_p, top_ks, rng,
                  has_history, adapter_ids=None, lora_scaling=1.0,
-                 logprobs_k=0, penalties=None):
+                 logprobs_k=0, penalties=None, seed_state=None):
     logits, k_cache, v_cache = model_lib.prefill_step(
         cfg, params, k_cache, v_cache, tokens, block_tables,
         chunk_lens, history_lens, has_history,
         adapter_ids=adapter_ids, lora_scaling=lora_scaling)
     next_tokens, lp = _penalized_prefill_sample(
-        cfg, logits, rng, temperature, top_p, top_ks, logprobs_k, penalties)
+        cfg, logits, rng, temperature, top_p, top_ks, logprobs_k, penalties,
+        seed_state)
     return next_tokens, lp, k_cache, v_cache
 
 
@@ -120,13 +126,14 @@ def _spec_span_q_jit(cfg, params, k_cache, v_cache, k_scales, v_scales,
 def _decode_span_q_jit(cfg, params, k_cache, v_cache, k_scales, v_scales,
                        tokens, block_tables, context_lens, temperature,
                        top_p, top_ks, rng, num_steps, adapter_ids=None,
-                       lora_scaling=1.0, logprobs_k=0, penalties=None):
+                       lora_scaling=1.0, logprobs_k=0, penalties=None,
+                       seed_state=None):
     return model_lib.decode_span(
         cfg, params, k_cache, v_cache, tokens, block_tables, context_lens,
         temperature, top_p, rng, num_steps,
         k_scales=k_scales, v_scales=v_scales, top_ks=top_ks,
         adapter_ids=adapter_ids, lora_scaling=lora_scaling,
-        logprobs_k=logprobs_k, penalties=penalties)
+        logprobs_k=logprobs_k, penalties=penalties, seed_state=seed_state)
 
 
 @partial(jax.jit, static_argnums=(0, 14),
@@ -135,14 +142,16 @@ def _decode_span_q_jit(cfg, params, k_cache, v_cache, k_scales, v_scales,
 def _prefill_q_jit(cfg, params, k_cache, v_cache, k_scales, v_scales, tokens,
                    block_tables, chunk_lens, history_lens, temperature,
                    top_p, top_ks, rng, has_history, adapter_ids=None,
-                   lora_scaling=1.0, logprobs_k=0, penalties=None):
+                   lora_scaling=1.0, logprobs_k=0, penalties=None,
+                   seed_state=None):
     logits, k_cache, v_cache, k_scales, v_scales = model_lib.prefill_step(
         cfg, params, k_cache, v_cache, tokens, block_tables,
         chunk_lens, history_lens, has_history,
         k_scales=k_scales, v_scales=v_scales,
         adapter_ids=adapter_ids, lora_scaling=lora_scaling)
     next_tokens, lp = _penalized_prefill_sample(
-        cfg, logits, rng, temperature, top_p, top_ks, logprobs_k, penalties)
+        cfg, logits, rng, temperature, top_p, top_ks, logprobs_k, penalties,
+        seed_state)
     return next_tokens, lp, k_cache, v_cache, k_scales, v_scales
 
 
@@ -273,6 +282,7 @@ class InferenceEngine:
         self.metrics = EngineMetrics()
         self._stream_callbacks: dict[int, StreamCallback] = {}
         self._mesh = mesh
+        self._sharded = config.parallel.world_size > 1
 
         if config.parallel.world_size > 1:
             from ..parallel.mesh import make_mesh
@@ -381,6 +391,26 @@ class InferenceEngine:
         if not temperature.any():
             return self._greedy_rng
         return self._step_rng()
+
+    def _seed_kw(self, seqs: list, B: int) -> dict:
+        """Per-request seed inputs (single-rank only; the sharded step fns
+        do not thread them — seeded requests are rejected under TP).
+        Always passed on single-rank (zeros = unseeded) so there is ONE
+        compiled variant and warmup covers it. User seed s maps to s + 1
+        (0 is the unseeded sentinel)."""
+        if self._sharded:
+            return {}
+        seeds = np.zeros(B, np.int32)
+        pos = np.zeros(B, np.int32)
+        # positions only matter for seeded rows — leave all-zero when the
+        # batch has none so the value-keyed put cache hits every span
+        if any(s.sampling.seed is not None for s in seqs):
+            for i, seq in enumerate(seqs):
+                if seq.sampling.seed is not None:
+                    seeds[i] = (int(seq.sampling.seed) & 0x3FFFFFFF) + 1
+                    pos[i] = len(seq.output_token_ids)
+        return {"seed_state": (self._put_cached("seeds", seeds),
+                               self._put_cached("seed_pos", pos))}
 
     def _penalty_kw(self, seqs: list, B: int) -> dict:
         """Penalty-state inputs for the jitted steps: each row's token
@@ -505,7 +535,8 @@ class InferenceEngine:
         k64 = np.full(bs, 64, dtype=np.int32)
         self._call_decode(z, tables, z, f, f, k64, span,
                           adapter_ids=z if self.config.lora else None,
-                          extra_kw=self._penalty_kw([], bs))
+                          extra_kw=self._penalty_kw([], bs)
+                          | self._seed_kw([], bs))
 
     def _run_spec_shapes(self, bs: int) -> None:
         cfg = self.config
@@ -525,7 +556,8 @@ class InferenceEngine:
         k64 = np.full(bs, 64, dtype=np.int32)
         self._call_prefill(tokens, tables, z, z, f, f, k64, has_history,
                            adapter_ids=z if self.config.lora else None,
-                           extra_kw=self._penalty_kw([], bs))
+                           extra_kw=self._penalty_kw([], bs)
+                           | self._seed_kw([], bs))
 
     def _step_rng(self) -> jax.Array:
         self._rng, sub = jax.random.split(self._rng)
@@ -553,6 +585,11 @@ class InferenceEngine:
             raise ValueError(
                 "logprobs requested but the engine was built with "
                 "logprobs_k=0 (the logprob step variant is not compiled)")
+        if sampling is not None and sampling.seed is not None \
+                and self._sharded:
+            raise ValueError(
+                "per-request seeds are single-rank only (the sharded step "
+                "fns do not thread the per-row keys)")
         if (sampling is not None and sampling.has_penalties
                 and not self.config.enable_penalties):
             raise ValueError(
@@ -733,7 +770,7 @@ class InferenceEngine:
             tokens, tables, chunk_lens, history, temperature, top_p, top_ks,
             bool(history.any()),
             adapter_ids=adapters if self.config.lora else None,
-            extra_kw=self._penalty_kw(seqs, B))
+            extra_kw=self._penalty_kw(seqs, B) | self._seed_kw(seqs, B))
 
         self.scheduler.on_prefill_done(batch)
         if self._prefix_caching:
@@ -988,7 +1025,8 @@ class InferenceEngine:
         span_tokens, lp = self._call_decode(
             tokens, tables, context, temperature, top_p, top_ks, span,
             adapter_ids=adapters if self.config.lora else None,
-            extra_kw=self._penalty_kw(seqs, B))  # [B, span]
+            extra_kw=self._penalty_kw(seqs, B)
+            | self._seed_kw(seqs, B))  # [B, span]
 
         produced = 0
         for i, seq in enumerate(seqs):
@@ -1099,15 +1137,23 @@ class InferenceEngine:
     # ------------------------------------------------------------------
 
     def generate(self, prompts: list[str] | list[list[int]],
-                 sampling: Optional[SamplingParams] = None,
+                 sampling: Optional[SamplingParams | list] = None,
                  ) -> list[Sequence]:
+        """``sampling`` is one SamplingParams for every prompt or a list
+        with one entry per prompt (vLLM's convention)."""
+        if isinstance(sampling, (list, tuple)):
+            if len(sampling) != len(prompts):
+                raise ValueError("need one SamplingParams per prompt")
+            per_prompt = list(sampling)
+        else:
+            per_prompt = [sampling] * len(prompts)
         ids = []
-        for p in prompts:
+        for p, sp in zip(prompts, per_prompt):
             if isinstance(p, str):
-                ids.append(self.add_request(prompt=p, sampling=sampling))
+                ids.append(self.add_request(prompt=p, sampling=sp))
             else:
                 ids.append(self.add_request(prompt_token_ids=list(p),
-                                            sampling=sampling))
+                                            sampling=sp))
         while not self.scheduler.is_finished():
             self.step()
         done = {s.seq_id: s for s in self.scheduler.pop_finished()}

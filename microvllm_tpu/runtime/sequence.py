@@ -54,6 +54,10 @@ class SamplingParams:
     presence_penalty: float = 0.0
     frequency_penalty: float = 0.0
     repetition_penalty: float = 1.0
+    # Per-request seed (None = unseeded): stochastic sampling becomes a
+    # pure function of (seed, output position) — reproducible regardless
+    # of batch composition. Single-rank engines only.
+    seed: Optional[int] = None
 
     @property
     def has_penalties(self) -> bool:

@@ -503,7 +503,11 @@ def _parse_sampling(data: dict[str, Any], default_max: int,
         raise _bad_request(
             "sampling penalties not available (start the server with "
             "--enable-penalties)")
+    seed = data.get("seed")
+    if seed is not None and not isinstance(seed, int):
+        raise _bad_request("seed must be an integer")
     return SamplingParams(
+        seed=seed,
         presence_penalty=presence,
         frequency_penalty=frequency,
         repetition_penalty=repetition,

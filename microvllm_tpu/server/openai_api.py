@@ -107,7 +107,7 @@ def add_openai_routes(app: web.Application, server, default_max: int) -> None:
         if data.get("stop_token_ids"):
             native["stop_token_ids"] = data["stop_token_ids"]
         for pen in ("presence_penalty", "frequency_penalty",
-                    "repetition_penalty"):
+                    "repetition_penalty", "seed"):
             if data.get(pen) is not None:
                 native[pen] = data[pen]
         try:

@@ -154,3 +154,35 @@ def test_spec_falls_back_on_penalties():
     eng.generate([[1, 2, 3, 4]], sampling=sp)
     assert eng.metrics.spec_fallbacks.get("penalties", 0) > 0
     assert eng.metrics.spec_rounds == 0
+
+
+def test_seeded_sampling_reproducible_across_batch_compositions():
+    """A seeded stochastic request produces the same tokens whether it
+    runs alone or batched with other (different) requests — the per-row
+    key is a pure function of (seed, output position)."""
+    eng = _engine()
+    sp = SamplingParams(temperature=0.8, top_p=0.95, max_new_tokens=10,
+                        ignore_eos=True, seed=1234)
+    alone = eng.generate([[5, 9, 2]], sampling=sp)[0].output_token_ids
+    other = SamplingParams(temperature=1.3, max_new_tokens=10,
+                           ignore_eos=True, seed=77)
+    batched = eng.generate([[5, 9, 2], [8, 1, 4], [3, 3, 3]],
+                           sampling=[sp, other, other])
+    assert batched[0].output_token_ids == alone
+    # same prompt, different seed -> (almost surely) different output
+    sp2 = SamplingParams(temperature=0.8, top_p=0.95, max_new_tokens=10,
+                         ignore_eos=True, seed=4321)
+    diff = eng.generate([[5, 9, 2]], sampling=sp2)[0].output_token_ids
+    assert diff != alone
+    # and repeated runs of the same seed stay identical
+    again = eng.generate([[5, 9, 2]], sampling=sp)[0].output_token_ids
+    assert again == alone
+
+
+def test_unseeded_sampling_still_engine_deterministic():
+    """Without per-request seeds, two engines with the same engine seed
+    produce identical stochastic outputs (prior behavior preserved)."""
+    sp = SamplingParams(temperature=0.9, max_new_tokens=8, ignore_eos=True)
+    a = _engine().generate([[1, 2, 3]], sampling=sp)[0].output_token_ids
+    b = _engine().generate([[1, 2, 3]], sampling=sp)[0].output_token_ids
+    assert a == b
