@@ -628,7 +628,8 @@ def decode_span(cfg: ModelConfig, params: Params,
 
     quantized = k_scales is not None
     if penalties is not None:
-        hist, hist_lens, out_start, p_pres, p_freq, p_rep = penalties
+        (hist, hist_lens, out_start, p_pres, p_freq, p_rep, p_bias_ids,
+         p_bias_vals) = penalties
         counts0, seen0 = penalty_state(hist, hist_lens, out_start,
                                        cfg.vocab_size)
     else:
@@ -654,7 +655,7 @@ def decode_span(cfg: ModelConfig, params: Params,
         raw = logits
         if penalties is not None:
             logits = apply_penalties(logits, counts, seen, p_pres, p_freq,
-                                     p_rep)
+                                     p_rep, p_bias_ids, p_bias_vals)
         rk = (per_row_keys(sub, seeds, pos) if seed_state is not None
               else None)
         nxt = sample_tokens(logits, sub, temperature, top_p,

@@ -132,20 +132,32 @@ def penalty_update(counts: jnp.ndarray, seen: jnp.ndarray,
 
 def apply_penalties(logits: jnp.ndarray, counts: jnp.ndarray,
                     seen: jnp.ndarray, presence: jnp.ndarray,
-                    freq: jnp.ndarray, rep: jnp.ndarray) -> jnp.ndarray:
+                    freq: jnp.ndarray, rep: jnp.ndarray,
+                    bias_ids: jnp.ndarray | None = None,
+                    bias_vals: jnp.ndarray | None = None) -> jnp.ndarray:
     """OpenAI/vLLM sampling penalties, in vLLM's application order.
 
     repetition (HF semantics, over prompt + generated): positive logits of
     seen tokens divide by ``rep``, negative multiply (``rep == 1`` = off);
     then ``logits -= freq * count + presence * (count > 0)`` over
     GENERATED-token counts (OpenAI semantics). All ``[B]``-shaped knobs.
+
+    bias_ids/bias_vals: optional ``[B, Kb]`` per-request logit_bias
+    entries (OpenAI); padding slots carry an out-of-range id and are
+    dropped by the scatter.
     """
     logits = logits.astype(jnp.float32)
     rp = rep[:, None]
     pen = jnp.where(logits > 0, logits / rp, logits * rp)
     logits = jnp.where(seen, pen, logits)
     gen_seen = (counts > 0).astype(jnp.float32)
-    return logits - (freq[:, None] * counts + presence[:, None] * gen_seen)
+    logits = logits - (freq[:, None] * counts
+                       + presence[:, None] * gen_seen)
+    if bias_ids is not None:
+        rows = jnp.arange(logits.shape[0], dtype=jnp.int32)[:, None]
+        logits = logits.at[rows, bias_ids].add(
+            bias_vals.astype(jnp.float32), mode="drop")
+    return logits
 
 
 def token_logprobs(logits: jnp.ndarray, tokens: jnp.ndarray, k: int):

@@ -59,10 +59,10 @@ def _penalized_prefill_sample(cfg, logits, rng, temperature, top_p, top_ks,
     raw = logits
     if penalties is not None:
         from ..ops.sampling import apply_penalties, penalty_state
-        hist, hist_lens, out_start, pp, pf, pr = penalties
+        hist, hist_lens, out_start, pp, pf, pr, bi, bv = penalties
         counts, seen = penalty_state(hist, hist_lens, out_start,
                                      cfg.vocab_size)
-        logits = apply_penalties(logits, counts, seen, pp, pf, pr)
+        logits = apply_penalties(logits, counts, seen, pp, pf, pr, bi, bv)
     rk = None
     if seed_state is not None:
         from ..ops.sampling import per_row_keys
@@ -428,6 +428,9 @@ class InferenceEngine:
         pres = np.zeros(B, np.float32)
         freq = np.zeros(B, np.float32)
         rep = np.ones(B, np.float32)
+        KB = 32   # logit_bias slots per request (validated at parse)
+        bias_ids = np.full((B, KB), self.mcfg.vocab_size, np.int32)
+        bias_vals = np.zeros((B, KB), np.float32)
         for i, seq in enumerate(seqs):
             ids = seq.prompt_token_ids + seq.output_token_ids
             hist[i, :len(ids)] = ids[:Lcap]
@@ -437,10 +440,15 @@ class InferenceEngine:
             pres[i] = s.presence_penalty
             freq[i] = s.frequency_penalty
             rep[i] = s.repetition_penalty
+            for j, (tid, bias) in enumerate(s.logit_bias[:KB]):
+                bias_ids[i, j] = tid
+                bias_vals[i, j] = bias
         return {"penalties": (
             jnp.asarray(hist), jnp.asarray(hist_lens),
             jnp.asarray(out_start), self._put_cached("pen_p", pres),
-            self._put_cached("pen_f", freq), self._put_cached("pen_r", rep))}
+            self._put_cached("pen_f", freq), self._put_cached("pen_r", rep),
+            self._put_cached("pen_bi", bias_ids),
+            self._put_cached("pen_bv", bias_vals))}
 
     def _call_decode(self, tokens, tables, context, temperature, top_p,
                      top_ks, span: int, adapter_ids=None, extra_kw=None):

@@ -54,6 +54,9 @@ class SamplingParams:
     presence_penalty: float = 0.0
     frequency_penalty: float = 0.0
     repetition_penalty: float = 1.0
+    # OpenAI logit_bias: ((token_id, bias), ...) added to the logits
+    # before sampling (max 32 entries; requires enable_penalties).
+    logit_bias: tuple = ()
     # Per-request seed (None = unseeded): stochastic sampling becomes a
     # pure function of (seed, output position) — reproducible regardless
     # of batch composition. Single-rank engines only.
@@ -62,7 +65,7 @@ class SamplingParams:
     @property
     def has_penalties(self) -> bool:
         return (self.presence_penalty != 0.0 or self.frequency_penalty != 0.0
-                or self.repetition_penalty != 1.0)
+                or self.repetition_penalty != 1.0 or bool(self.logit_bias))
 
 
 @dataclass

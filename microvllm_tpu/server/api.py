@@ -498,11 +498,26 @@ def _parse_sampling(data: dict[str, Any], default_max: int,
             "presence_penalty / frequency_penalty must be in [-2, 2]")
     if not (0.0 < repetition <= 100.0):
         raise _bad_request("repetition_penalty must be in (0, 100]")
-    has_pen = presence != 0.0 or frequency != 0.0 or repetition != 1.0
+    lb = data.get("logit_bias") or {}
+    if not isinstance(lb, dict):
+        raise _bad_request("logit_bias must be an object of id -> bias")
+    if len(lb) > 32:
+        raise _bad_request("logit_bias supports at most 32 entries")
+    bias = []
+    for k, v in lb.items():
+        try:
+            tid, bv = int(k), float(v)
+        except (TypeError, ValueError):
+            raise _bad_request("logit_bias entries must be id -> number")
+        if not -100.0 <= bv <= 100.0:
+            raise _bad_request("logit_bias values must be in [-100, 100]")
+        bias.append((tid, bv))
+    has_pen = (presence != 0.0 or frequency != 0.0 or repetition != 1.0
+               or bool(bias))
     if has_pen and not penalties_enabled:
         raise _bad_request(
-            "sampling penalties not available (start the server with "
-            "--enable-penalties)")
+            "sampling penalties / logit_bias not available (start the "
+            "server with --enable-penalties)")
     seed = data.get("seed")
     if seed is not None and not isinstance(seed, int):
         raise _bad_request("seed must be an integer")
@@ -511,6 +526,7 @@ def _parse_sampling(data: dict[str, Any], default_max: int,
         presence_penalty=presence,
         frequency_penalty=frequency,
         repetition_penalty=repetition,
+        logit_bias=tuple(bias),
         temperature=temperature,
         top_p=top_p,
         top_k=top_k,

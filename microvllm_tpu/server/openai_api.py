@@ -83,9 +83,6 @@ def add_openai_routes(app: web.Application, server, default_max: int) -> None:
             raise _err("echo is not supported")
         if data.get("suffix"):
             raise _err("suffix is not supported")
-        if data.get("logit_bias"):
-            raise _err("logit_bias is not supported (explicit, rather than "
-                       "silently ignored)")
         return n, best_of
 
     def _sampling(data: dict, lp_count: int, chat: bool):
@@ -107,7 +104,7 @@ def add_openai_routes(app: web.Application, server, default_max: int) -> None:
         if data.get("stop_token_ids"):
             native["stop_token_ids"] = data["stop_token_ids"]
         for pen in ("presence_penalty", "frequency_penalty",
-                    "repetition_penalty", "seed"):
+                    "repetition_penalty", "seed", "logit_bias"):
             if data.get(pen) is not None:
                 native[pen] = data[pen]
         try:

@@ -284,9 +284,13 @@ def test_penalties_flow_through_openai_dialect(loop):
             text = (await resp.json())["choices"][0]["text"]
             ids = re.findall(r"<(\d+)>", text)
             assert len(set(ids)) == len(ids)     # all-distinct under penalty
+            # logit_bias now flows through too: +100 forces the token
             resp = await client.post("/v1/completions", json={
-                "model": "m", "prompt": "<5>", "logit_bias": {"5": -100}})
-            assert resp.status == 400
+                "model": "m", "prompt": "<5>", "max_tokens": 2,
+                "temperature": 0.0, "ignore_eos": True,
+                "logit_bias": {"123": 100}})
+            assert resp.status == 200, await resp.text()
+            assert (await resp.json())["choices"][0]["text"] == "<123><123>"
         finally:
             await client.close()
     loop.run_until_complete(go())

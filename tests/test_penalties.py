@@ -186,3 +186,21 @@ def test_unseeded_sampling_still_engine_deterministic():
     a = _engine().generate([[1, 2, 3]], sampling=sp)[0].output_token_ids
     b = _engine().generate([[1, 2, 3]], sampling=sp)[0].output_token_ids
     assert a == b
+
+
+def test_logit_bias_forces_and_blocks_tokens():
+    """A +100 bias makes the token the greedy argmax; a -100 bias on the
+    unbiased argmax forbids it (OpenAI logit_bias semantics)."""
+    eng = _engine(enable_penalties=True)
+    sp0 = SamplingParams(temperature=0.0, max_new_tokens=1, ignore_eos=True)
+    base = eng.generate([[5, 9, 2]], sampling=sp0)[0].output_token_ids[0]
+
+    forced = eng.generate([[5, 9, 2]], sampling=SamplingParams(
+        temperature=0.0, max_new_tokens=3, ignore_eos=True,
+        logit_bias=((123, 100.0),)))[0].output_token_ids
+    assert forced == [123, 123, 123]
+
+    blocked = eng.generate([[5, 9, 2]], sampling=SamplingParams(
+        temperature=0.0, max_new_tokens=1, ignore_eos=True,
+        logit_bias=((base, -100.0),)))[0].output_token_ids[0]
+    assert blocked != base
