@@ -206,12 +206,23 @@ def init_params(cfg: ModelConfig, key: jax.Array,
             layers["bk"] = jnp.zeros((L, kv_dim), dtype)
             layers["bv"] = jnp.zeros((L, kv_dim), dtype)
 
+    embed = w(keys[7], (cfg.vocab_size, h), h)
+    if cfg.tie_word_embeddings:
+        lm_head = None
+        if quant_bits is not None:
+            # tied: quantize a transposed copy so big-vocab tied models
+            # take the a8 wide-N lm_head kernel (see ops/quant.py note)
+            from ..ops.quant import quantize
+            lm_head = quantize(jnp.swapaxes(embed, 0, 1), quant_bits,
+                               quant_group_size)
+            jax.block_until_ready(lm_head.q)
+    else:
+        lm_head = wq_(keys[8], (h, cfg.vocab_size), h)
     params: Params = {
-        "embed": w(keys[7], (cfg.vocab_size, h), h),
+        "embed": embed,
         "layers": layers,
         "final_norm": jnp.ones((h,), dtype),
-        "lm_head": (None if cfg.tie_word_embeddings
-                    else wq_(keys[8], (h, cfg.vocab_size), h)),
+        "lm_head": lm_head,
     }
     return params
 

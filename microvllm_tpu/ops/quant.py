@@ -302,4 +302,14 @@ def quantize_params(params, bits: int, group_size: int = 128, tp: int = 1,
     out["layers"] = layers
     if isinstance(out.get("lm_head"), jnp.ndarray) and out["lm_head"] is not None:
         out["lm_head"] = quantize(out["lm_head"], bits, group_size)
+    elif out.get("lm_head") is None and isinstance(out.get("embed"),
+                                                   jnp.ndarray):
+        # tied embeddings: quantize a transposed copy for the lm_head so
+        # big-vocab tied models (gemma2's 256k, qwen's 152k at 0.5B) ride
+        # the a8 wide-N kernel instead of a bf16 [H, V] matmul — faster,
+        # and it removes the transposed-embed transient that OOMed
+        # gemma2-9b's first prefill (embed itself stays bf16 for the
+        # token-id gather).
+        out["lm_head"] = quantize(
+            jnp.swapaxes(out["embed"], 0, 1), bits, group_size)
     return out
