@@ -282,6 +282,12 @@ PRESETS: dict[str, ModelConfig] = {
         rms_norm_eps=1e-5, max_position_embeddings=4096,
         model_type="olmoe", num_experts=64, num_experts_per_tok=8,
         qk_norm=True, qk_norm_kind="full", moe_renorm=False),
+    "phi3-mini": ModelConfig(      # fused qkv/gate_up checkpoints, SWA 2047
+        vocab_size=32064, hidden_size=3072, intermediate_size=8192,
+        num_layers=32, num_heads=32, num_kv_heads=32, head_dim=96,
+        rope_theta=10000.0, tie_word_embeddings=False, qkv_bias=False,
+        rms_norm_eps=1e-5, max_position_embeddings=4096,
+        model_type="phi3", sliding_window=2047),
 }
 
 

@@ -109,6 +109,27 @@ def load_params(path: str, cfg: ModelConfig | None = None) -> tuple[ModelConfig,
             x = x + jnp.asarray(norm_offset, x.dtype)
         layers[key] = x
 
+    # phi3 fused checkpoint layout: one qkv_proj ([q_dim+2*kv_dim, H]) and
+    # one gate_up_proj ([2*I, H]) per layer. Split into our standard keys
+    # (the runtime re-fuses QKV/gate-up itself at quantize time, in ITS
+    # shard-aware interleaving — see transformer.init_params).
+    if "wq" not in layers and "model.layers.0.self_attn.qkv_proj.weight" in ckpt:
+        qkv = jnp.stack([get(f"model.layers.{i}.self_attn.qkv_proj.weight")
+                         for i in range(cfg.num_layers)])
+        qkv = jnp.swapaxes(qkv, 1, 2)  # [L, H, q+2kv]
+        q, kv = cfg.q_dim, cfg.kv_dim
+        layers["wq"] = qkv[:, :, :q]
+        layers["wk"] = qkv[:, :, q:q + kv]
+        layers["wv"] = qkv[:, :, q + kv:q + 2 * kv]
+    if "w_gate" not in layers and ("model.layers.0.mlp.gate_up_proj.weight"
+                                   in ckpt):
+        gu = jnp.stack([get(f"model.layers.{i}.mlp.gate_up_proj.weight")
+                        for i in range(cfg.num_layers)])
+        gu = jnp.swapaxes(gu, 1, 2)  # [L, H, 2I]
+        I = cfg.intermediate_size
+        layers["w_gate"] = gu[:, :, :I]
+        layers["w_up"] = gu[:, :, I:]
+
     if cfg.num_experts > 0:
         # MoE: router + per-expert gate/up/down stacked [L, E, in, out]
         # (HF stores [out, in] per matrix). Name conventions: mixtral uses

@@ -83,6 +83,18 @@ def _build_hf(family: str):
             max_position_embeddings=512, tie_word_embeddings=False,
             attn_implementation="eager")
         return OlmoeForCausalLM(cfg)
+    if family == "phi3":
+        # fused qkv_proj / gate_up_proj checkpoint layout (the loader must
+        # split them into our standard keys); sliding_window=4 bites on a
+        # 9-token prompt
+        from transformers import Phi3Config, Phi3ForCausalLM
+        cfg = Phi3Config(
+            vocab_size=256, hidden_size=64, intermediate_size=128,
+            num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+            rope_theta=10000.0, rms_norm_eps=1e-5, pad_token_id=0,
+            max_position_embeddings=512, tie_word_embeddings=False,
+            sliding_window=4, attn_implementation="eager")
+        return Phi3ForCausalLM(cfg)
     if family == "mixtral":
         # Mixture-of-Experts: 4 experts, top-2 routing
         from transformers import MixtralConfig, MixtralForCausalLM
@@ -119,7 +131,7 @@ def _build_hf(family: str):
 
 @pytest.fixture(scope="module",
                 params=["qwen2", "qwen3", "gemma2", "llama", "llama3.1",
-                        "mistral", "mixtral", "olmoe"])
+                        "mistral", "mixtral", "olmoe", "phi3"])
 def snapshot(request, tmp_path_factory):
     hf = _build_hf(request.param).eval()
     d = tmp_path_factory.mktemp(f"hf_{request.param}")
