@@ -129,13 +129,20 @@ class ModelConfig:
         # mistral uses sliding_window unconditionally when set; qwen2 ships
         # the field but gates it behind use_sliding_window (default False)
         window = cfg.get("sliding_window")
-        if (model_type in ("qwen2", "qwen3")
+        if (model_type in ("qwen2", "qwen3", "qwen3_moe")
                 and not cfg.get("use_sliding_window", False)):
             window = None
         gemma2 = model_type == "gemma2"
+        if model_type == "qwen3_moe" and (
+                cfg.get("mlp_only_layers")
+                or cfg.get("decoder_sparse_step", 1) != 1):
+            raise NotImplementedError(
+                "qwen3_moe with dense layers mixed in (mlp_only_layers / "
+                "decoder_sparse_step) is not supported: the layer scan "
+                "assumes a homogeneous MoE stack")
         act = cfg.get("hidden_activation") or cfg.get("hidden_act", "silu")
         return cls(
-            qk_norm=model_type in ("qwen3", "olmoe"),
+            qk_norm=model_type in ("qwen3", "qwen3_moe", "olmoe"),
             qk_norm_kind="full" if model_type == "olmoe" else "head",
             moe_renorm=cfg.get("norm_topk_prob", model_type == "mixtral"),
             attn_logit_softcap=cfg.get("attn_logit_softcapping")
@@ -156,7 +163,13 @@ class ModelConfig:
             num_experts_per_tok=cfg.get("num_experts_per_tok", 2),
             vocab_size=cfg["vocab_size"],
             hidden_size=hidden,
-            intermediate_size=cfg["intermediate_size"],
+            # qwen3_moe has BOTH a dense intermediate_size (only used on
+            # mlp_only_layers, which we require empty) and the expert width
+            # moe_intermediate_size; mixtral/olmoe reuse intermediate_size
+            # as the per-expert width
+            intermediate_size=(cfg.get("moe_intermediate_size")
+                               if model_type == "qwen3_moe"
+                               else cfg["intermediate_size"]),
             num_layers=cfg["num_hidden_layers"],
             num_heads=heads,
             num_kv_heads=cfg.get("num_key_value_heads", heads),
@@ -282,6 +295,12 @@ PRESETS: dict[str, ModelConfig] = {
         rms_norm_eps=1e-5, max_position_embeddings=4096,
         model_type="olmoe", num_experts=64, num_experts_per_tok=8,
         qk_norm=True, qk_norm_kind="full", moe_renorm=False),
+    "qwen3-30b-a3b": ModelConfig(  # qk-norm MoE: 128 experts, top-8
+        vocab_size=151936, hidden_size=2048, intermediate_size=768,
+        num_layers=48, num_heads=32, num_kv_heads=4, head_dim=128,
+        rope_theta=1000000.0, tie_word_embeddings=False, qkv_bias=False,
+        rms_norm_eps=1e-6, model_type="qwen3_moe", qk_norm=True,
+        num_experts=128, num_experts_per_tok=8, moe_renorm=True),
     "phi3-mini": ModelConfig(      # fused qkv/gate_up checkpoints, SWA 2047
         vocab_size=32064, hidden_size=3072, intermediate_size=8192,
         num_layers=32, num_heads=32, num_kv_heads=32, head_dim=96,

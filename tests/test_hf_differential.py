@@ -95,6 +95,19 @@ def _build_hf(family: str):
             max_position_embeddings=512, tie_word_embeddings=False,
             sliding_window=4, attn_implementation="eager")
         return Phi3ForCausalLM(cfg)
+    if family == "qwen3moe":
+        # qk-norm (per-head, pre-RoPE) COMBINED with MoE routing; HF
+        # default norm_topk_prob=False must flow through to moe_renorm
+        from transformers import Qwen3MoeConfig, Qwen3MoeForCausalLM
+        cfg = Qwen3MoeConfig(
+            vocab_size=256, hidden_size=64, intermediate_size=128,
+            moe_intermediate_size=96, num_hidden_layers=2,
+            num_attention_heads=4, num_key_value_heads=2, head_dim=16,
+            num_experts=4, num_experts_per_tok=2,
+            rope_theta=10000.0, rms_norm_eps=1e-6,
+            max_position_embeddings=512, tie_word_embeddings=False,
+            attn_implementation="eager")
+        return Qwen3MoeForCausalLM(cfg)
     if family == "mixtral":
         # Mixture-of-Experts: 4 experts, top-2 routing
         from transformers import MixtralConfig, MixtralForCausalLM
@@ -131,7 +144,7 @@ def _build_hf(family: str):
 
 @pytest.fixture(scope="module",
                 params=["qwen2", "qwen3", "gemma2", "llama", "llama3.1",
-                        "mistral", "mixtral", "olmoe", "phi3"])
+                        "mistral", "mixtral", "olmoe", "phi3", "qwen3moe"])
 def snapshot(request, tmp_path_factory):
     hf = _build_hf(request.param).eval()
     d = tmp_path_factory.mktemp(f"hf_{request.param}")
