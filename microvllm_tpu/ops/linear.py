@@ -21,12 +21,18 @@ def _pallas_block_k(K: int, group_size: int) -> int:
     return best
 
 
-def _wide_block_n() -> int:
+def _wide_block_n(rows: int) -> int:
     """N-tile width for wide-N matmuls (lm_head). Sweepable on TPU via
     MVT_WIDE_BLOCK_N (lm_head measured 75% of roofline at 2048 in r2 —
-    bigger tiles amortize per-step overhead, bounded by VMEM)."""
+    bigger tiles amortize per-step overhead, bounded by VMEM). Applies at
+    decode-size m only: the wide path also serves the prefill gate_up
+    (N=2I >= 32k on 7B), where a [256, block_n] accumulator plus the
+    double-buffered weight block blows the 16 MB scoped-VMEM limit above
+    block_n 2048."""
     import os
 
+    if rows > 64:
+        return 2048
     return int(os.environ.get("MVT_WIDE_BLOCK_N", "2048"))
 
 
@@ -52,7 +58,7 @@ def _quant_linear(x: jnp.ndarray, w: QuantizedTensor, layer) -> jnp.ndarray:
         for d in lead:
             rows *= d
         block_n = (N if (N <= 6144 and rows <= 64)
-                   else (_wide_block_n() if N >= 32768 else 512))
+                   else (_wide_block_n(rows) if N >= 32768 else 512))
         if w.stacked or (mode == "a8" and w.scales_tiled is not None):
             if mode == "a8":
                 # W4A8/W8A8: int8 activations -> int8 MXU dots per scale
@@ -273,7 +279,7 @@ def quant_linear_normed(x: jnp.ndarray, w, norm_w, eps, layer,
         x.reshape(rows, K), nw, q, st, layer,
         group_size=gs, bits=w.bits, block_k=w.block_k,
         block_n=(N if (N <= 6144 and rows <= 64)
-                 else (_wide_block_n() if N >= 32768 else 512)),
+                 else (_wide_block_n(rows) if N >= 32768 else 512)),
         has_norm=has_norm, eps=float(eps), out_dtype=x.dtype)
     y = y.reshape(*lead, N)
     if bias is not None:
