@@ -167,7 +167,7 @@ class ModelConfig:
             # mlp_only_layers, which we require empty) and the expert width
             # moe_intermediate_size; mixtral/olmoe reuse intermediate_size
             # as the per-expert width
-            intermediate_size=(cfg.get("moe_intermediate_size")
+            intermediate_size=(cfg["moe_intermediate_size"]
                                if model_type == "qwen3_moe"
                                else cfg["intermediate_size"]),
             num_layers=cfg["num_hidden_layers"],
@@ -502,6 +502,19 @@ class EngineConfig:
     spec_k: int = 0
     spec_steps: int = 4
     spec_ngram: int = 2
+    # Adaptive speculation: n-gram drafting only pays above ~70% draft
+    # acceptance (measured, RESULTS.md spec table — at low acceptance the
+    # verify pass wastes a k+1-token prefill per round and lockstep breaks
+    # into ramp-down stragglers). When enabled, the engine tracks a
+    # trailing acceptance EMA and DISENGAGES speculation (plain decode
+    # spans) once the EMA falls below spec_accept_floor, re-probing with
+    # one speculative span every spec_reprobe_spans plain spans so a
+    # traffic shift back to repetitive text re-engages it. vLLM disengages
+    # its speculative path dynamically too; the reference has none.
+    spec_adaptive: bool = True
+    spec_accept_floor: float = 0.7
+    spec_reprobe_spans: int = 16
+    spec_min_rounds: int = 8     # EMA samples required before disengaging
     # Per-token logprobs (0 = off). When > 0 the decode/prefill steps emit
     # each token's log-probability + the top-k alternatives (raw-logit
     # log-softmax) as extra device outputs — a separate compiled variant,

@@ -30,8 +30,14 @@ Under tensor parallelism the bf16 expert FFNs shard exactly like the
 dense MLP — gate/up column-parallel on the intermediate dim, down
 row-parallel — with the router replicated; the caller psums the output.
 Expert parallelism (sharding E itself) composes with the same math.
-Quantized expert stacks are single-rank-only for now (init/quantize gate
-on tp == 1).
+
+Quantized expert stacks are EXPERT-MAJOR ``[E*L, ...]`` (flat index
+``e * num_layers + l``) so expert parallelism is a plain first-axis
+shard: rank r of an EP group holds experts ``[r*E/ep, (r+1)*E/ep)`` ×
+all layers contiguously. Routing always runs on the full (replicated)
+router; under EP each rank computes only its local experts'
+contributions (remote tokens add zero) and the caller's psum combines —
+the same reduction that sums the row-parallel dense MLP.
 """
 
 from __future__ import annotations
@@ -100,20 +106,29 @@ def moe_mlp(x: jnp.ndarray,          # [..., H] (post-norm)
 
 
 def moe_mlp_quant(x: jnp.ndarray,        # [..., H] (post-norm)
-                  w_router: jnp.ndarray,  # [H, E]
-                  w_gu,                   # QuantizedTensor [L*E, H, 2I]
-                  w_dn,                   # QuantizedTensor [L*E, I, H]
+                  w_router: jnp.ndarray,  # [H, E] (always the FULL router)
+                  w_gu,                   # QuantizedTensor [E(_l)*L, H, 2I]
+                  w_dn,                   # QuantizedTensor [E(_l)*L, I, H]
                   layer,                  # traced layer index l
                   num_experts: int,
                   top_k: int,
+                  num_layers: int,
                   renorm: bool = True,
-                  act: str = "silu") -> jnp.ndarray:
-    """Routed SwiGLU MLP over QUANTIZED expert stacks (single rank).
+                  act: str = "silu",
+                  ep_axis: str | None = None,
+                  ep_size: int = 1) -> jnp.ndarray:
+    """Routed SwiGLU MLP over QUANTIZED expert-major stacks.
 
-    The expert weight index ``layer*E + e`` is a traced scalar consumed
-    by the layer-stacked kernels' scalar-prefetch BlockSpecs, exactly
-    like the dense path's layer index — so expert selection costs a
-    dynamic index, not a weight gather/copy.
+    The expert weight index ``e * num_layers + layer`` is a traced scalar
+    consumed by the layer-stacked kernels' scalar-prefetch BlockSpecs,
+    exactly like the dense path's layer index — so expert selection costs
+    a dynamic index, not a weight gather/copy.
+
+    Under expert parallelism (``ep_axis`` set, inside shard_map) the
+    stacks are first-axis shards holding ``E/ep`` whole experts; the
+    gather path `lax.cond`-skips remote experts (no DMA for weights
+    another rank owns) and the sweep path loops only the local experts.
+    Returns the pre-psum local contribution; the caller reduces.
     """
     from ..ops.activations import glu_act
     from ..ops.linear import linear
@@ -124,9 +139,12 @@ def moe_mlp_quant(x: jnp.ndarray,        # [..., H] (post-norm)
     x2 = x.reshape(-1, H)
     rows = x2.shape[0]
     sel, top_w, top_i = moe_route(x2, w_router, top_k, renorm)
-    base = layer * num_experts
+    e_local = num_experts // ep_size
+    rank0 = (jax.lax.axis_index(ep_axis) * e_local
+             if ep_axis is not None and ep_size > 1 else None)
 
-    def expert_out(idx):
+    def expert_out(e_loc):
+        idx = e_loc * num_layers + layer
         gu = linear(x2, w_gu, layer=idx)
         half = gu.shape[-1] // 2
         a = f(gu[..., :half], gu[..., half:]).astype(x.dtype)
@@ -136,14 +154,26 @@ def moe_mlp_quant(x: jnp.ndarray,        # [..., H] (post-norm)
         # decode gather: only the k selected experts' weights are read
         out = jnp.zeros((1, H), jnp.float32)
         for j in range(top_k):
-            out = out + (top_w[0, j].astype(jnp.float32)
-                         * expert_out(base + top_i[0, j]))
+            e = top_i[0, j]
+            wgt = top_w[0, j].astype(jnp.float32)
+            if rank0 is None:
+                out = out + wgt * expert_out(e)
+            else:
+                # EP: compute (and DMA) only when expert e lives here
+                e_loc = e - rank0
+                out = out + jax.lax.cond(
+                    (e_loc >= 0) & (e_loc < e_local),
+                    lambda el=e_loc, w_=wgt: w_ * expert_out(
+                        jnp.clip(el, 0, e_local - 1)),
+                    lambda: jnp.zeros((1, H), jnp.float32))
         return out.reshape(*lead, H).astype(x.dtype)
 
-    # batched rows: masked all-E sweep, each expert's weights read once
-    def body(e, acc):
-        return acc + sel[:, e, None] * expert_out(base + e)
+    # batched rows: masked local-expert sweep, each expert's weights read
+    # once (per rank, under EP)
+    def body(e_loc, acc):
+        e = e_loc if rank0 is None else rank0 + e_loc
+        return acc + sel[:, e, None] * expert_out(e_loc)
 
-    out = jax.lax.fori_loop(0, num_experts, body,
+    out = jax.lax.fori_loop(0, e_local, body,
                             jnp.zeros((rows, H), jnp.float32))
     return out.reshape(*lead, H).astype(x.dtype)

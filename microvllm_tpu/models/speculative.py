@@ -84,16 +84,25 @@ def spec_decode_span(cfg: ModelConfig, params, k_cache, v_cache,
                      v_scales: jnp.ndarray | None = None,
                      adapter_ids: jnp.ndarray | None = None,
                      lora_scaling: float = 1.0,
-                     tp_axis: str | None = None, tp_size: int = 1):
+                     tp_axis: str | None = None, tp_size: int = 1,
+                     logprobs_k: int = 0):
     """Run ``num_steps`` propose→verify→accept rounds on device.
 
     Verification routes through ``prefill_step``, which handles int8 KV
     (``k_scales``/``v_scales``) and per-row LoRA (``adapter_ids``) natively,
     so speculation composes with both (r2 gated them out conservatively).
 
+    ``logprobs_k > 0`` additionally emits per-token logprobs from the
+    verify pass's own logits (the row that predicts emitted token j IS
+    row j of the verify window): chosen-token logprob plus the top-k
+    alternatives — so logprob-requesting traffic keeps speculating
+    instead of disabling it for the whole batch.
+
     Returns (emitted ``[num_steps, B, k+1]`` int32, counts
     ``[num_steps, B]`` int32 — valid tokens per round, in [1, k+1] — ,
-    new_k_cache, new_v_cache[, new_k_scales, new_v_scales]).
+    lp — ``()`` or (chosen ``[steps, B, S]``, top ``[steps, B, S, K]``,
+    ids ``[steps, B, S, K]``) — , new_k_cache, new_v_cache[, new_k_scales,
+    new_v_scales]).
     """
     B = last_tokens.shape[0]
     S = k + 1
@@ -112,11 +121,15 @@ def spec_decode_span(cfg: ModelConfig, params, k_cache, v_cache,
             has_history=True, all_greedy=True, slot_exact_store=True,
             k_scales=ks, v_scales=vs,
             adapter_ids=adapter_ids, lora_scaling=lora_scaling,
-            tp_axis=tp_axis, tp_size=tp_size)
+            tp_axis=tp_axis, tp_size=tp_size,
+            with_logits=logprobs_k > 0)
         if quantized:
             preds, kc, vc, ks, vs = out
         else:
             preds, kc, vc = out
+        logits = None
+        if logprobs_k > 0:
+            preds, logits = preds
 
         match = (props == preds[:, :-1]).astype(jnp.int32)       # [B, k]
         a = jnp.sum(jnp.cumprod(match, axis=1), axis=1)          # [B] 0..k
@@ -127,6 +140,18 @@ def spec_decode_span(cfg: ModelConfig, params, k_cache, v_cache,
                          jnp.where(steps_idx == a[:, None], bonus, -1))
         n_emit = a + 1
 
+        lp_out = ()
+        if logprobs_k > 0:
+            # row j of the verify logits predicts emitted token j; invalid
+            # slots (emit == -1) read index 0 and are never surfaced (the
+            # engine walks only `counts` tokens per round)
+            lpd = logits - jax.nn.logsumexp(logits, axis=-1,
+                                            keepdims=True)      # [B, S, V]
+            chosen = jnp.take_along_axis(
+                lpd, jnp.clip(emit, 0)[..., None], axis=-1)[..., 0]
+            top_lp, top_ids = jax.lax.top_k(lpd, logprobs_k)
+            lp_out = (chosen, top_lp, top_ids.astype(jnp.int32))
+
         # append emitted tokens to the on-device history
         wpos = hlen[:, None] + steps_idx                         # [B, S]
         wposc = jnp.clip(wpos, 0, Lmax - 1)
@@ -135,12 +160,13 @@ def spec_decode_span(cfg: ModelConfig, params, k_cache, v_cache,
         hist = hist.at[jnp.arange(B)[:, None], wposc].set(vals)
 
         return ((bonus[:, 0], ctx + n_emit, hist, hlen + n_emit, kc, vc,
-                 ks, vs), (emit, n_emit))
+                 ks, vs), (emit, n_emit, lp_out))
 
     carry0 = (last_tokens, context_lens, hist, hist_lens, k_cache, v_cache,
               k_scales, v_scales)
-    (_, _, _, _, k_cache, v_cache, k_scales, v_scales), (emitted, counts) = \
-        jax.lax.scan(body, carry0, None, length=num_steps)
+    (_, _, _, _, k_cache, v_cache, k_scales, v_scales), \
+        (emitted, counts, lp) = jax.lax.scan(body, carry0, None,
+                                             length=num_steps)
     if quantized:
-        return emitted, counts, k_cache, v_cache, k_scales, v_scales
-    return emitted, counts, k_cache, v_cache
+        return emitted, counts, lp, k_cache, v_cache, k_scales, v_scales
+    return emitted, counts, lp, k_cache, v_cache

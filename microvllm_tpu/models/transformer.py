@@ -103,12 +103,15 @@ def init_params(cfg: ModelConfig, key: jax.Array,
         # MoE families: router + expert-stacked SwiGLU weights.
         E = cfg.num_experts
         layers["w_router"] = w(keys[9], (L, h, E), h)
-        if quant_bits is not None and quant_tp == 1:
-            # Quantized expert stacks [L*E, ...] for the gather/sweep
-            # kernels (models/moe.py::moe_mlp_quant). Generate + quantize
-            # per expert inside lax.map so the bf16 transient stays one
-            # expert large — the full expert tensor of a 7B-class MoE
-            # (e.g. OLMoE: 6.4 of 6.9 B params) never materializes.
+        if quant_bits is not None and (quant_tp == 1 or E % quant_tp == 0):
+            # Quantized EXPERT-MAJOR stacks [E*L, ...] (flat index
+            # e*L + l) for the gather/sweep kernels
+            # (models/moe.py::moe_mlp_quant); under EP (E % tp == 0) the
+            # first axis shards whole experts per rank. Generate +
+            # quantize per expert inside lax.map so the bf16 transient
+            # stays one expert large — the full expert tensor of a
+            # 7B-class MoE (e.g. OLMoE: 6.4 of 6.9 B params) never
+            # materializes.
             from ..ops.quant import quantize
 
             def one_expert(kk):
@@ -118,13 +121,12 @@ def init_params(cfg: ModelConfig, key: jax.Array,
                 return (quantize(gu, quant_bits, quant_group_size, 1),
                         quantize(dn, quant_bits, quant_group_size, 1))
 
-            ekeys = jax.random.split(keys[4], L * E)
+            ekeys = jax.random.split(keys[4], E * L)
             layers["w_gate_up_e"], layers["w_down_e"] = jax.lax.map(
                 one_expert, ekeys)
             jax.block_until_ready(layers["w_down_e"].q)
         else:
-            # bf16 experts: TP/EP sharding paths (quantized expert stacks
-            # are single-rank for now)
+            # bf16 experts: intermediate-dim TP fallback (E % tp != 0)
             layers["w_gate_e"] = w(keys[4], (L, E, h, inter), h)
             layers["w_up_e"] = w(keys[5], (L, E, h, inter), h)
             layers["w_down_e"] = w(keys[6], (L, E, inter, h), inter)
@@ -334,12 +336,17 @@ def _mlp_out(cfg: ModelConfig, w, lp, l, normed2: jnp.ndarray,
         from ..config import moe_uses_ep
         from .moe import moe_mlp, moe_mlp_quant
         if w("w_gate_up_e") is not None:
-            # quantized expert stacks [L*E, ...] (single-rank): top-k
-            # gather at B=1, masked all-E sweep otherwise (moe.py)
+            # quantized expert-major stacks [E*L, ...]: top-k gather at
+            # B=1, masked local-expert sweep otherwise (moe.py); under
+            # EP the stacks are first-axis shards of whole experts
+            ep_q = moe_uses_ep(cfg, tp_size)
             return moe_mlp_quant(normed2, lp["w_router"],
                                  w("w_gate_up_e"), w("w_down_e"), l,
                                  cfg.num_experts, cfg.num_experts_per_tok,
-                                 renorm=cfg.moe_renorm, act=cfg.hidden_act)
+                                 cfg.num_layers,
+                                 renorm=cfg.moe_renorm, act=cfg.hidden_act,
+                                 ep_axis=tp_axis if ep_q else None,
+                                 ep_size=tp_size if ep_q else 1)
         ep = moe_uses_ep(cfg, tp_size)
         return moe_mlp(normed2, lp["w_router"], lp["w_gate_e"],
                        lp["w_up_e"], lp["w_down_e"],
@@ -537,13 +544,17 @@ def decode_step(cfg: ModelConfig, params: Params,
         # quantized expert stacks gets the one-launch routed block.
         new_hid = None
         if not cfg.post_norms and cfg.hidden_act == "silu":
-            if cfg.num_experts and tp_axis is None:
+            from ..config import moe_uses_ep
+            ep_q = tp_axis is not None and moe_uses_ep(cfg, tp_size)
+            if cfg.num_experts and (tp_axis is None or ep_q):
                 from ..ops.linear import fused_moe_mlp_block
                 new_hid = fused_moe_mlp_block(
                     attn_out, hid, lp["mlp_norm"], cfg.rms_norm_eps,
                     lp["w_router"], w("w_gate_up_e"), w("w_down_e"), l,
                     cfg.num_experts, cfg.num_experts_per_tok,
-                    cfg.moe_renorm)
+                    cfg.num_layers, cfg.moe_renorm,
+                    ep_axis=tp_axis if ep_q else None,
+                    ep_size=tp_size if ep_q else 1)
             elif not cfg.num_experts:
                 new_hid = fused_mlp_block(attn_out, hid, lp["mlp_norm"],
                                           cfg.rms_norm_eps, w("w_gate_up"),
@@ -712,6 +723,7 @@ def prefill_step(cfg: ModelConfig, params: Params,
                  adapter_ids: jnp.ndarray | None = None,
                  lora_scaling: float = 1.0,
                  slot_exact_store: bool = False,
+                 with_logits: bool = False,
                  ):
     """Prefill a ``[B, S]`` chunk, writing all KV into the paged cache.
 
@@ -724,6 +736,10 @@ def prefill_step(cfg: ModelConfig, params: Params,
                   score tensor).
     all_greedy:   static — return per-position argmax tokens ``[B, S]``
                   instead of last-token logits (speculative verification).
+    with_logits:  static, only with ``all_greedy`` — also return the full
+                  per-position logits ``[B, S, V]`` fp32 (softcap applied),
+                  so speculative verification can emit logprobs for the
+                  accepted tokens at near-zero extra cost.
     slot_exact_store: static — force the slot-exact scatter store even when
                   the chunk is page-sized (speculative windows start at
                   arbitrary, non-page-aligned history offsets; the bulk
@@ -910,7 +926,9 @@ def prefill_step(cfg: ModelConfig, params: Params,
                                cfg.rms_norm_eps)
         new_hid = None
         if not cfg.post_norms and cfg.hidden_act == "silu":
-            if cfg.num_experts and tp_axis is None:
+            from ..config import moe_uses_ep
+            ep_q = tp_axis is not None and moe_uses_ep(cfg, tp_size)
+            if cfg.num_experts and (tp_axis is None or ep_q):
                 # spec-verify windows / short chunks ride the one-launch
                 # MoE block (gates itself on row count)
                 from ..ops.linear import fused_moe_mlp_block
@@ -918,7 +936,9 @@ def prefill_step(cfg: ModelConfig, params: Params,
                     attn_out, hid, lp["mlp_norm"], cfg.rms_norm_eps,
                     lp["w_router"], w("w_gate_up_e"), w("w_down_e"), l,
                     cfg.num_experts, cfg.num_experts_per_tok,
-                    cfg.moe_renorm)
+                    cfg.num_layers, cfg.moe_renorm,
+                    ep_axis=tp_axis if ep_q else None,
+                    ep_size=tp_size if ep_q else 1)
             elif not cfg.num_experts:
                 new_hid = fused_mlp_block(attn_out, hid, lp["mlp_norm"],
                                           cfg.rms_norm_eps, w("w_gate_up"),
@@ -968,6 +988,15 @@ def prefill_step(cfg: ModelConfig, params: Params,
                 params, rmsnorm(h, params["final_norm"], cfg.rms_norm_eps),
                 tp_axis)
         out = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        if with_logits:
+            # logprob consumers see the same (softcapped) distribution the
+            # plain decode path reports; argmax above skips the softcap
+            # because tanh is monotonic
+            logits = logits.astype(jnp.float32)
+            if cfg.final_logit_softcap:
+                logits = cfg.final_logit_softcap * jnp.tanh(
+                    logits / cfg.final_logit_softcap)
+            out = (out, logits)
     else:
         # Only the last valid token's logits are needed (next-token
         # prediction); rmsnorm is per-position so select-then-norm is

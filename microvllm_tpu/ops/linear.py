@@ -7,6 +7,7 @@ jnp fallback dequantizes grouped so XLA can fuse the scale multiply.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from .quant import QuantizedTensor
@@ -31,9 +32,12 @@ def _wide_block_n(rows: int) -> int:
     block_n 2048."""
     import os
 
+    block_n = int(os.environ.get("MVT_WIDE_BLOCK_N", "2048"))
     if rows > 64:
-        return 2048
-    return int(os.environ.get("MVT_WIDE_BLOCK_N", "2048"))
+        # Prefill-size m: clamp (not ignore) the sweep override so VMEM-safe
+        # smaller tiles still apply to the prefill gate_up path.
+        return min(block_n, 2048)
+    return block_n
 
 
 def _quant_linear(x: jnp.ndarray, w: QuantizedTensor, layer) -> jnp.ndarray:
@@ -182,8 +186,9 @@ def fused_mlp_block(attn_out: jnp.ndarray, hid: jnp.ndarray, norm_w, eps,
 
 def fused_moe_mlp_block(attn_out: jnp.ndarray, hid: jnp.ndarray, norm_w,
                         eps, w_router: jnp.ndarray, w_gu, w_dn, layer,
-                        num_experts: int, top_k: int,
-                        renorm: bool) -> jnp.ndarray | None:
+                        num_experts: int, top_k: int, num_layers: int,
+                        renorm: bool, ep_axis: str | None = None,
+                        ep_size: int = 1) -> jnp.ndarray | None:
     """One-launch routed post-attention half of a MoE decoder layer
     (`ops/pallas/fused_moe.py::fused_moe_block`); returns None when not
     applicable and the caller falls back to per-expert launches.
@@ -192,7 +197,14 @@ def fused_moe_mlp_block(attn_out: jnp.ndarray, hid: jnp.ndarray, norm_w,
     kernel re-derives the identical norm internally). One row -> GATHER
     mode (only the top-k experts' weights are read); small batches ->
     SWEEP mode (all E experts, per-row masked weights, each expert's
-    weights read once).
+    weights read once). Expert stacks are expert-major ``[E*L, ...]``
+    (flat index ``e*num_layers + layer``).
+
+    Under expert parallelism (``ep_axis`` set, inside shard_map) the
+    stacks hold this rank's ``E/ep`` experts; remote slots are clamped
+    local with zero weight (gather) or dropped (sweep: local experts
+    only), the kernel emits the pre-residual weighted sum, and the psum
+    here combines ranks before the residual is added once.
     """
     import os
 
@@ -210,13 +222,14 @@ def fused_moe_mlp_block(attn_out: jnp.ndarray, hid: jnp.ndarray, norm_w,
     tile = w_dn.block_k
     if I % tile or tile % gs or K % gs or w_dn.in_dim != I or K > 128 * gs:
         return None
+    e_local = num_experts // ep_size
     lead = attn_out.shape[:-1]
     rows = 1
     for d in lead:
         rows *= d
     if rows > 64:
         return None   # prefill-sized batches: per-expert wide matmuls win
-    if rows > 1 and num_experts > 128:
+    if rows > 1 and e_local > 128:
         return None   # sweep mode: one slot per lane of the weight vector
 
     from ..models.moe import moe_route
@@ -229,16 +242,33 @@ def fused_moe_mlp_block(attn_out: jnp.ndarray, hid: jnp.ndarray, norm_w,
                       + h2.astype(jnp.float32)).astype(attn_out.dtype),
                      norm_w, eps)
     sel, top_w, top_i = moe_route(normed, w_router, top_k, renorm)
-    base = layer * num_experts
+    ep = ep_axis is not None and ep_size > 1
+    rank0 = (jax.lax.axis_index(ep_axis) * e_local) if ep else 0
     if rows == 1:
-        idx = base + top_i[0]                       # [k] selected experts
-        wts = top_w                                  # [1, k]
+        if ep:
+            # local slots: remote experts clamp to local slot 0 with a
+            # zeroed weight (their owning rank contributes them)
+            e_loc = top_i[0] - rank0
+            local = (e_loc >= 0) & (e_loc < e_local)
+            idx = jnp.clip(e_loc, 0, e_local - 1) * num_layers + layer
+            wts = jnp.where(local[None, :], top_w, 0.0)
+        else:
+            idx = top_i[0] * num_layers + layer     # [k] selected experts
+            wts = top_w                              # [1, k]
     else:
-        idx = base + jnp.arange(num_experts, dtype=jnp.int32)
-        wts = sel                                    # [rows, E]
+        idx = jnp.arange(e_local, dtype=jnp.int32) * num_layers + layer
+        if ep:
+            wts = jax.lax.dynamic_slice_in_dim(sel, rank0, e_local, axis=1)
+        else:
+            wts = sel                                # [rows, E_local]
     y = _kernel(a2, h2, norm_w, idx, wts, w_gu.q, w_gu.scales_tiled,
                 w_dn.q, w_dn.scales_tiled, group_size=gs, bits=w_gu.bits,
-                tile_i=tile, eps=float(eps), out_dtype=attn_out.dtype)
+                tile_i=tile, eps=float(eps), out_dtype=attn_out.dtype,
+                add_resid=not ep)
+    if ep:
+        y = ((a2.astype(jnp.float32) + h2.astype(jnp.float32)
+              + jax.lax.psum(y.astype(jnp.float32), ep_axis))
+             .astype(attn_out.dtype))
     return y.reshape(*lead, K)
 
 

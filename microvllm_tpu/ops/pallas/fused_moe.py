@@ -47,7 +47,7 @@ def _fused_moe_kernel(idx_ref, attn_ref, hid_ref, nw_ref, wts_ref, qg_ref,
                       qu_ref, sg_ref, su_ref, qd_ref, sd_ref, o_ref,
                       acc_ref, xq_scr, xs_scr, *, group_size: int,
                       bits: int, K: int, TI: int, H: int, n_tiles: int,
-                      n_slots: int, eps: float):
+                      n_slots: int, eps: float, add_resid: bool):
     j = pl.program_id(0)          # expert slot
     i = pl.program_id(1)          # intermediate tile
     gs = group_size
@@ -110,15 +110,21 @@ def _fused_moe_kernel(idx_ref, attn_ref, hid_ref, nw_ref, wts_ref, qg_ref,
 
     @pl.when((j == n_slots - 1) & (i == n_tiles - 1))
     def _():
-        resid = (attn_ref[...].astype(jnp.float32)
-                 + hid_ref[...].astype(jnp.float32))
-        o_ref[...] = (resid + acc_ref[...]).astype(o_ref.dtype)
+        if add_resid:
+            resid = (attn_ref[...].astype(jnp.float32)
+                     + hid_ref[...].astype(jnp.float32))
+            o_ref[...] = (resid + acc_ref[...]).astype(o_ref.dtype)
+        else:
+            # pre-psum mode (expert parallelism): emit only this rank's
+            # expert contributions; the caller adds resid AFTER the psum
+            # so the residual isn't multiplied by the rank count
+            o_ref[...] = acc_ref[...].astype(o_ref.dtype)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("group_size", "bits", "tile_i", "eps", "out_dtype",
-                     "interpret"))
+                     "interpret", "add_resid"))
 def fused_moe_block(
     attn_out: jnp.ndarray,       # [M, H] (o-proj output)
     hid: jnp.ndarray,            # [M, H] (layer input / residual)
@@ -136,10 +142,15 @@ def fused_moe_block(
     eps: float = 1e-6,
     out_dtype=jnp.bfloat16,
     interpret: bool = False,
+    add_resid: bool = True,
 ) -> jnp.ndarray:
     """``resid + sum_j wts[:, j] * expert_{idx[j]}(rmsnorm(resid))`` where
     ``resid = attn_out + hid`` — the routed post-attention half of a
-    decoder layer in one launch."""
+    decoder layer in one launch.
+
+    ``add_resid=False`` returns only the weighted expert sum (for expert
+    parallelism, where the caller psums rank contributions before adding
+    the residual once)."""
     M, K = attn_out.shape
     n_slots = idx.shape[0]
     assert n_slots <= 128, "routing weights ride one 128-lane vector"
@@ -197,7 +208,8 @@ def fused_moe_block(
 
     kernel = functools.partial(
         _fused_moe_kernel, group_size=group_size, bits=bits, K=K, TI=TI,
-        H=H, n_tiles=n_tiles, n_slots=n_slots, eps=eps)
+        H=H, n_tiles=n_tiles, n_slots=n_slots, eps=eps,
+        add_resid=add_resid)
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,

@@ -275,22 +275,28 @@ def quantize_params(params, bits: int, group_size: int = 128, tp: int = 1,
                     [dn, jnp.zeros((dn.shape[0], pad_i, dn.shape[2]),
                                    dn.dtype)], axis=1)
 
-    if (tp == 1 and isinstance(layers.get("w_gate_e"), jnp.ndarray)
-            and isinstance(layers.get("w_up_e"), jnp.ndarray)):
-        # MoE expert stacks [L, E, H, I] -> quantized [L*E, ...] for the
-        # gather/sweep kernels (models/moe.py::moe_mlp_quant). gate|up
-        # fuse column-wise per expert (bit-identical, like the dense
-        # w_gate_up); the concat happens per expert inside lax.map so the
-        # fp transient stays one expert large. Single-rank only: under TP
-        # the bf16 expert paths shard instead.
+    if (isinstance(layers.get("w_gate_e"), jnp.ndarray)
+            and isinstance(layers.get("w_up_e"), jnp.ndarray)
+            and (tp == 1 or layers["w_gate_e"].shape[1] % tp == 0)):
+        # MoE expert stacks [L, E, H, I] -> quantized EXPERT-MAJOR
+        # [E*L, ...] (flat index e*L + l) for the gather/sweep kernels
+        # (models/moe.py::moe_mlp_quant). gate|up fuse column-wise per
+        # expert (bit-identical, like the dense w_gate_up); the concat
+        # happens per expert inside lax.map so the fp transient stays one
+        # expert large. Expert-major means expert parallelism (E % tp == 0,
+        # `config.moe_uses_ep`) is a plain first-axis shard — each rank
+        # holds E/tp whole quantized experts. Contraction dims (H, I) are
+        # never sharded under EP, so block_k stays the full-K tp=1 choice.
         ge, ue = layers.pop("w_gate_e"), layers.pop("w_up_e")
         Lx, Ex, Hx, Ix = ge.shape
-        pair = (ge.reshape(Lx * Ex, Hx, Ix), ue.reshape(Lx * Ex, Hx, Ix))
+        pair = (jnp.swapaxes(ge, 0, 1).reshape(Ex * Lx, Hx, Ix),
+                jnp.swapaxes(ue, 0, 1).reshape(Ex * Lx, Hx, Ix))
         layers["w_gate_up_e"] = jax.lax.map(
             lambda t: quantize(jnp.concatenate(t, axis=-1), bits,
                                group_size, 1), pair)
         del ge, ue, pair
-        dn = layers.pop("w_down_e").reshape(Lx * Ex, Ix, Hx)
+        dn = jnp.swapaxes(layers.pop("w_down_e"), 0, 1).reshape(
+            Ex * Lx, Ix, Hx)
         layers["w_down_e"] = _quant_layer_stack(dn, 1)
         del dn
 

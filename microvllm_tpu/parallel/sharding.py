@@ -104,6 +104,22 @@ def _quant_specs(leaf, column: bool, stacked: bool):
         bits=leaf.bits, group_size=leaf.group_size, block_k=leaf.block_k)
 
 
+# Quantized expert stacks: EXPERT-MAJOR [E*L, ...] (ops/quant.py), so EP
+# is a first-axis shard of every leaf (whole experts per rank; contraction
+# dims are unsharded, block_k unchanged).
+_QUANT_EXPERT_STACKS = {"w_gate_up_e", "w_down_e"}
+
+
+def _quant_ep_specs(leaf, ep: bool):
+    from ..ops.quant import QuantizedTensor
+
+    ax = MODEL_AXIS if ep else None
+    return QuantizedTensor(
+        q=P(ax, None, None), scales=P(ax, None, None),
+        scales_tiled=P(ax, None, None, None),
+        bits=leaf.bits, group_size=leaf.group_size, block_k=leaf.block_k)
+
+
 def param_specs(params: Any, moe_ep: bool = False) -> Any:
     """PartitionSpec pytree matching a model param tree. ``moe_ep``
     switches MoE expert stacks to expert parallelism (keep it in sync via
@@ -112,6 +128,8 @@ def param_specs(params: Any, moe_ep: bool = False) -> Any:
 
     def layer_spec(name, leaf):
         if isinstance(leaf, QuantizedTensor):
+            if name in _QUANT_EXPERT_STACKS:
+                return _quant_ep_specs(leaf, moe_ep)
             return _quant_specs(leaf, column=name in _COLUMN_PARALLEL,
                                 stacked=leaf.stacked)
         if moe_ep and name in _EP_SPECS:

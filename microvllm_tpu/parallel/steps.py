@@ -199,6 +199,7 @@ class ShardedStepFns:
             return self._spec_cache[key]
         cfg, tp = self.mcfg, self.tp
         scaling, has_lora = self._lora_scaling, self.has_lora
+        lp_k = self._lp_k
         from ..models.speculative import spec_decode_span
 
         def local_step(params, k, v, *rest):
@@ -214,24 +215,29 @@ class ShardedStepFns:
                 cfg, params, k, v, last, hist, hist_lens, tables, ctx,
                 num_steps, k_draft, ngram, k_scales=ks, v_scales=vs,
                 adapter_ids=adapter_ids, lora_scaling=scaling,
-                tp_axis=MODEL_AXIS if tp > 1 else None, tp_size=tp)
-            emitted, counts = out[0], out[1]
+                tp_axis=MODEL_AXIS if tp > 1 else None, tp_size=tp,
+                logprobs_k=lp_k)
+            emitted, counts, lp = out[0], out[1], out[2]
             # replicate results so every host reads them locally
             emitted = jax.lax.all_gather(emitted, DATA_AXIS, axis=1,
                                          tiled=True)
             counts = jax.lax.all_gather(counts, DATA_AXIS, axis=1,
                                         tiled=True)
-            return (emitted, counts) + tuple(out[2:])
+            lp = tuple(jax.lax.all_gather(x, DATA_AXIS, axis=1, tiled=True)
+                       for x in lp)
+            return (emitted, counts, lp) + tuple(out[3:])
 
         b = P(DATA_AXIS)
         b2 = P(DATA_AXIS, None)
         scale = (self._sspec, self._sspec) if quantized else ()
         lora_spec = (b,) if has_lora else ()
+        lp_spec = (P(), P(), P()) if lp_k else ()
         sm = _shard_map(
             local_step, self.mesh,
             in_specs=(self._pspecs, self._cspec, self._cspec) + scale
                      + (b, b2, b, b2, b) + lora_spec,
-            out_specs=(P(), P(), self._cspec, self._cspec) + scale)
+            out_specs=(P(), P(), lp_spec, self._cspec, self._cspec)
+                      + scale)
         fn = jax.jit(sm, donate_argnums=(1, 2, 3, 4) if quantized
                      else (1, 2))
         self._spec_cache[key] = fn

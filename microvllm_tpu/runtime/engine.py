@@ -94,29 +94,34 @@ def _prefill_jit(cfg, params, k_cache, v_cache, tokens, block_tables,
 
 
 @partial(jax.jit, static_argnums=(0, 9, 10, 11),
-         static_argnames=("lora_scaling",), donate_argnums=(2, 3))
+         static_argnames=("lora_scaling", "logprobs_k"),
+         donate_argnums=(2, 3))
 def _spec_span_jit(cfg, params, k_cache, v_cache, last, hist, hist_lens,
                    tables, ctx, num_steps, k, ngram,
-                   adapter_ids=None, lora_scaling=1.0):
+                   adapter_ids=None, lora_scaling=1.0, logprobs_k=0):
     from ..models.speculative import spec_decode_span
     return spec_decode_span(cfg, params, k_cache, v_cache, last, hist,
                             hist_lens, tables, ctx, num_steps, k, ngram,
                             adapter_ids=adapter_ids,
-                            lora_scaling=lora_scaling)
+                            lora_scaling=lora_scaling,
+                            logprobs_k=logprobs_k)
 
 
 # INT8-KV spec variant: scale pages ride along and are donated too.
 @partial(jax.jit, static_argnums=(0, 11, 12, 13),
-         static_argnames=("lora_scaling",), donate_argnums=(2, 3, 4, 5))
+         static_argnames=("lora_scaling", "logprobs_k"),
+         donate_argnums=(2, 3, 4, 5))
 def _spec_span_q_jit(cfg, params, k_cache, v_cache, k_scales, v_scales,
                      last, hist, hist_lens, tables, ctx, num_steps, k,
-                     ngram, adapter_ids=None, lora_scaling=1.0):
+                     ngram, adapter_ids=None, lora_scaling=1.0,
+                     logprobs_k=0):
     from ..models.speculative import spec_decode_span
     return spec_decode_span(cfg, params, k_cache, v_cache, last, hist,
                             hist_lens, tables, ctx, num_steps, k, ngram,
                             k_scales=k_scales, v_scales=v_scales,
                             adapter_ids=adapter_ids,
-                            lora_scaling=lora_scaling)
+                            lora_scaling=lora_scaling,
+                            logprobs_k=logprobs_k)
 
 
 # INT8-KV-cache variants: scale pages ride along and are donated too.
@@ -179,8 +184,10 @@ class EngineMetrics:
     spec_rounds: int = 0          # propose/verify rounds executed
     spec_drafts_accepted: int = 0  # accepted draft tokens (excl. bonus)
     # why a decode batch fell back to plain decode despite spec_k > 0
-    # (r2 gated silently; reasons: "tp_lora", "sampled", "context")
+    # (r2 gated silently; reasons: "tp_lora", "sampled", "context",
+    # "acceptance" = adaptive disengagement below spec_accept_floor)
     spec_fallbacks: dict = field(default_factory=dict)
+    spec_disengagements: int = 0   # adaptive-spec cooldowns triggered
     # decode fairness: slots served vs running sequences left out of a
     # decode batch (tail beyond the bucket cap); with rotation the skip
     # burden spreads evenly instead of starving the tail
@@ -215,6 +222,13 @@ class InferenceEngine:
         # (temperature/top_p/top_k/adapters are constant across the spans of
         # a steady batch; re-uploading them per span costs tunnel puts)
         self._sampling_buf_cache: dict = {}
+        # adaptive speculation: trailing draft-acceptance window. When the
+        # window's acceptance drops below config.spec_accept_floor the
+        # engine disengages speculation for spec_reprobe_spans plain spans,
+        # then re-probes (see _spec_eligible / _spec_decode).
+        self._spec_cooldown = 0
+        self._spec_accept_num = 0     # accepted drafts in current window
+        self._spec_accept_den = 0     # proposed drafts in current window
         self._lp_k = config.logprobs_k
         if params is None:
             logger.info("initializing random params (no checkpoint given)")
@@ -317,7 +331,9 @@ class InferenceEngine:
                    adapter_ids=None):
         """Run one speculative span through the right compiled fn (sharded
         or single-rank, bf16 or int8-KV), updating caches in place.
-        Returns (emitted [steps, B, S], counts [steps, B]) as numpy."""
+        Returns (emitted [steps, B, S], counts [steps, B], lp) as numpy —
+        lp is () when the engine has logprobs off, else (chosen
+        [steps, B, S], top [steps, B, S, K], ids [steps, B, S, K])."""
         cfg = self.config
         steps, k, ngram = cfg.spec_steps, cfg.spec_k, cfg.spec_ngram
         if self._spec_fn is not None:     # sharded (TP/DP) path
@@ -327,28 +343,31 @@ class InferenceEngine:
                 ks=self.k_scales, vs=self.v_scales,
                 adapter_ids=adapter_ids)
             if self.kv_quantized:
-                (emitted, counts, self.k_cache, self.v_cache,
+                (emitted, counts, lp, self.k_cache, self.v_cache,
                  self.k_scales, self.v_scales) = out
             else:
-                emitted, counts, self.k_cache, self.v_cache = out
+                emitted, counts, lp, self.k_cache, self.v_cache = out
         else:
             lora_kw = (self._lora_kw(adapter_ids)
                        if adapter_ids is not None else {})
             if self.kv_quantized:
-                (emitted, counts, self.k_cache, self.v_cache,
+                (emitted, counts, lp, self.k_cache, self.v_cache,
                  self.k_scales, self.v_scales) = _spec_span_q_jit(
                     self.mcfg, self.params, self.k_cache, self.v_cache,
                     self.k_scales, self.v_scales, jnp.asarray(last),
                     jnp.asarray(hist), jnp.asarray(hist_lens),
                     jnp.asarray(tables), jnp.asarray(ctx0),
-                    steps, k, ngram, **lora_kw)
+                    steps, k, ngram, logprobs_k=self._lp_k, **lora_kw)
             else:
-                emitted, counts, self.k_cache, self.v_cache = _spec_span_jit(
+                (emitted, counts, lp, self.k_cache,
+                 self.v_cache) = _spec_span_jit(
                     self.mcfg, self.params, self.k_cache, self.v_cache,
                     jnp.asarray(last), jnp.asarray(hist),
                     jnp.asarray(hist_lens), jnp.asarray(tables),
-                    jnp.asarray(ctx0), steps, k, ngram, **lora_kw)
-        return np.asarray(emitted), np.asarray(counts)
+                    jnp.asarray(ctx0), steps, k, ngram,
+                    logprobs_k=self._lp_k, **lora_kw)
+        return (np.asarray(emitted), np.asarray(counts),
+                tuple(np.asarray(x) for x in lp))
 
     # ------------------------------------------------------------------
     # Compiled step functions
@@ -880,10 +899,20 @@ class InferenceEngine:
 
         if cfg.spec_k <= 0:
             return False   # speculation off — not a fallback
+        if cfg.spec_adaptive and self._spec_cooldown > 0:
+            # trailing acceptance collapsed below spec_accept_floor: run
+            # plain spans, re-probing with one spec span per
+            # spec_reprobe_spans so traffic shifts re-engage speculation
+            self._spec_cooldown -= 1
+            return fallback("acceptance")
         if any(s.sampling.temperature > 0.0 for s in seqs):
             return fallback("sampled")  # greedy-only (bit-identical)
-        if any(s.sampling.logprobs > 0 for s in seqs):
-            return fallback("logprobs")  # spec span emits tokens only
+        if any(s.sampling.logprobs > 0 for s in seqs) and not self._lp_k:
+            # only reachable via direct SamplingParams misuse: generate()
+            # already rejects logprobs requests on a logprobs_k=0 engine.
+            # With logprobs_k > 0 the spec span emits logprobs from its
+            # verify logits, so such requests keep speculating.
+            return fallback("logprobs")
         if any(s.sampling.has_penalties for s in seqs):
             return fallback("penalties")  # penalties alter greedy argmax
         reserve = cfg.spec_steps * (cfg.spec_k + 1)
@@ -944,8 +973,8 @@ class InferenceEngine:
             adapter_ids = np.zeros(B, dtype=np.int32)
             for i, seq in enumerate(seqs):
                 adapter_ids[i] = seq.adapter_id
-        emitted, counts = self._call_spec(last, hist, hist_lens, tables,
-                                          ctx0, adapter_ids)
+        emitted, counts, lp = self._call_spec(last, hist, hist_lens, tables,
+                                              ctx0, adapter_ids)
 
         produced = 0
         for i, seq in enumerate(seqs):
@@ -953,19 +982,45 @@ class InferenceEngine:
             for t in range(steps):
                 cnt = int(counts[t, i])
                 for j in range(cnt):
-                    self._apply_token(seq, int(emitted[t, i, j]))
+                    entry = None
+                    if lp and seq.sampling.logprobs:
+                        chosen, top, ids = lp
+                        kk = min(int(seq.sampling.logprobs), top.shape[-1])
+                        entry = {"logprob": float(chosen[t, i, j]),
+                                 "top": [[int(ids[t, i, j, n]),
+                                          float(top[t, i, j, n])]
+                                         for n in range(kk)]}
+                    self._apply_token(seq, int(emitted[t, i, j]),
+                                      lp_entry=entry)
                     produced += 1
                     applied += 1
                     if seq.is_finished:
                         break
                 if seq.is_finished:
                     break
-            self.metrics.spec_rounds += t + 1
-            self.metrics.spec_drafts_accepted += max(0, applied - (t + 1))
+            rounds = t + 1
+            accepted = max(0, applied - rounds)
+            self.metrics.spec_rounds += rounds
+            self.metrics.spec_drafts_accepted += accepted
+            self._spec_accept_num += accepted
+            self._spec_accept_den += rounds * k
             if not seq.is_finished:
                 # drop the unused reservation + any rejected-slot tail
                 self.allocator.truncate(seq.seq_id,
                                         int(ctx0[i]) + applied)
+        # adaptive disengagement: once the trailing window holds enough
+        # rounds to judge, compare acceptance to the floor and either
+        # disengage (cooldown of plain spans, then re-probe) or keep
+        # speculating; the window restarts either way so the estimate
+        # tracks current traffic, not the whole session.
+        if (cfg.spec_adaptive
+                and self._spec_accept_den >= cfg.spec_min_rounds * k):
+            if (self._spec_accept_num
+                    < cfg.spec_accept_floor * self._spec_accept_den):
+                self._spec_cooldown = cfg.spec_reprobe_spans
+                self.metrics.spec_disengagements += 1
+            self._spec_accept_num = 0
+            self._spec_accept_den = 0
         self._evict_window(seqs)
         self.metrics.last_step.span = steps * S
         return produced

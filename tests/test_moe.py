@@ -101,25 +101,26 @@ def test_moe_quant_paths_match_dense_eval():
 
     H, I, E, k, L = 16, 32, 4, 2, 3
     kg = jax.random.PRNGKey
-    gu = jax.random.normal(kg(0), (L * E, H, 2 * I))
-    dn = jax.random.normal(kg(1), (L * E, I, H))
+    gu = jax.random.normal(kg(0), (E * L, H, 2 * I))
+    dn = jax.random.normal(kg(1), (E * L, I, H))
     wr = jax.random.normal(kg(2), (H, E))
     qgu = jax.lax.map(lambda t: quantize(t, 4, 8, 1), gu)
     qdn = jax.lax.map(lambda t: quantize(t, 4, 8, 1), dn)
-    # oracle weights: exactly what the quantized kernels see
-    dgu = np.asarray(qgu.dequant(jnp.float32)).reshape(L, E, H, 2 * I)
-    ddn = np.asarray(qdn.dequant(jnp.float32)).reshape(L, E, I, H)
+    # oracle weights: exactly what the quantized kernels see (stacks are
+    # EXPERT-MAJOR [E*L, ...]: flat index e*L + l)
+    dgu = np.asarray(qgu.dequant(jnp.float32)).reshape(E, L, H, 2 * I)
+    ddn = np.asarray(qdn.dequant(jnp.float32)).reshape(E, L, I, H)
 
     for renorm in (True, False):
         for rows in (1, 5):
             x = jax.random.normal(kg(10 + rows), (rows, H))
             for layer in (0, L - 1):
                 got = moe_mlp_quant(x, wr, qgu, qdn, jnp.int32(layer), E,
-                                    k, renorm=renorm)
+                                    k, L, renorm=renorm)
                 ref = moe_mlp(x, wr,
-                              jnp.asarray(dgu[layer, :, :, :I]),
-                              jnp.asarray(dgu[layer, :, :, I:]),
-                              jnp.asarray(ddn[layer]), k, renorm=renorm)
+                              jnp.asarray(dgu[:, layer, :, :I]),
+                              jnp.asarray(dgu[:, layer, :, I:]),
+                              jnp.asarray(ddn[:, layer]), k, renorm=renorm)
                 np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                            rtol=2e-4, atol=2e-4)
 
@@ -203,6 +204,46 @@ def test_moe_expert_parallel_matches_single_device():
     ref = _run_sharded(mcfg, params, None)
     got = _run_sharded(mcfg, params, ParallelConfig(tp_size=2, dp_size=2))
     assert got == ref
+
+
+def test_moe_quant_expert_parallel_matches_single_device():
+    """Quantized expert stacks under EXPERT parallelism: the expert-major
+    [E*L, ...] INT4 stacks shard whole-expert on the first axis, the
+    gather/sweep paths run per rank with cond-skipped remote experts, and
+    the TP×DP engine's greedy outputs match the single-rank quantized
+    engine exactly (same quantized values; only tiling metadata differs)."""
+    from microvllm_tpu.config import QuantConfig, moe_uses_ep
+
+    mcfg = _moe_cfg(num_heads=8, num_kv_heads=4, head_dim=32,
+                    hidden_size=128, intermediate_size=256)
+    assert moe_uses_ep(mcfg, 2)
+    q = QuantConfig(weight_bits=4, weight_group_size=64)
+
+    def run(parallel):
+        cfg = EngineConfig(
+            model=mcfg,
+            cache=CacheConfig(num_pages=64, page_size=16,
+                              max_pages_per_seq=8),
+            scheduler=SchedulerConfig(
+                max_batch_size=8, max_prefill_tokens=256,
+                prefill_wait_s=0.0, decode_buckets=(2, 4),
+                prefill_len_buckets=(16, 32), prefill_batch_buckets=(2, 4),
+                decode_spans=(1, 4)),
+            quant=q, max_model_len=128, default_max_new_tokens=6,
+            parallel=parallel or ParallelConfig())
+        eng = InferenceEngine(cfg)
+        assert "w_gate_up_e" in eng.params["layers"]  # quantized stacks
+        sp = SamplingParams(temperature=0.0, max_new_tokens=6)
+        prompts = [[1, 2, 3, 4], [9, 8, 7], [5, 6], [11, 12, 13]]
+        out = [s.output_token_ids for s in eng.generate(prompts,
+                                                        sampling=sp)]
+        single = eng.generate([prompts[0]], sampling=sp)[0].output_token_ids
+        return out, single
+
+    ref, ref_single = run(None)
+    got, got_single = run(ParallelConfig(tp_size=2, dp_size=2))
+    assert got == ref
+    assert got_single == ref_single       # B=1 gather path under EP
 
 
 def test_moe_intermediate_tp_fallback_matches_single_device():

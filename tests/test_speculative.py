@@ -99,6 +99,74 @@ def test_spec_mixed_with_sampling_falls_back():
     assert eng.metrics.spec_rounds == 0
 
 
+def test_spec_with_logprobs_keeps_speculating():
+    """logprobs>0 requests no longer disable speculation: the verify
+    pass's logits supply per-token logprob records, tokens stay
+    bit-identical to the plain logprobs engine, and the records agree."""
+    prompts = [[3, 1, 4, 1, 5]]
+    sp = SamplingParams(temperature=0.0, max_new_tokens=20, logprobs=3)
+
+    ref = InferenceEngine(_cfg(logprobs_k=4))
+    r = ref.generate(prompts, sampling=sp)[0]
+
+    eng = InferenceEngine(_cfg(spec_k=3, spec_steps=2, logprobs_k=4,
+                               spec_adaptive=False))
+    g = eng.generate(prompts, sampling=sp)[0]
+
+    assert g.output_token_ids == r.output_token_ids
+    assert eng.metrics.spec_rounds > 0                 # spec actually ran
+    assert eng.metrics.spec_fallbacks.get("logprobs", 0) == 0
+    assert len(g.logprobs) == len(g.output_token_ids)
+    for tok, mine, theirs in zip(g.output_token_ids, g.logprobs,
+                                 r.logprobs):
+        assert len(mine["top"]) == 3
+        assert mine["top"][0][0] == tok                # greedy = top-1
+        assert [t for t, _ in mine["top"]] == [t for t, _ in theirs["top"]]
+        np.testing.assert_allclose(mine["logprob"], theirs["logprob"],
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_spec_adaptive_disengages_on_low_acceptance():
+    """Acceptance collapse flips the engine back to plain spans: with an
+    unreachable acceptance floor the engine disengages as soon as the
+    trailing window fills, keeps producing correct greedy tokens through
+    plain decode, and re-probes after the cooldown (spec_rounds keeps
+    growing across cooldown cycles)."""
+    prompts = [[1, 2, 3, 4, 5], [9, 8, 7]]
+    sp = SamplingParams(temperature=0.0, max_new_tokens=40)
+
+    ref = InferenceEngine(_cfg())
+    ro = [s.output_token_ids for s in ref.generate(prompts, sampling=sp)]
+
+    eng = InferenceEngine(_cfg(spec_k=3, spec_steps=2, spec_adaptive=True,
+                               spec_accept_floor=1.1,   # unreachable
+                               spec_min_rounds=2, spec_reprobe_spans=3))
+    so = [s.output_token_ids for s in eng.generate(prompts, sampling=sp)]
+    assert so == ro                                  # correctness unchanged
+    m = eng.metrics
+    assert m.spec_disengagements > 0                 # cooldown triggered
+    assert m.spec_fallbacks.get("acceptance", 0) > 0  # plain spans ran
+    first_rounds = m.spec_rounds
+    assert first_rounds > 0
+    # a second wave of traffic: the engine must re-probe (spec_rounds
+    # grows) rather than staying disengaged forever
+    so2 = [s.output_token_ids
+           for s in eng.generate(prompts, sampling=sp)]
+    assert so2 == ro
+    assert eng.metrics.spec_rounds > first_rounds
+
+
+def test_spec_adaptive_stays_engaged_above_floor():
+    """With a floor of 0 the window never disengages speculation."""
+    eng = InferenceEngine(_cfg(spec_k=3, spec_steps=2, spec_adaptive=True,
+                               spec_accept_floor=0.0, spec_min_rounds=2))
+    sp = SamplingParams(temperature=0.0, max_new_tokens=30)
+    eng.generate([[1, 2, 3, 4, 5]], sampling=sp)
+    assert eng.metrics.spec_disengagements == 0
+    assert eng.metrics.spec_fallbacks.get("acceptance", 0) == 0
+    assert eng.metrics.spec_rounds > 0
+
+
 def test_allocator_truncate_python_and_native():
     from microvllm_tpu.config import CacheConfig
     from microvllm_tpu.runtime.kv_cache import PageAllocator
