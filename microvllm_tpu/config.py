@@ -529,6 +529,13 @@ class EngineConfig:
     # compiled variant for the whole engine, warmed with the rest.
     # Requests that set penalties on an engine built without this raise.
     enable_penalties: bool = False
+    # Penalty history window: 0 = penalize over the FULL prompt+output
+    # history (OpenAI semantics; the span upload is [B, max_model_len]).
+    # > 0 = only the last N tokens count (llama.cpp repeat_last_n-style),
+    # bounding the per-span host->device upload to [B, N] — set this on
+    # long-context configs (at 128k the full-history upload is 4 MB/span
+    # at b8; with a 2k window it is 64 KB).
+    penalty_window: int = 0
 
     def replace(self, **kw) -> "EngineConfig":
         return dataclasses.replace(self, **kw)

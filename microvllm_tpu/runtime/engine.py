@@ -287,6 +287,18 @@ class InferenceEngine:
         # Sliding-window KV eviction: only when EVERY layer is windowed
         # (mistral) — gemma2's global layers read the full history. A
         # window >= cache capacity never frees anything; skip the walk.
+        #
+        # Alternating-SWA models (gemma2: half the layers windowed) keep
+        # O(context) KV for their windowed layers too. Freeing those would
+        # need per-layer-group page POOLS: the cache is [L, pages, ...],
+        # so a page index costs memory for ALL layers — evicting it for
+        # the windowed group alone saves nothing. Splitting the tensor
+        # into [L_w, pages_w] + [L_g, pages_g] with two allocators/tables
+        # threaded through every step variant would cap the win at
+        # L_w/L x (ctx-w)/ctx of KV bytes (gemma2 at 8k ctx / 4k window:
+        # 25%; asymptotically 50%) — deliberate non-goal this round,
+        # measured trade-off in README (vs. the shared-table design the
+        # prefix cache, spec reserve, and preemption all lean on).
         m = config.model
         self._window_evict = (
             m.sliding_window is not None and not m.sliding_pattern
@@ -436,11 +448,16 @@ class InferenceEngine:
         history (prompt + generated so far), where generation starts, and
         the three penalty knobs. Rows beyond len(seqs) (trash padding) get
         rep=1 / zeros — inert. Only built on engines with
-        ``enable_penalties`` (one extra [B, max_model_len] upload per
-        span; the compiled variant is warmed like the rest)."""
+        ``enable_penalties`` (one extra [B, Lcap] upload per span; the
+        compiled variant is warmed like the rest). ``penalty_window > 0``
+        bounds Lcap (and the counted history) to the last N tokens so the
+        upload stays O(window) at long context."""
         if not self.config.enable_penalties:
             return {}
         Lcap = self.config.max_model_len
+        win = self.config.penalty_window
+        if win > 0:
+            Lcap = min(Lcap, win)
         hist = np.zeros((B, Lcap), np.int32)
         hist_lens = np.zeros(B, np.int32)
         out_start = np.zeros(B, np.int32)
@@ -452,9 +469,12 @@ class InferenceEngine:
         bias_vals = np.zeros((B, KB), np.float32)
         for i, seq in enumerate(seqs):
             ids = seq.prompt_token_ids + seq.output_token_ids
-            hist[i, :len(ids)] = ids[:Lcap]
-            hist_lens[i] = min(len(ids), Lcap)
-            out_start[i] = min(len(seq.prompt_token_ids), Lcap)
+            drop = max(0, len(ids) - Lcap)   # keep the most recent Lcap
+            ids = ids[drop:]
+            hist[i, :len(ids)] = ids
+            hist_lens[i] = len(ids)
+            out_start[i] = min(max(0, len(seq.prompt_token_ids) - drop),
+                               Lcap)
             s = seq.sampling
             pres[i] = s.presence_penalty
             freq[i] = s.frequency_penalty

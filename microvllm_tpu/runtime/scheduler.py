@@ -195,7 +195,19 @@ class Scheduler:
         """
         if not self.waiting:
             return None
-        window = list(self.waiting)[: self.cfg.prefill_batch_buckets[-1] * 2]
+        cap = self.cfg.prefill_batch_buckets[-1] * 2
+        queue = list(self.waiting)
+        window = queue[:cap]
+        if len(queue) > cap:
+            # Priority admission must see the WHOLE queue, not just the
+            # 2x-bucket FIFO head (r3 verdict: a priority-10 request behind
+            # 17+ queued prompts waited its FIFO turn). Entries beyond the
+            # window that outrank everything in it jump in; the count is
+            # capped so the per-batch sort stays O(window).
+            base = max(s.priority for s in window)
+            extra = [s for s in queue[cap:] if s.priority > base]
+            extra.sort(key=lambda s: -s.priority)
+            window = window + extra[:cap]
         page_budget = self.allocator.num_free if self.allocator else 1 << 30
 
         def pages_for(seq: Sequence) -> int:

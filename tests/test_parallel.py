@@ -363,7 +363,12 @@ def test_sharded_engine_speculative_matches_plain_tp():
     ref = InferenceEngine(base)
     ro = [s.output_token_ids for s in ref.generate(prompts, sampling=sp)]
 
-    eng = InferenceEngine(dataclasses.replace(base, spec_k=3, spec_steps=2))
+    # spec_adaptive off: this asserts FULL-spec vs plain parity. Adaptive
+    # mode (default) mixes verify-path and decode-path forwards mid-run,
+    # which may disagree on near-ties under TP (documented caveat,
+    # models/speculative.py) — correctness holds, bit-equality may not.
+    eng = InferenceEngine(dataclasses.replace(base, spec_k=3, spec_steps=2,
+                                              spec_adaptive=False))
     so = [s.output_token_ids for s in eng.generate(prompts, sampling=sp)]
     assert so == ro
     assert eng.metrics.spec_rounds > 0

@@ -113,6 +113,23 @@ def test_frequency_penalty_suppresses_repetition():
     assert again[0].output_token_ids == pen
 
 
+def test_penalty_window_bounds_history():
+    """penalty_window >= the longest history is exactly full-history
+    semantics (identical outputs, smaller upload); a tiny window still
+    runs and only forgets tokens older than the window at span start."""
+    sp = SamplingParams(temperature=0.0, max_new_tokens=10, ignore_eos=True,
+                        frequency_penalty=2.0, presence_penalty=2.0)
+    full = _engine(enable_penalties=True).generate(
+        [[5, 9, 2]], sampling=sp)[0].output_token_ids
+    wide = _engine(enable_penalties=True, penalty_window=128).generate(
+        [[5, 9, 2]], sampling=sp)[0].output_token_ids
+    assert wide == full
+
+    tiny = _engine(enable_penalties=True, penalty_window=16).generate(
+        [[5, 9, 2]], sampling=sp)[0]
+    assert len(tiny.output_token_ids) == 10   # runs; semantics are windowed
+
+
 def test_repetition_penalty_applies_to_prompt_tokens():
     """repetition_penalty > 1 discourages the greedy argmax from being a
     prompt token when the unpenalized argmax was one (HF semantics: the

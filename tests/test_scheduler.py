@@ -226,6 +226,21 @@ def test_priority_admission_jumps_fifo():
     assert hi in b.seqs, [q.seq_id for q in b.seqs]
 
 
+def test_priority_admission_sees_whole_queue():
+    """r3 VERDICT weak #8: a priority-10 request behind MORE low-priority
+    prompts than the 2x-bucket FIFO window must still jump the queue."""
+    s = make_sched()
+    lows = [seq(40) for _ in range(25)]      # far beyond the FIFO window
+    for q in lows:
+        s.add_request(q)
+    hi = Sequence(prompt_token_ids=list(range(40)),
+                  sampling=SamplingParams(), priority=10)
+    s.add_request(hi)                        # dead last in arrival order
+    b = s.get_next_batch(now=1e9)
+    assert b.kind == "prefill"
+    assert hi in b.seqs, [q.seq_id for q in b.seqs]
+
+
 def test_priority_admission_fifo_within_class():
     s = make_sched()
     a, b_, c = seq(40), seq(40), seq(40)
