@@ -515,6 +515,14 @@ class EngineConfig:
     spec_accept_floor: float = 0.7
     spec_reprobe_spans: int = 16
     spec_min_rounds: int = 8     # EMA samples required before disengaging
+    # Rejection-sampling verification for temperature>0 rows: the n-gram
+    # draft is a point mass, so exact speculative sampling = accept draft
+    # x with prob p(x), else sample the renormalized residual p\{x} — the
+    # emitted stream is distributed identically to plain decode
+    # (models/speculative.py). False = sampled batches fall back to plain
+    # spans (the pre-r4 behavior). Per-request SEEDED rows always fall
+    # back (the spec path consumes a different random stream).
+    spec_sampled: bool = True
     # Per-token logprobs (0 = off). When > 0 the decode/prefill steps emit
     # each token's log-probability + the top-k alternatives (raw-logit
     # log-softmax) as extra device outputs — a separate compiled variant,

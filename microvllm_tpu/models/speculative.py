@@ -85,8 +85,24 @@ def spec_decode_span(cfg: ModelConfig, params, k_cache, v_cache,
                      adapter_ids: jnp.ndarray | None = None,
                      lora_scaling: float = 1.0,
                      tp_axis: str | None = None, tp_size: int = 1,
-                     logprobs_k: int = 0):
+                     logprobs_k: int = 0,
+                     sampled: bool = False,
+                     temperature: jnp.ndarray | None = None,  # [B]
+                     top_p: jnp.ndarray | None = None,        # [B]
+                     top_ks: jnp.ndarray | None = None,       # [B] int32
+                     rng: jax.Array | None = None):
     """Run ``num_steps`` propose→verify→accept rounds on device.
+
+    ``sampled=True`` verifies by REJECTION SAMPLING instead of argmax
+    matching, opening speculation to temperature>0 traffic: the n-gram
+    draft is a point mass, so exact speculative sampling reduces to
+    "accept draft x with probability p(x); on rejection sample from p
+    with x masked out (the renormalized residual)" — where p is the
+    engine's exact sampling distribution (temperature → top-k pool →
+    top-p, `ops/sampling.py::filtered_pool`), so emitted tokens are
+    distributed identically to plain decode. Greedy rows (temp <= 0) in
+    the same batch keep argmax verification. Per-request SEEDED rows
+    must fall back (the spec path consumes a different random stream).
 
     Verification routes through ``prefill_step``, which handles int8 KV
     (``k_scales``/``v_scales``) and per-row LoRA (``adapter_ids``) natively,
@@ -109,8 +125,10 @@ def spec_decode_span(cfg: ModelConfig, params, k_cache, v_cache,
     Lmax = hist.shape[1]
     quantized = k_scales is not None
     steps_idx = jnp.arange(S, dtype=jnp.int32)[None, :]          # [1, S]
+    if sampled:
+        assert rng is not None and temperature is not None
 
-    def body(carry, _):
+    def body(carry, key):
         last, ctx, hist, hlen, kc, vc, ks, vs = carry
         props = ngram_propose(hist, hlen, k, ngram)              # [B, k]
         window = jnp.concatenate([last[:, None], props], axis=1)  # [B, S]
@@ -122,20 +140,55 @@ def spec_decode_span(cfg: ModelConfig, params, k_cache, v_cache,
             k_scales=ks, v_scales=vs,
             adapter_ids=adapter_ids, lora_scaling=lora_scaling,
             tp_axis=tp_axis, tp_size=tp_size,
-            with_logits=logprobs_k > 0)
+            with_logits=sampled or logprobs_k > 0)
         if quantized:
             preds, kc, vc, ks, vs = out
         else:
             preds, kc, vc = out
         logits = None
-        if logprobs_k > 0:
+        if sampled or logprobs_k > 0:
             preds, logits = preds
 
-        match = (props == preds[:, :-1]).astype(jnp.int32)       # [B, k]
-        a = jnp.sum(jnp.cumprod(match, axis=1), axis=1)          # [B] 0..k
-        bonus = jnp.take_along_axis(preds, a[:, None], axis=1)   # [B, 1]
         props_pad = jnp.concatenate(
             [props, jnp.zeros((B, 1), jnp.int32)], axis=1)       # [B, S]
+        match = props == preds[:, :-1]                           # [B, k]
+        if sampled:
+            from ..ops.sampling import NEG_INF, filtered_pool
+            # the engine's exact per-row sampling pool at every window
+            # position (row j's logits predict emit slot j)
+            masked, idxs = filtered_pool(
+                logits.astype(jnp.float32),
+                jnp.broadcast_to(temperature[:, None], (B, S)),
+                jnp.broadcast_to(top_p[:, None], (B, S)),
+                top_k_per_seq=jnp.broadcast_to(top_ks[:, None], (B, S)))
+            pool_p = jax.nn.softmax(masked, axis=-1)             # [B, S, P]
+            key_u, key_r = jax.random.split(key)
+            # accept draft j with prob p(draft_j) (point-mass proposal)
+            in_pool = idxs[:, :k, :] == props[:, :, None]
+            p_draft = jnp.sum(pool_p[:, :k, :] * in_pool, axis=-1)
+            u = jax.random.uniform(key_u, (B, k))
+            is_greedy = (temperature <= 0.0)[:, None]
+            acc = jnp.where(is_greedy, match, u < p_draft).astype(jnp.int32)
+            a = jnp.sum(jnp.cumprod(acc, axis=1), axis=1)        # [B] 0..k
+            # correction at slot a: residual of a rejected point mass =
+            # the pool with the draft masked out, renormalized (a == k:
+            # plain bonus sample, nothing to mask)
+            row_m = jnp.take_along_axis(
+                masked, a[:, None, None], axis=1)[:, 0]          # [B, P]
+            row_i = jnp.take_along_axis(
+                idxs, a[:, None, None], axis=1)[:, 0]
+            rej = jnp.take_along_axis(props_pad, a[:, None], axis=1)
+            row_m = jnp.where((row_i == rej) & (a[:, None] < k),
+                              NEG_INF, row_m)
+            choice = jax.random.categorical(key_r, row_m, axis=-1)
+            corr = jnp.take_along_axis(row_i, choice[:, None], axis=1)
+            greedy_bonus = jnp.take_along_axis(preds, a[:, None], axis=1)
+            bonus = jnp.where(is_greedy, greedy_bonus,
+                              corr).astype(jnp.int32)            # [B, 1]
+        else:
+            a = jnp.sum(jnp.cumprod(match.astype(jnp.int32), axis=1),
+                        axis=1)                                  # [B] 0..k
+            bonus = jnp.take_along_axis(preds, a[:, None], axis=1)
         emit = jnp.where(steps_idx < a[:, None], props_pad,
                          jnp.where(steps_idx == a[:, None], bonus, -1))
         n_emit = a + 1
@@ -164,8 +217,10 @@ def spec_decode_span(cfg: ModelConfig, params, k_cache, v_cache,
 
     carry0 = (last_tokens, context_lens, hist, hist_lens, k_cache, v_cache,
               k_scales, v_scales)
+    keys = (jax.random.split(rng, num_steps) if sampled
+            else jnp.zeros((num_steps,), jnp.int32))   # inert xs when greedy
     (_, _, _, _, k_cache, v_cache, k_scales, v_scales), \
-        (emitted, counts, lp) = jax.lax.scan(body, carry0, None,
+        (emitted, counts, lp) = jax.lax.scan(body, carry0, keys,
                                              length=num_steps)
     if quantized:
         return emitted, counts, lp, k_cache, v_cache, k_scales, v_scales

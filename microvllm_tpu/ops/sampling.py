@@ -36,6 +36,35 @@ def per_row_keys(rng: jax.Array, seeds: jnp.ndarray,
         jax.random.fold_in(base, s), p))(eff, eff_pos)
 
 
+def filtered_pool(logits: jnp.ndarray, temperature: jnp.ndarray,
+                  top_p: jnp.ndarray, top_k: int = 64,
+                  top_k_per_seq: jnp.ndarray | None = None):
+    """The engine's sampling distribution, factored so the decode sampler
+    and the speculative rejection-sampling verifier share EXACT semantics
+    (temperature → static top-k pool → per-seq rank mask → top-p mask).
+
+    logits ``[..., V]``; temperature/top_p/top_k_per_seq ``[...]`` (same
+    leading shape). Returns (masked ``[..., top_k]`` scaled logits with
+    filtered-out entries at NEG_INF, idxs ``[..., top_k]`` vocab ids) —
+    ``softmax(masked)`` IS the sampling distribution over the pool.
+    """
+    top_p = jnp.clip(top_p, 1e-6, 1.0)
+    vals, idxs = jax.lax.top_k(logits, top_k)            # [..., K] descending
+    t = jnp.maximum(temperature, 1e-5)[..., None]
+    scaled = vals / t
+    if top_k_per_seq is not None:
+        rank = jnp.arange(top_k, dtype=jnp.int32)
+        rank = rank.reshape((1,) * (scaled.ndim - 1) + (top_k,))
+        scaled = jnp.where(
+            rank < jnp.maximum(top_k_per_seq, 1)[..., None], scaled, NEG_INF)
+    probs = jax.nn.softmax(scaled, axis=-1)
+    cumulative = jnp.cumsum(probs, axis=-1)
+    # Keep tokens whose cumulative mass *before* them is < top_p; the
+    # first candidate always survives.
+    keep = (cumulative - probs) < top_p[..., None]
+    return jnp.where(keep, scaled, NEG_INF), idxs
+
+
 def sample_tokens(logits: jnp.ndarray, rng: jax.Array,
                   temperature: jnp.ndarray, top_p: jnp.ndarray,
                   top_k: int = 64,
@@ -57,28 +86,10 @@ def sample_tokens(logits: jnp.ndarray, rng: jax.Array,
     """
     logits = logits.astype(jnp.float32)
     greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-    # Guard out-of-range client values: top_p <= 0 would mask every
-    # candidate to NEG_INF (uniform sampling over the pool); clamp to an
-    # epsilon floor so at least the top candidate survives meaningfully.
-    top_p = jnp.clip(top_p, 1e-6, 1.0)
 
     def _stochastic(_) -> jnp.ndarray:
-        vals, idxs = jax.lax.top_k(logits, top_k)          # [B, K], descending
-        t = jnp.maximum(temperature, 1e-5)[:, None]
-        scaled = vals / t
-
-        if top_k_per_seq is not None:
-            rank = jnp.arange(top_k, dtype=jnp.int32)[None, :]
-            scaled = jnp.where(rank < jnp.maximum(top_k_per_seq, 1)[:, None],
-                               scaled, NEG_INF)
-
-        probs = jax.nn.softmax(scaled, axis=-1)
-        cumulative = jnp.cumsum(probs, axis=-1)
-        # Keep tokens whose cumulative mass *before* them is < top_p; the
-        # first candidate always survives.
-        keep = (cumulative - probs) < top_p[:, None]
-        masked = jnp.where(keep, scaled, NEG_INF)
-
+        masked, idxs = filtered_pool(logits, temperature, top_p, top_k,
+                                     top_k_per_seq)
         if row_keys is not None:
             choice = jax.vmap(
                 lambda k, m: jax.random.categorical(k, m))(row_keys, masked)

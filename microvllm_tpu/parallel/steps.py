@@ -177,24 +177,31 @@ class ShardedStepFns:
 
     def spec_fn(self, params, k, v, last, hist, hist_lens, tables, ctx,
                 num_steps: int, k_draft: int, ngram: int,
-                ks=None, vs=None, adapter_ids=None):
+                ks=None, vs=None, adapter_ids=None, sampling=None,
+                rng=None):
         b = P(DATA_AXIS)
         b2 = P(DATA_AXIS, None)
         quantized = ks is not None
+        sampled = sampling is not None
         if adapter_ids is None and self.has_lora:
             import numpy as np
             adapter_ids = np.zeros(len(last), np.int32)
         fn = self._spec_for(num_steps, k_draft, ngram, hist.shape[1],
-                            quantized)
+                            quantized, sampled)
+        samp_args = ()
+        if sampled:
+            temp, top_p, top_ks = sampling
+            samp_args = (self._put(temp, b), self._put(top_p, b),
+                         self._put(top_ks, b), rng)
         args = (params, k, v) + ((ks, vs) if quantized else ()) + (
             self._put(last, b), self._put(hist, b2),
             self._put(hist_lens, b), self._put(tables, b2),
-            self._put(ctx, b)) + self._lora_args(adapter_ids)
+            self._put(ctx, b)) + samp_args + self._lora_args(adapter_ids)
         return fn(*args)
 
     def _spec_for(self, num_steps: int, k_draft: int, ngram: int,
-                  lmax: int, quantized: bool):
-        key = (num_steps, k_draft, ngram, lmax, quantized)
+                  lmax: int, quantized: bool, sampled: bool = False):
+        key = (num_steps, k_draft, ngram, lmax, quantized, sampled)
         if key in self._spec_cache:
             return self._spec_cache[key]
         cfg, tp = self.mcfg, self.tp
@@ -206,6 +213,10 @@ class ShardedStepFns:
             adapter_ids = rest[-1] if has_lora else None
             if has_lora:
                 rest = rest[:-1]
+            temp = top_p = top_ks = rng = None
+            if sampled:
+                temp, top_p, top_ks, rng = rest[-4:]
+                rest = rest[:-4]
             if quantized:
                 ks, vs, last, hist, hist_lens, tables, ctx = rest
             else:
@@ -216,7 +227,8 @@ class ShardedStepFns:
                 num_steps, k_draft, ngram, k_scales=ks, v_scales=vs,
                 adapter_ids=adapter_ids, lora_scaling=scaling,
                 tp_axis=MODEL_AXIS if tp > 1 else None, tp_size=tp,
-                logprobs_k=lp_k)
+                logprobs_k=lp_k, sampled=sampled, temperature=temp,
+                top_p=top_p, top_ks=top_ks, rng=rng)
             emitted, counts, lp = out[0], out[1], out[2]
             # replicate results so every host reads them locally
             emitted = jax.lax.all_gather(emitted, DATA_AXIS, axis=1,
@@ -231,11 +243,12 @@ class ShardedStepFns:
         b2 = P(DATA_AXIS, None)
         scale = (self._sspec, self._sspec) if quantized else ()
         lora_spec = (b,) if has_lora else ()
+        samp_spec = (b, b, b, P()) if sampled else ()
         lp_spec = (P(), P(), P()) if lp_k else ()
         sm = _shard_map(
             local_step, self.mesh,
             in_specs=(self._pspecs, self._cspec, self._cspec) + scale
-                     + (b, b2, b, b2, b) + lora_spec,
+                     + (b, b2, b, b2, b) + samp_spec + lora_spec,
             out_specs=(P(), P(), lp_spec, self._cspec, self._cspec)
                       + scale)
         fn = jax.jit(sm, donate_argnums=(1, 2, 3, 4) if quantized

@@ -94,34 +94,41 @@ def _prefill_jit(cfg, params, k_cache, v_cache, tokens, block_tables,
 
 
 @partial(jax.jit, static_argnums=(0, 9, 10, 11),
-         static_argnames=("lora_scaling", "logprobs_k"),
+         static_argnames=("lora_scaling", "logprobs_k", "sampled"),
          donate_argnums=(2, 3))
 def _spec_span_jit(cfg, params, k_cache, v_cache, last, hist, hist_lens,
                    tables, ctx, num_steps, k, ngram,
-                   adapter_ids=None, lora_scaling=1.0, logprobs_k=0):
+                   adapter_ids=None, lora_scaling=1.0, logprobs_k=0,
+                   sampled=False, temperature=None, top_p=None,
+                   top_ks=None, rng=None):
     from ..models.speculative import spec_decode_span
     return spec_decode_span(cfg, params, k_cache, v_cache, last, hist,
                             hist_lens, tables, ctx, num_steps, k, ngram,
                             adapter_ids=adapter_ids,
                             lora_scaling=lora_scaling,
-                            logprobs_k=logprobs_k)
+                            logprobs_k=logprobs_k, sampled=sampled,
+                            temperature=temperature, top_p=top_p,
+                            top_ks=top_ks, rng=rng)
 
 
 # INT8-KV spec variant: scale pages ride along and are donated too.
 @partial(jax.jit, static_argnums=(0, 11, 12, 13),
-         static_argnames=("lora_scaling", "logprobs_k"),
+         static_argnames=("lora_scaling", "logprobs_k", "sampled"),
          donate_argnums=(2, 3, 4, 5))
 def _spec_span_q_jit(cfg, params, k_cache, v_cache, k_scales, v_scales,
                      last, hist, hist_lens, tables, ctx, num_steps, k,
                      ngram, adapter_ids=None, lora_scaling=1.0,
-                     logprobs_k=0):
+                     logprobs_k=0, sampled=False, temperature=None,
+                     top_p=None, top_ks=None, rng=None):
     from ..models.speculative import spec_decode_span
     return spec_decode_span(cfg, params, k_cache, v_cache, last, hist,
                             hist_lens, tables, ctx, num_steps, k, ngram,
                             k_scales=k_scales, v_scales=v_scales,
                             adapter_ids=adapter_ids,
                             lora_scaling=lora_scaling,
-                            logprobs_k=logprobs_k)
+                            logprobs_k=logprobs_k, sampled=sampled,
+                            temperature=temperature, top_p=top_p,
+                            top_ks=top_ks, rng=rng)
 
 
 # INT8-KV-cache variants: scale pages ride along and are donated too.
@@ -340,20 +347,33 @@ class InferenceEngine:
             self._spec_fn = None   # single-rank: _spec_span_jit directly
 
     def _call_spec(self, last, hist, hist_lens, tables, ctx0,
-                   adapter_ids=None):
+                   adapter_ids=None, sampling=None):
         """Run one speculative span through the right compiled fn (sharded
         or single-rank, bf16 or int8-KV), updating caches in place.
         Returns (emitted [steps, B, S], counts [steps, B], lp) as numpy —
         lp is () when the engine has logprobs off, else (chosen
-        [steps, B, S], top [steps, B, S, K], ids [steps, B, S, K])."""
+        [steps, B, S], top [steps, B, S, K], ids [steps, B, S, K]).
+        ``sampling``: optional (temperature, top_p, top_ks) [B] arrays —
+        present = rejection-sampling verification for temp>0 rows."""
         cfg = self.config
         steps, k, ngram = cfg.spec_steps, cfg.spec_k, cfg.spec_ngram
+        sampled = sampling is not None
+        samp_kw = {}
+        if sampled:
+            temp, top_p, top_ks = sampling
+            samp_kw = {"sampled": True,
+                       "temperature": self._put_cached("temp", temp),
+                       "top_p": self._put_cached("top_p", top_p),
+                       "top_ks": self._put_cached("top_k", top_ks),
+                       "rng": self._step_rng()}
         if self._spec_fn is not None:     # sharded (TP/DP) path
             out = self._spec_fn(
                 self.params, self.k_cache, self.v_cache, last, hist,
                 hist_lens, tables, ctx0, steps, k, ngram,
                 ks=self.k_scales, vs=self.v_scales,
-                adapter_ids=adapter_ids)
+                adapter_ids=adapter_ids,
+                sampling=sampling, rng=(samp_kw.get("rng")
+                                        if sampled else None))
             if self.kv_quantized:
                 (emitted, counts, lp, self.k_cache, self.v_cache,
                  self.k_scales, self.v_scales) = out
@@ -369,7 +389,8 @@ class InferenceEngine:
                     self.k_scales, self.v_scales, jnp.asarray(last),
                     jnp.asarray(hist), jnp.asarray(hist_lens),
                     jnp.asarray(tables), jnp.asarray(ctx0),
-                    steps, k, ngram, logprobs_k=self._lp_k, **lora_kw)
+                    steps, k, ngram, logprobs_k=self._lp_k,
+                    **samp_kw, **lora_kw)
             else:
                 (emitted, counts, lp, self.k_cache,
                  self.v_cache) = _spec_span_jit(
@@ -377,7 +398,7 @@ class InferenceEngine:
                     jnp.asarray(last), jnp.asarray(hist),
                     jnp.asarray(hist_lens), jnp.asarray(tables),
                     jnp.asarray(ctx0), steps, k, ngram,
-                    logprobs_k=self._lp_k, **lora_kw)
+                    logprobs_k=self._lp_k, **samp_kw, **lora_kw)
         return (np.asarray(emitted), np.asarray(counts),
                 tuple(np.asarray(x) for x in lp))
 
@@ -593,6 +614,13 @@ class InferenceEngine:
         tables = np.zeros((bs, cfg.cache.max_pages_per_seq), np.int32)
         self._call_spec(z, hist, z, tables, z,
                         adapter_ids=z if cfg.lora else None)
+        if cfg.spec_sampled:
+            # warm the rejection-sampling variant too (temp>0 traffic)
+            self._call_spec(z, hist, z, tables, z,
+                            adapter_ids=z if cfg.lora else None,
+                            sampling=(np.ones(bs, np.float32),
+                                      np.ones(bs, np.float32),
+                                      np.full(bs, 64, np.int32)))
 
     def _run_prefill_shapes(self, bs: int, chunk: int,
                             has_history: bool = False) -> None:
@@ -926,7 +954,12 @@ class InferenceEngine:
             self._spec_cooldown -= 1
             return fallback("acceptance")
         if any(s.sampling.temperature > 0.0 for s in seqs):
-            return fallback("sampled")  # greedy-only (bit-identical)
+            if not cfg.spec_sampled:
+                return fallback("sampled")  # opt-out: greedy-only spec
+            if any(s.sampling.seed is not None for s in seqs):
+                # seeded rows need the (seed, pos)-keyed stream the plain
+                # path consumes; the spec path draws differently
+                return fallback("seeded")
         if any(s.sampling.logprobs > 0 for s in seqs) and not self._lp_k:
             # only reachable via direct SamplingParams misuse: generate()
             # already rejects logprobs requests on a logprobs_k=0 engine.
@@ -993,8 +1026,20 @@ class InferenceEngine:
             adapter_ids = np.zeros(B, dtype=np.int32)
             for i, seq in enumerate(seqs):
                 adapter_ids[i] = seq.adapter_id
+        sampling = None
+        if any(s.sampling.temperature > 0.0 for s in seqs):
+            # rejection-sampling verification (padding rows: temp 0 =
+            # greedy argmax match, inert)
+            temp = np.zeros(B, np.float32)
+            top_p = np.ones(B, np.float32)
+            top_ks = np.full(B, 64, np.int32)
+            for i, seq in enumerate(seqs):
+                temp[i] = seq.sampling.temperature
+                top_p[i] = seq.sampling.top_p
+                top_ks[i] = seq.sampling.top_k
+            sampling = (temp, top_p, top_ks)
         emitted, counts, lp = self._call_spec(last, hist, hist_lens, tables,
-                                              ctx0, adapter_ids)
+                                              ctx0, adapter_ids, sampling)
 
         produced = 0
         for i, seq in enumerate(seqs):

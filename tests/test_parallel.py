@@ -374,3 +374,21 @@ def test_sharded_engine_speculative_matches_plain_tp():
     assert eng.metrics.spec_rounds > 0
     assert eng.metrics.spec_fallbacks.get("tp_lora", 0) == 0
     assert eng.cache_stats.used_pages == 0
+
+
+def test_sharded_engine_sampled_speculation():
+    """Rejection-sampling speculative verification runs under TP/DP too:
+    temperature>0 traffic engages the sharded sampled spec variant and
+    completes deterministically per engine seed."""
+    import dataclasses
+    base = tiny_cfg(ParallelConfig(tp_size=2, dp_size=2))
+    eng = InferenceEngine(dataclasses.replace(base, spec_k=3, spec_steps=2,
+                                              spec_adaptive=False))
+    sp = SamplingParams(temperature=0.8, top_p=0.9, max_new_tokens=10,
+                        ignore_eos=True)
+    prompts = [[1, 2, 3, 4, 5], [9, 8, 7], [4, 4, 4, 4], [2, 6, 2, 6]]
+    seqs = eng.generate(prompts, sampling=sp)
+    assert all(len(s.output_token_ids) == 10 for s in seqs)
+    assert eng.metrics.spec_rounds > 0
+    assert eng.metrics.spec_fallbacks.get("sampled", 0) == 0
+    assert eng.cache_stats.used_pages == 0

@@ -88,15 +88,16 @@ def test_spec_with_eos_mid_span():
     assert eng.cache_stats.used_pages == 0
 
 
-def test_spec_mixed_with_sampling_falls_back():
-    """A batch containing a stochastic request must not use speculation
-    (greedy-only gate) — and still completes."""
-    eng = InferenceEngine(_cfg(spec_k=3))
+def test_spec_mixed_with_sampling_falls_back_when_opted_out():
+    """spec_sampled=False restores the greedy-only gate: a stochastic
+    request in the batch turns speculation off — and still completes."""
+    eng = InferenceEngine(_cfg(spec_k=3, spec_sampled=False))
     seqs = eng.generate(
         [[1, 2, 3], [7, 8, 9]],
         sampling=SamplingParams(temperature=0.8, max_new_tokens=6))
     assert all(len(s.output_token_ids) == 6 for s in seqs)
     assert eng.metrics.spec_rounds == 0
+    assert eng.metrics.spec_fallbacks.get("sampled", 0) > 0
 
 
 def test_spec_with_logprobs_keeps_speculating():
@@ -124,6 +125,74 @@ def test_spec_with_logprobs_keeps_speculating():
         assert [t for t, _ in mine["top"]] == [t for t, _ in theirs["top"]]
         np.testing.assert_allclose(mine["logprob"], theirs["logprob"],
                                    rtol=1e-4, atol=1e-5)
+
+
+def test_spec_sampled_engages_and_near_zero_temp_matches_greedy():
+    """temperature>0 batches now speculate via rejection sampling. At
+    temperature ~ 0 the filtered pool is a near-point-mass at the argmax,
+    so the sampled spec path must reproduce the greedy engine's outputs
+    exactly — and speculation must actually engage (no 'sampled'
+    fallback)."""
+    prompts = [[1, 2, 3, 4, 5], [9, 8, 7]]
+    ref = InferenceEngine(_cfg())
+    ro = [s.output_token_ids for s in ref.generate(
+        prompts, sampling=SamplingParams(temperature=0.0,
+                                         max_new_tokens=24))]
+
+    eng = InferenceEngine(_cfg(spec_k=3, spec_steps=2,
+                               spec_adaptive=False))
+    sp = SamplingParams(temperature=1e-6, top_p=1.0, max_new_tokens=24)
+    so = [s.output_token_ids for s in eng.generate(prompts, sampling=sp)]
+    assert so == ro
+    assert eng.metrics.spec_rounds > 0
+    assert eng.metrics.spec_fallbacks.get("sampled", 0) == 0
+
+
+def test_spec_sampled_distribution_matches_plain_decode():
+    """The rejection-sampling verifier is EXACT for a point-mass draft:
+    over many runs the spec engine's stochastic outputs must follow the
+    same distribution as the plain engine's. Small per-request top_k
+    collapses the outcome space so N=300 runs give a sharp comparison
+    (total variation distance over 3-token outputs)."""
+    from collections import Counter
+
+    prompt = [[3, 1, 4, 1, 5]]
+    # top_k=2 collapses each position to <=2 candidates; the MARGINAL of
+    # the first spec-produced token (index 1 — index 0 comes from the
+    # shared prefill sampler) then has ~4 outcomes, so N=500 runs bound
+    # same-distribution sampling noise at TV ~ 0.05 (3-sigma ~ 0.1).
+    sp = SamplingParams(temperature=0.8, top_p=1.0, top_k=2,
+                        max_new_tokens=3, ignore_eos=True)
+    N = 500
+
+    def sample_dist(eng):
+        c = Counter()
+        for _ in range(N):
+            c[eng.generate(prompt, sampling=sp)[0].output_token_ids[1]] += 1
+        return c
+
+    plain = sample_dist(InferenceEngine(_cfg()))
+    eng = InferenceEngine(_cfg(spec_k=3, spec_steps=2,
+                               spec_adaptive=False))
+    spec = sample_dist(eng)
+    assert eng.metrics.spec_rounds > 0          # the spec path produced it
+
+    keys = set(plain) | set(spec)
+    tv = 0.5 * sum(abs(plain.get(t, 0) - spec.get(t, 0)) / N for t in keys)
+    assert tv < 0.12, (tv, plain.most_common(5), spec.most_common(5))
+
+
+def test_spec_sampled_seeded_rows_fall_back():
+    """Per-request seeds need the (seed, pos)-keyed stream of the plain
+    path; a seeded row in the batch turns speculation off with a counted
+    reason."""
+    eng = InferenceEngine(_cfg(spec_k=3))
+    seqs = eng.generate(
+        [[1, 2, 3]],
+        sampling=SamplingParams(temperature=0.8, seed=7, max_new_tokens=6))
+    assert len(seqs[0].output_token_ids) == 6
+    assert eng.metrics.spec_rounds == 0
+    assert eng.metrics.spec_fallbacks.get("seeded", 0) > 0
 
 
 def test_spec_adaptive_disengages_on_low_acceptance():
@@ -251,7 +320,9 @@ def test_spec_with_lora_adapter_matches_nonspec():
 
 
 def test_spec_fallback_reasons_counted():
-    eng = InferenceEngine(_cfg(spec_k=3))
+    # temp>0 now speculates (rejection sampling); the counted fallback for
+    # stochastic traffic survives via the spec_sampled=False opt-out
+    eng = InferenceEngine(_cfg(spec_k=3, spec_sampled=False))
     eng.generate([[1, 2, 3]],
                  sampling=SamplingParams(temperature=0.9, max_new_tokens=4))
     assert eng.metrics.spec_fallbacks.get("sampled", 0) > 0

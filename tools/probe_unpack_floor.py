@@ -195,25 +195,30 @@ def main():
           file=sys.stderr)
 
     def chain(variant):
+        # lax.scan keeps the traced program one kernel instance long (a
+        # 28-call inlined chain broke the axon remote-compile pipe); the
+        # layer index rides the scalar-prefetch BlockSpecs exactly like
+        # the production layer scan, and the carry creates the sequential
+        # dependency a real decode layer stack has.
         @jax.jit
         def run(x_q, x_s):
-            xq = x_q
-            out = None
-            for i in range(args.chain):
+            def body(xq, i):
                 out = probe_block(xq, x_s, q_gu, s_gu, q_dn, s_dn,
                                   i % L, group_size=gs, tile_i=TI,
                                   variant=variant)
-                # sequential dependency like a real decode layer stack
-                xq = x_q + (out[0, 0] * 0).astype(jnp.int8)
-            return out[0, 0]
+                return x_q + (out[0, 0] * 0).astype(jnp.int8), out[0, 0]
+            _, outs = jax.lax.scan(body, x_q,
+                                   jnp.arange(args.chain, dtype=jnp.int32))
+            return outs[-1]
         return run
 
     # dispatch floor: same chain of trivial ops
     @jax.jit
     def floor_chain(x):
-        for _ in range(args.chain):
-            x = x + 1.0
-        return x[0, 0]
+        def body(c, _):
+            return c + 1.0, c[0, 0]
+        _, outs = jax.lax.scan(body, x, jnp.arange(args.chain))
+        return outs[-1]
 
     xf = jnp.zeros((8, 128), jnp.float32)
     np.asarray(floor_chain(xf))
