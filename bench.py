@@ -34,7 +34,7 @@ def log(*a):
 def build_engine(model: str, bits: int, batch: int, kv_pages: int,
                  page_size: int, max_pages_per_seq: int, span: int,
                  kv_bits: int = 16, spec_k: int = 0, spec_steps: int = 4,
-                 prefix_cache: bool = False):
+                 prefix_cache: bool = False, spec_adaptive: bool = True):
     from microvllm_tpu.config import (CacheConfig, EngineConfig, ModelConfig,
                                       PRESETS, QuantConfig, SchedulerConfig)
     from microvllm_tpu.runtime.engine import InferenceEngine
@@ -65,6 +65,7 @@ def build_engine(model: str, bits: int, batch: int, kv_pages: int,
         seed=0,
         spec_k=spec_k,
         spec_steps=spec_steps,
+        spec_adaptive=spec_adaptive,
     )
     t0 = time.monotonic()
     eng = InferenceEngine(cfg)

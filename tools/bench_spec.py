@@ -63,6 +63,7 @@ def run(eng, prompts, max_tokens: int):
                         ignore_eos=True)
     m = eng.metrics
     r0, a0 = m.spec_rounds, m.spec_drafts_accepted
+    d0 = m.spec_disengagements
     t0 = time.monotonic()
     seqs = eng.generate(prompts, sampling=sp)
     dt = time.monotonic() - t0
@@ -74,7 +75,8 @@ def run(eng, prompts, max_tokens: int):
     return {"toks_per_s": round(toks / dt, 1),
             "tokens": toks,
             "spec_rounds": rounds,
-            "acceptance": round(acceptance, 3)}
+            "acceptance": round(acceptance, 3),
+            "disengagements": m.spec_disengagements - d0}
 
 
 def main() -> None:
@@ -94,6 +96,10 @@ def main() -> None:
                     help="comma-separated prompt classes, run in order")
     ap.add_argument("--spec-only", action="store_true",
                     help="skip the spec_k=0 baseline engine")
+    ap.add_argument("--adaptive", default="on", choices=["on", "off"],
+                    help="adaptive acceptance-floor disengagement "
+                         "(engine default on; 'off' reproduces the r3 "
+                         "always-speculate rows)")
     ap.add_argument("--platform", default=None, choices=["cpu", "tpu"])
     args = ap.parse_args()
     import jax
@@ -113,7 +119,8 @@ def main() -> None:
                            kv_pages=args.kv_pages, page_size=args.page_size,
                            max_pages_per_seq=args.max_pages_per_seq,
                            span=8, kv_bits=args.kv_bits,
-                           spec_k=spec, spec_steps=args.spec_steps)
+                           spec_k=spec, spec_steps=args.spec_steps,
+                           spec_adaptive=args.adaptive == "on")
         # Warm ALL decode-bucket shapes (incl. the bucket-1 spec span).
         # Without this, the first ramp-down straggler — which only exists
         # when acceptance < 1.0 breaks batch lockstep — pays a remote
@@ -126,6 +133,12 @@ def main() -> None:
                                    rng)
             # warm the shapes once, measure on the second run
             run(eng, prompts, max_tokens=8)
+            # fresh adaptive state per class: a cooldown earned on the
+            # previous class (or the warm run) must not suppress this
+            # class's measurement — each row shows the class's own
+            # engage/disengage behavior
+            eng._spec_cooldown = 0
+            eng._spec_accept_num = eng._spec_accept_den = 0
             r = run(eng, prompts, args.max_tokens)
             results[f"{kind}_spec{spec}"] = r
             print(f"{kind:10s} spec_k={spec}: {r}", file=sys.stderr,

@@ -199,9 +199,11 @@ def main():
         # 28-call inlined chain broke the axon remote-compile pipe); the
         # layer index rides the scalar-prefetch BlockSpecs exactly like
         # the production layer scan, and the carry creates the sequential
-        # dependency a real decode layer stack has.
-        @jax.jit
-        def run(x_q, x_s):
+        # dependency a real decode layer stack has. Weights are ARGUMENTS
+        # — closing over them bakes 500+ MB of constants into the HLO and
+        # kills the remote-compile transport.
+        @functools.partial(jax.jit, static_argnames=())
+        def run(x_q, x_s, q_gu, s_gu, q_dn, s_dn):
             def body(xq, i):
                 out = probe_block(xq, x_s, q_gu, s_gu, q_dn, s_dn,
                                   i % L, group_size=gs, tile_i=TI,
@@ -210,7 +212,7 @@ def main():
             _, outs = jax.lax.scan(body, x_q,
                                    jnp.arange(args.chain, dtype=jnp.int32))
             return outs[-1]
-        return run
+        return lambda a, b: run(a, b, q_gu, s_gu, q_dn, s_dn)
 
     # dispatch floor: same chain of trivial ops
     @jax.jit
