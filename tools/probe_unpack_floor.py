@@ -163,7 +163,10 @@ def probe_block(x_q, x_scales, q_gu, s_gu, q_dn, s_dn, layer, *,
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--layers", type=int, default=8)
-    ap.add_argument("--chain", type=int, default=28)
+    # 256 sequential calls ≈ 38 ms device time: the ~28±4 ms tunnel RTT
+    # (which swamped a 28-call chain — negative per-layer residuals)
+    # becomes a <15% correction instead of the whole signal
+    ap.add_argument("--chain", type=int, default=256)
     ap.add_argument("--iters", type=int, default=6)
     ap.add_argument("--M", type=int, default=8)
     args = ap.parse_args()
@@ -208,9 +211,35 @@ def main():
                 out = probe_block(xq, x_s, q_gu, s_gu, q_dn, s_dn,
                                   i % L, group_size=gs, tile_i=TI,
                                   variant=variant)
-                return x_q + (out[0, 0] * 0).astype(jnp.int8), out[0, 0]
+                # OPAQUE dependency (runtime-zero but not provably so):
+                # `out * 0` constant-folds, decoupling iterations and
+                # letting the chain overlap — measured 89 us/layer,
+                # below the DMA roofline, i.e. invalid
+                dep = jnp.where(out[0, 0] > 1e30, 1, 0).astype(jnp.int8)
+                return x_q + dep, out[0, 0]
             _, outs = jax.lax.scan(body, x_q,
                                    jnp.arange(args.chain, dtype=jnp.int32))
+            return outs[-1]
+        return lambda a, b: run(a, b, q_gu, s_gu, q_dn, s_dn)
+
+    def chain_prod_block():
+        """The PRODUCTION _fused_mlp_resid_kernel in the same harness —
+        its output feeds the next call's input, a naturally opaque
+        sequential dependency; ties the probe to the 151 us/layer
+        xplane figure."""
+        from microvllm_tpu.ops.pallas.fused_mlp import fused_mlp_block
+        nw = jnp.ones((K,), jnp.float32)
+
+        @jax.jit
+        def run(attn, hid, q_gu, s_gu, q_dn, s_dn):
+            def body(carry, i):
+                a, h = carry
+                out = fused_mlp_block(a, h, nw, q_gu, s_gu, q_dn, s_dn,
+                                      i % L, group_size=gs, bits=4,
+                                      tile_i=TI)
+                return (out, h), out[0, 0]
+            _, outs = jax.lax.scan(
+                body, (attn, hid), jnp.arange(args.chain, dtype=jnp.int32))
             return outs[-1]
         return lambda a, b: run(a, b, q_gu, s_gu, q_dn, s_dn)
 
@@ -231,13 +260,17 @@ def main():
     print(f"dispatch floor: {floor_s * 1e3:.2f} ms/chain", file=sys.stderr)
 
     results = {}
-    for variant in ("prod", "nounpack", "halfdots"):
-        run = chain(variant)
-        np.asarray(run(x_q, x_s))          # compile + warm
+    attn = jax.random.normal(kg, (M, K), jnp.bfloat16) * 0.1
+    hid = jax.random.normal(ks[2], (M, K), jnp.bfloat16) * 0.1
+    runs = [("prod_block", chain_prod_block(), (attn, hid))]
+    runs += [(v, chain(v), (x_q, x_s))
+             for v in ("prod", "nounpack", "halfdots")]
+    for variant, run, inputs in runs:
+        np.asarray(run(*inputs))           # compile + warm
         best = 1e9
         for _ in range(args.iters):
             t0 = time.perf_counter()
-            np.asarray(run(x_q, x_s))
+            np.asarray(run(*inputs))
             best = min(best, time.perf_counter() - t0)
         per_layer_us = (best - floor_s) / args.chain * 1e6
         results[variant] = per_layer_us
