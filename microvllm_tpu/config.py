@@ -84,6 +84,71 @@ class ModelConfig:
     # layer scan runs over num_layers/len(pattern) groups with the period
     # unrolled so each sub-layer keeps a STATIC window for the kernels.
     sliding_pattern: tuple = ()
+    # --- deepseek_v2 family: Multi-head Latent Attention (MLA) + MoE with
+    # shared experts and a dense layer prefix ----------------------------
+    # MLA compresses KV into a per-token LATENT: c = norm(W_dkv x)
+    # [kv_lora_rank] plus one shared RoPE key k_pe [qk_rope_head_dim]. At
+    # decode the up-projection W_uk is ABSORBED into the query (q_abs =
+    # q_nope @ W_uk), turning attention into MQA over the cached
+    # [c | k_pe] latent — the paged cache stores kv_lora_rank +
+    # qk_rope_head_dim dims per token per layer instead of
+    # 2*heads*head_dim (DeepSeek-V2-Lite: 576 vs 5120 floats, 8.9x).
+    # head_dim above holds qk_nope + qk_rope (the q/k head width).
+    kv_lora_rank: int = 0                 # > 0 enables MLA
+    q_lora_rank: Optional[int] = None     # None = direct q projection
+    qk_rope_head_dim: int = 0
+    v_head_dim: int = 0                   # per-head value width (128)
+    # MoE shape: n_shared_experts dense "shared expert" MLPs of width
+    # n_shared * intermediate_size added to every routed output;
+    # the first first_k_dense_replace layers use a plain dense MLP of
+    # width dense_intermediate_size (unrolled before the MoE layer scan).
+    n_shared_experts: int = 0
+    first_k_dense_replace: int = 0
+    dense_intermediate_size: int = 0
+    routed_scaling_factor: float = 1.0
+    # top-k selection: "greedy" (plain top-k, v2-lite) or
+    # "group_limited_greedy" (v2: keep the topk_group groups with the
+    # highest max-score, top-k within them; n_group groups of E/n_group)
+    moe_topk_method: str = "greedy"
+    moe_n_group: int = 0
+    moe_topk_group: int = 0
+
+    @property
+    def mla(self) -> bool:
+        return self.kv_lora_rank > 0
+
+    @property
+    def qk_nope_head_dim(self) -> int:
+        return self.head_dim - self.qk_rope_head_dim
+
+    @property
+    def kv_cache_head_dim(self) -> int:
+        """Per-token per-layer cached width: the MLA latent [c | k_pe], or
+        the plain head_dim."""
+        return (self.kv_lora_rank + self.qk_rope_head_dim if self.mla
+                else self.head_dim)
+
+    @property
+    def o_in_dim(self) -> int:
+        """o_proj input width (MLA: heads * v_head_dim, not q_dim)."""
+        return (self.num_heads * self.v_head_dim if self.mla
+                else self.q_dim)
+
+    @property
+    def moe_layer_count(self) -> int:
+        """Layers with a routed MoE MLP (all, minus the dense prefix)."""
+        return (self.num_layers - self.first_k_dense_replace
+                if self.num_experts else 0)
+
+    @property
+    def plain_moe(self) -> bool:
+        """MoE without deepseek extras — eligible for the one-launch
+        fused MoE block (which bakes in plain greedy top-k routing and
+        no shared-expert term)."""
+        return bool(self.num_experts) and not (
+            self.n_shared_experts or self.first_k_dense_replace
+            or self.routed_scaling_factor != 1.0
+            or self.moe_topk_method != "greedy")
 
     @property
     def attn_scale(self) -> float:
@@ -126,6 +191,8 @@ class ModelConfig:
         hidden = cfg["hidden_size"]
         heads = cfg["num_attention_heads"]
         head_dim = cfg.get("head_dim") or hidden // heads
+        if model_type == "deepseek_v2":
+            return cls._from_deepseek_v2(cfg)
         # mistral uses sliding_window unconditionally when set; qwen2 ships
         # the field but gates it behind use_sliding_window (default False)
         window = cfg.get("sliding_window")
@@ -182,6 +249,56 @@ class ModelConfig:
             or cfg.get("attention_bias", False),
             tie_word_embeddings=cfg.get("tie_word_embeddings", False),
             model_type=model_type,
+        )
+
+    @classmethod
+    def _from_deepseek_v2(cls, cfg: dict[str, Any]) -> "ModelConfig":
+        """DeepSeek-V2 family (HF `DeepseekV2ForCausalLM`): MLA attention
+        + softmax-scored MoE with shared experts and a dense-layer prefix.
+        Anchored against HF in tests/test_hf_differential.py."""
+        rs = cfg.get("rope_scaling")
+        if rs:
+            raise NotImplementedError(
+                "deepseek_v2 rope_scaling (yarn) is not supported yet; "
+                "use a config without rope_scaling")
+        if cfg.get("topk_method") not in (None, "greedy",
+                                          "group_limited_greedy"):
+            raise NotImplementedError(
+                f"deepseek_v2 topk_method {cfg['topk_method']!r}")
+        n_routed = cfg.get("n_routed_experts") or 0
+        moe = (n_routed or 0) > 0 and cfg.get("num_experts_per_tok")
+        return cls(
+            vocab_size=cfg["vocab_size"],
+            hidden_size=cfg["hidden_size"],
+            num_layers=cfg["num_hidden_layers"],
+            num_heads=cfg["num_attention_heads"],
+            num_kv_heads=1,   # MQA over the cached [c | k_pe] latent
+            # q/k head width; HF's config.head_dim (= qk_rope_head_dim)
+            # is NOT the attention head width for MLA
+            head_dim=cfg["qk_nope_head_dim"] + cfg["qk_rope_head_dim"],
+            kv_lora_rank=cfg["kv_lora_rank"],
+            q_lora_rank=cfg.get("q_lora_rank"),
+            qk_rope_head_dim=cfg["qk_rope_head_dim"],
+            v_head_dim=cfg["v_head_dim"],
+            intermediate_size=(cfg["moe_intermediate_size"] if moe
+                               else cfg["intermediate_size"]),
+            dense_intermediate_size=cfg["intermediate_size"],
+            num_experts=n_routed if moe else 0,
+            num_experts_per_tok=cfg.get("num_experts_per_tok") or 2,
+            n_shared_experts=cfg.get("n_shared_experts") or 0,
+            first_k_dense_replace=cfg.get("first_k_dense_replace", 0),
+            routed_scaling_factor=cfg.get("routed_scaling_factor", 1.0),
+            moe_renorm=cfg.get("norm_topk_prob", False),
+            moe_topk_method=cfg.get("topk_method") or "greedy",
+            moe_n_group=cfg.get("n_group") or 0,
+            moe_topk_group=cfg.get("topk_group") or 0,
+            rope_theta=cfg.get("rope_theta", 10000.0),
+            rms_norm_eps=cfg.get("rms_norm_eps", 1e-6),
+            max_position_embeddings=cfg.get("max_position_embeddings",
+                                            4096),
+            qkv_bias=cfg.get("attention_bias", False),
+            tie_word_embeddings=cfg.get("tie_word_embeddings", False),
+            model_type="deepseek_v2",
         )
 
     @classmethod
@@ -287,6 +404,20 @@ PRESETS: dict[str, ModelConfig] = {
         rope_theta=1000000.0, tie_word_embeddings=False, qkv_bias=False,
         rms_norm_eps=1e-5, model_type="mixtral",
         num_experts=8, num_experts_per_tok=2),
+    "deepseek-v2-lite": ModelConfig(   # MLA: 27-layer 16B total / 2.4B
+        vocab_size=102400,             # active; KV latent 576/token/layer
+        hidden_size=2048,              # vs 5120 for its MHA layout (8.9x)
+        intermediate_size=1408,        # moe expert width
+        dense_intermediate_size=10944,
+        num_layers=27, num_heads=16, num_kv_heads=1,
+        head_dim=192,                  # qk_nope 128 + qk_rope 64
+        kv_lora_rank=512, q_lora_rank=None, qk_rope_head_dim=64,
+        v_head_dim=128,
+        num_experts=64, num_experts_per_tok=6, n_shared_experts=2,
+        first_k_dense_replace=1, routed_scaling_factor=1.0,
+        moe_renorm=False, rope_theta=10000.0, tie_word_embeddings=False,
+        qkv_bias=False, rms_norm_eps=1e-6, max_position_embeddings=4096,
+        model_type="deepseek_v2"),
     "olmoe-1b-7b": ModelConfig(    # chip-sized MoE: 64 experts, top-8,
         vocab_size=50304,          # 6.9B total / 1.3B active params
         hidden_size=2048, intermediate_size=1024,
@@ -552,6 +683,15 @@ class EngineConfig:
         m, c = self.model, self.cache
         if not 0 <= self.logprobs_k <= 32:
             raise ValueError("logprobs_k must be in [0, 32]")
+        if m.mla and self.parallel.tp_size > 1:
+            raise NotImplementedError(
+                "MLA (deepseek_v2) under tensor parallelism is not "
+                "supported yet (the absorbed w_kv_b needs head-sharded "
+                "specs); run tp_size=1")
+        if m.mla and self.lora is not None:
+            raise NotImplementedError(
+                "LoRA adapters on MLA (deepseek_v2) models are not "
+                "supported yet")
         if c.page_size % 16 != 0:
             raise ValueError(f"page_size {c.page_size} must be a multiple of 16")
         if self.max_model_len > c.max_context:

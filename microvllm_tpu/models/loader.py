@@ -102,6 +102,9 @@ def load_params(path: str, cfg: ModelConfig | None = None) -> tuple[ModelConfig,
     for key, tmpl in layer_map.items():
         if tmpl.format(i=0) not in ckpt:
             continue  # e.g. biases absent for llama
+        if cfg.mla and cfg.num_experts and key in ("w_gate", "w_up",
+                                                   "w_down"):
+            continue  # deepseek dense PREFIX only; stacked as *_d below
         x = jnp.stack([get(tmpl.format(i=i)) for i in range(cfg.num_layers)])
         if key in _TRANSPOSED:
             x = jnp.swapaxes(x, 1, 2)  # HF stores [out, in]; we want [in, out]
@@ -130,7 +133,57 @@ def load_params(path: str, cfg: ModelConfig | None = None) -> tuple[ModelConfig,
         layers["w_gate"] = gu[:, :, :I]
         layers["w_up"] = gu[:, :, I:]
 
-    if cfg.num_experts > 0:
+    if cfg.mla:
+        # deepseek_v2 MLA projections (HF DeepseekV2Attention); [out, in]
+        # storage transposed to our [in, out]
+        def stack_t(tmpl, transpose=True, n=cfg.num_layers, base=0):
+            xs = [get(tmpl.format(i=base + i)) for i in range(n)]
+            xs = jnp.stack(xs)
+            return jnp.swapaxes(xs, 1, 2) if transpose else xs
+
+        pre = "model.layers.{i}.self_attn."
+        layers["w_kv_a"] = stack_t(pre + "kv_a_proj_with_mqa.weight")
+        layers["kv_a_norm"] = stack_t(pre + "kv_a_layernorm.weight",
+                                      transpose=False)
+        layers["w_kv_b"] = stack_t(pre + "kv_b_proj.weight")
+        if cfg.q_lora_rank:
+            layers["w_q_a"] = stack_t(pre + "q_a_proj.weight")
+            layers["q_a_norm"] = stack_t(pre + "q_a_layernorm.weight",
+                                         transpose=False)
+            layers["w_q_b"] = stack_t(pre + "q_b_proj.weight")
+        # else: the generic pass already loaded q_proj as "wq"
+        k0 = cfg.first_k_dense_replace if cfg.num_experts else 0
+        if k0:
+            # dense prefix MLPs live under the plain mlp.* names on
+            # the first k0 layers (the generic pass skips them for MLA)
+            layers["w_gate_d"] = stack_t(
+                "model.layers.{i}.mlp.gate_proj.weight", n=k0)
+            layers["w_up_d"] = stack_t(
+                "model.layers.{i}.mlp.up_proj.weight", n=k0)
+            layers["w_down_d"] = stack_t(
+                "model.layers.{i}.mlp.down_proj.weight", n=k0)
+        if cfg.num_experts:
+            L_moe = cfg.moe_layer_count
+            layers["w_router"] = stack_t(
+                "model.layers.{i}.mlp.gate.weight", n=L_moe, base=k0)
+            if cfg.n_shared_experts:
+                sh = "model.layers.{i}.mlp.shared_experts."
+                layers["w_gate_sh"] = stack_t(sh + "gate_proj.weight",
+                                              n=L_moe, base=k0)
+                layers["w_up_sh"] = stack_t(sh + "up_proj.weight",
+                                            n=L_moe, base=k0)
+                layers["w_down_sh"] = stack_t(sh + "down_proj.weight",
+                                              n=L_moe, base=k0)
+            for key, wname in zip(("w_gate_e", "w_up_e", "w_down_e"),
+                                  ("gate_proj", "up_proj", "down_proj")):
+                layers[key] = jnp.stack([
+                    jnp.stack([jnp.swapaxes(get(
+                        f"model.layers.{k0 + i}.mlp.experts.{e}"
+                        f".{wname}.weight"), 0, 1)
+                        for e in range(cfg.num_experts)])
+                    for i in range(L_moe)])
+
+    if cfg.num_experts > 0 and not cfg.mla:
         # MoE: router + per-expert gate/up/down stacked [L, E, in, out]
         # (HF stores [out, in] per matrix). Name conventions: mixtral uses
         # block_sparse_moe.gate + experts.{e}.w1/w3/w2; olmoe uses

@@ -47,8 +47,16 @@ import jax.numpy as jnp
 
 
 def moe_route(x: jnp.ndarray, w_router: jnp.ndarray, top_k: int,
-              renorm: bool = True):
+              renorm: bool = True, scale: float = 1.0,
+              n_group: int = 0, topk_group: int = 0):
     """Router math shared by every path (HF-exact, fp32).
+
+    ``scale``: deepseek_v2 ``routed_scaling_factor`` — multiplies the
+    selected weights AFTER the optional renorm (HF order:
+    `DeepseekV2MoEGate.forward`). ``n_group``/``topk_group``: deepseek's
+    group-limited greedy top-k — experts partition into ``n_group``
+    groups; only the ``topk_group`` groups with the highest max-score
+    stay eligible, then plain top-k within them (both 0 = plain greedy).
 
     Returns ``(sel, top_w, top_i)``: ``sel`` is the dense ``[..., E]``
     per-expert weight vector (zero for unselected experts), ``top_w`` /
@@ -59,9 +67,21 @@ def moe_route(x: jnp.ndarray, w_router: jnp.ndarray, top_k: int,
     logits = jnp.einsum("...h,he->...e", x.astype(f32),
                         w_router.astype(f32))
     probs = jax.nn.softmax(logits, axis=-1)                 # [..., E]
-    top_w, top_i = jax.lax.top_k(probs, top_k)              # [..., k]
+    cand = probs
+    if n_group and topk_group and topk_group < n_group:
+        # group-limited greedy (HF DeepseekV2MoEGate group_limited_greedy)
+        gsz = E // n_group
+        gscores = jnp.max(cand.reshape(*cand.shape[:-1], n_group, gsz),
+                          axis=-1)                          # [..., G]
+        gtop, _ = jax.lax.top_k(gscores, topk_group)
+        keep_g = gscores >= gtop[..., -1:]                  # [..., G]
+        keep = jnp.repeat(keep_g, gsz, axis=-1)             # [..., E]
+        cand = jnp.where(keep, cand, 0.0)
+    top_w, top_i = jax.lax.top_k(cand, top_k)               # [..., k]
     if renorm:   # HF norm_topk_prob (mixtral yes, olmoe no)
         top_w = top_w / jnp.sum(top_w, axis=-1, keepdims=True)
+    if scale != 1.0:
+        top_w = top_w * scale
     sel = jnp.sum(jax.nn.one_hot(top_i, E, dtype=f32)
                   * top_w[..., None], axis=-2)              # [..., E]
     return sel, top_w, top_i
@@ -74,7 +94,8 @@ def moe_mlp(x: jnp.ndarray,          # [..., H] (post-norm)
             w_down: jnp.ndarray,     # [E(_local), I(_shard), H]
             top_k: int,
             ep_axis: str | None = None,
-            renorm: bool = True) -> jnp.ndarray:
+            renorm: bool = True,
+            route_kw: dict | None = None) -> jnp.ndarray:
     """Routed SwiGLU MLP; returns the (pre-psum) expert-weighted output.
 
     Two sharding regimes compose with the caller's single psum:
@@ -90,7 +111,7 @@ def moe_mlp(x: jnp.ndarray,          # [..., H] (post-norm)
     E = w_router.shape[-1]
     E_local = w_gate.shape[0]
     f32 = jnp.float32
-    sel, _, _ = moe_route(x, w_router, top_k, renorm)
+    sel, _, _ = moe_route(x, w_router, top_k, renorm, **(route_kw or {}))
     if ep_axis is not None and E_local != E:
         # slice this rank's expert weights out of the global selection
         rank = jax.lax.axis_index(ep_axis)
@@ -116,7 +137,8 @@ def moe_mlp_quant(x: jnp.ndarray,        # [..., H] (post-norm)
                   renorm: bool = True,
                   act: str = "silu",
                   ep_axis: str | None = None,
-                  ep_size: int = 1) -> jnp.ndarray:
+                  ep_size: int = 1,
+                  route_kw: dict | None = None) -> jnp.ndarray:
     """Routed SwiGLU MLP over QUANTIZED expert-major stacks.
 
     The expert weight index ``e * num_layers + layer`` is a traced scalar
@@ -138,7 +160,8 @@ def moe_mlp_quant(x: jnp.ndarray,        # [..., H] (post-norm)
     H = x.shape[-1]
     x2 = x.reshape(-1, H)
     rows = x2.shape[0]
-    sel, top_w, top_i = moe_route(x2, w_router, top_k, renorm)
+    sel, top_w, top_i = moe_route(x2, w_router, top_k, renorm,
+                                  **(route_kw or {}))
     e_local = num_experts // ep_size
     rank0 = (jax.lax.axis_index(ep_axis) * e_local
              if ep_axis is not None and ep_size > 1 else None)

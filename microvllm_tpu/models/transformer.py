@@ -90,6 +90,9 @@ def init_params(cfg: ModelConfig, key: jax.Array,
     # (`ops/quant.py::interleave_columns`) so each rank's contiguous column
     # shard is its own fused (q_r|k_r|v_r) / (gate_r|up_r) block and the
     # same fused a8 kernels run inside shard_map as on a single chip.
+    if cfg.mla:
+        return _init_params_deepseek(cfg, key, quant_bits,
+                                     quant_group_size)
     tp_fusable = (q_dim % quant_tp == 0 and kv_dim % quant_tp == 0
                   and inter % quant_tp == 0)
     fuse = quant_bits is not None and tp_fusable
@@ -229,6 +232,91 @@ def init_params(cfg: ModelConfig, key: jax.Array,
     return params
 
 
+def _init_params_deepseek(cfg: ModelConfig, key: jax.Array,
+                          quant_bits: int | None,
+                          quant_group_size: int) -> Params:
+    """Random-init deepseek_v2 params: MLA projections (bf16; the W_uk
+    absorption consumes w_kv_b as a reshaped tensor), dense-prefix MLP
+    stacks (``*_d``, leading first_k_dense_replace), MoE-layer stacks
+    (router / experts / shared experts, leading moe_layer_count).
+    ``quant_bits`` quantizes the ROUTED EXPERT stacks (the parameter
+    mass) into expert-major ``[E*L_moe, ...]``; attention/dense/shared
+    weights stay bf16 in this round."""
+    dtype = cfg.jax_dtype
+    h = cfg.hidden_size
+    L = cfg.num_layers
+    k0 = cfg.first_k_dense_replace if cfg.num_experts else 0
+    L_moe = cfg.moe_layer_count
+    E = cfg.num_experts
+    dc, dr = cfg.kv_lora_rank, cfg.qk_rope_head_dim
+    inter = cfg.intermediate_size
+    keys = jax.random.split(key, 20)
+
+    def w(kk, shape, fan_in):
+        return jax.random.normal(kk, shape, dtype) * jnp.asarray(
+            1.0 / fan_in ** 0.5, dtype)
+
+    layers: Params = {
+        "attn_norm": jnp.ones((L, h), dtype),
+        "mlp_norm": jnp.ones((L, h), dtype),
+        "kv_a_norm": jnp.ones((L, dc), dtype),
+        "w_kv_a": w(keys[0], (L, h, dc + dr), h),
+        "w_kv_b": w(keys[1], (L, dc, cfg.num_heads
+                              * (cfg.qk_nope_head_dim + cfg.v_head_dim)),
+                    dc),
+        "wo": w(keys[2], (L, cfg.o_in_dim, h), cfg.o_in_dim),
+    }
+    if cfg.q_lora_rank:
+        layers["w_q_a"] = w(keys[3], (L, h, cfg.q_lora_rank), h)
+        layers["q_a_norm"] = jnp.ones((L, cfg.q_lora_rank), dtype)
+        layers["w_q_b"] = w(keys[4], (L, cfg.q_lora_rank,
+                                      cfg.num_heads * cfg.head_dim),
+                            cfg.q_lora_rank)
+    else:
+        layers["wq"] = w(keys[3], (L, h, cfg.num_heads * cfg.head_dim), h)
+
+    if k0:
+        i_d = cfg.dense_intermediate_size
+        layers["w_gate_d"] = w(keys[5], (k0, h, i_d), h)
+        layers["w_up_d"] = w(keys[6], (k0, h, i_d), h)
+        layers["w_down_d"] = w(keys[7], (k0, i_d, h), i_d)
+    if E:
+        layers["w_router"] = w(keys[8], (L_moe, h, E), h)
+        if cfg.n_shared_experts:
+            i_sh = cfg.n_shared_experts * inter
+            layers["w_gate_sh"] = w(keys[9], (L_moe, h, i_sh), h)
+            layers["w_up_sh"] = w(keys[10], (L_moe, h, i_sh), h)
+            layers["w_down_sh"] = w(keys[11], (L_moe, i_sh, h), i_sh)
+        if quant_bits is not None:
+            from ..ops.quant import quantize
+
+            def one_expert(kk):
+                kg, kd = jax.random.split(kk)
+                gu = w(kg, (h, 2 * inter), h)
+                dn = w(kd, (inter, h), inter)
+                return (quantize(gu, quant_bits, quant_group_size, 1),
+                        quantize(dn, quant_bits, quant_group_size, 1))
+
+            ekeys = jax.random.split(keys[12], E * L_moe)
+            layers["w_gate_up_e"], layers["w_down_e"] = jax.lax.map(
+                one_expert, ekeys)
+            jax.block_until_ready(layers["w_down_e"].q)
+        else:
+            layers["w_gate_e"] = w(keys[12], (L_moe, E, h, inter), h)
+            layers["w_up_e"] = w(keys[13], (L_moe, E, h, inter), h)
+            layers["w_down_e"] = w(keys[14], (L_moe, E, inter, h), inter)
+    else:
+        layers["w_gate"] = w(keys[12], (L, h, inter), h)
+        layers["w_up"] = w(keys[13], (L, h, inter), h)
+        layers["w_down"] = w(keys[14], (L, inter, h), inter)
+
+    embed = w(keys[15], (cfg.vocab_size, h), h)
+    lm_head = (None if cfg.tie_word_embeddings
+               else w(keys[16], (h, cfg.vocab_size), h))
+    return {"embed": embed, "layers": layers,
+            "final_norm": jnp.ones((h,), dtype), "lm_head": lm_head}
+
+
 def init_kv_cache(cfg: ModelConfig, cache: CacheConfig,
                   dtype=None) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Zeroed paged KV cache ``[L, num_pages, kv_heads, page_size, head_dim]``.
@@ -237,8 +325,11 @@ def init_kv_cache(cfg: ModelConfig, cache: CacheConfig,
     tile-aligned; the zero padding is inert in attention math.
     """
     dtype = dtype or cfg.jax_dtype
+    # MLA (deepseek_v2): one "kv head" whose width is the per-token
+    # latent [c | k_pe] — kv_lora_rank + qk_rope_head_dim dims instead
+    # of 2*heads*head_dim (config.kv_cache_head_dim)
     shape = (cfg.num_layers, cache.num_pages, cfg.num_kv_heads,
-             cache.page_size, padded_head_dim(cfg.head_dim))
+             cache.page_size, padded_head_dim(cfg.kv_cache_head_dim))
     return jnp.zeros(shape, dtype), jnp.zeros(shape, dtype)
 
 
@@ -276,6 +367,14 @@ def _maybe_psum(x: jnp.ndarray, tp_axis: str | None) -> jnp.ndarray:
     return jax.lax.psum(x, tp_axis)
 
 
+# deepseek_v2 layer-group key sets: dense-prefix-only leaves (leading
+# first_k_dense_replace) and MoE-layer-only leaves (leading
+# moe_layer_count) — everything else stacks over the FULL num_layers.
+_DENSE_PREFIX_KEYS = ("w_gate_d", "w_up_d", "w_down_d")
+_MOE_ONLY_KEYS = ("w_router", "w_gate_e", "w_up_e", "w_down_e",
+                  "w_gate_sh", "w_up_sh", "w_down_sh")
+
+
 def _layer_xs(params: Params, cfg: ModelConfig):
     """Scan inputs for the layer loop.
 
@@ -290,18 +389,44 @@ def _layer_xs(params: Params, cfg: ModelConfig):
     ``period`` sub-layers unrolled in the body so every sub-layer keeps a
     STATIC sliding window for the Pallas kernels (xs leaves gain a
     ``[groups, period, ...]`` leading pair).
+
+    deepseek_v2's dense prefix (``first_k_dense_replace``): the scan
+    covers only the MoE layers [k0, L); the prefix layers are UNROLLED
+    before it (`_prefix_layers`). Full-depth leaves are sliced [k0:];
+    MoE-only leaves (router, shared-expert stacks) already have leading
+    moe_layer_count; ``*_d`` leaves belong to the prefix alone.
     """
     from ..ops.quant import QuantizedTensor
 
+    k0 = cfg.first_k_dense_replace if cfg.num_experts else 0
     sliced = {k: v for k, v in params["layers"].items()
-              if not isinstance(v, QuantizedTensor)}
-    ls = jnp.arange(cfg.num_layers, dtype=jnp.int32)
+              if not isinstance(v, QuantizedTensor)
+              and k not in _DENSE_PREFIX_KEYS}
+    if k0:
+        sliced = {k: (v if k in _MOE_ONLY_KEYS else v[k0:])
+                  for k, v in sliced.items()}
+    ls = jnp.arange(k0, cfg.num_layers, dtype=jnp.int32)
     p = cfg.layer_period
     if p == 1:
         return (ls, sliced)
     sliced = {k: v.reshape(v.shape[0] // p, p, *v.shape[1:])
               for k, v in sliced.items()}
     return (ls.reshape(-1, p), sliced)
+
+
+def _prefix_layers(params: Params, cfg: ModelConfig):
+    """(layer_id, per-layer params) for the dense-prefix layers unrolled
+    BEFORE the MoE scan (deepseek_v2 first_k_dense_replace)."""
+    from ..ops.quant import QuantizedTensor
+
+    k0 = cfg.first_k_dense_replace if cfg.num_experts else 0
+    for i in range(k0):
+        lp = {}
+        for k, v in params["layers"].items():
+            if isinstance(v, QuantizedTensor) or k in _MOE_ONLY_KEYS:
+                continue
+            lp[k] = v[i]   # *_d leaves have leading k0; the rest full L
+        yield i, lp
 
 
 def _sub_layers(cfg: ModelConfig, ls, lps):
@@ -328,31 +453,73 @@ def _weight_getter(lp, stacked):
     return get
 
 
+def _route_kw(cfg: ModelConfig) -> dict:
+    """deepseek_v2 routing extras for `moe.moe_route` (empty elsewhere)."""
+    kw = {}
+    if cfg.routed_scaling_factor != 1.0:
+        kw["scale"] = cfg.routed_scaling_factor
+    if cfg.moe_topk_method == "group_limited_greedy":
+        kw["n_group"] = cfg.moe_n_group
+        kw["topk_group"] = cfg.moe_topk_group
+    return kw
+
+
 def _mlp_out(cfg: ModelConfig, w, lp, l, normed2: jnp.ndarray,
-             tp_axis: str | None = None, tp_size: int = 1) -> jnp.ndarray:
+             tp_axis: str | None = None, tp_size: int = 1,
+             dense_prefix: bool = False) -> jnp.ndarray:
     """Dense or Mixture-of-Experts MLP on the post-attention normed input
-    (returns the pre-psum output; the caller reduces under TP)."""
+    (returns the pre-psum output; the caller reduces under TP).
+
+    ``dense_prefix``: this is one of deepseek_v2's
+    ``first_k_dense_replace`` plain-MLP layers (weights under ``*_d``
+    keys, unrolled before the MoE layer scan; ``l`` indexes the prefix).
+    """
+    from ..ops.activations import glu_act
+    if dense_prefix:
+        f = glu_act(cfg.hidden_act)
+        a = f(linear(normed2, w("w_gate_d") if w("w_gate_d") is not None
+                     else lp["w_gate_d"], layer=l),
+              linear(normed2, w("w_up_d") if w("w_up_d") is not None
+                     else lp["w_up_d"], layer=l))
+        wd = w("w_down_d") if w("w_down_d") is not None else lp["w_down_d"]
+        return linear(a, wd, layer=l)
     if cfg.num_experts:
         from ..config import moe_uses_ep
         from .moe import moe_mlp, moe_mlp_quant
+        l_moe = (l - cfg.first_k_dense_replace if cfg.first_k_dense_replace
+                 else l)
+        rkw = _route_kw(cfg)
         if w("w_gate_up_e") is not None:
             # quantized expert-major stacks [E*L, ...]: top-k gather at
             # B=1, masked local-expert sweep otherwise (moe.py); under
             # EP the stacks are first-axis shards of whole experts
             ep_q = moe_uses_ep(cfg, tp_size)
-            return moe_mlp_quant(normed2, lp["w_router"],
-                                 w("w_gate_up_e"), w("w_down_e"), l,
-                                 cfg.num_experts, cfg.num_experts_per_tok,
-                                 cfg.num_layers,
-                                 renorm=cfg.moe_renorm, act=cfg.hidden_act,
-                                 ep_axis=tp_axis if ep_q else None,
-                                 ep_size=tp_size if ep_q else 1)
-        ep = moe_uses_ep(cfg, tp_size)
-        return moe_mlp(normed2, lp["w_router"], lp["w_gate_e"],
-                       lp["w_up_e"], lp["w_down_e"],
-                       cfg.num_experts_per_tok,
-                       ep_axis=tp_axis if ep else None,
-                       renorm=cfg.moe_renorm)
+            out = moe_mlp_quant(normed2, lp["w_router"],
+                                w("w_gate_up_e"), w("w_down_e"), l_moe,
+                                cfg.num_experts, cfg.num_experts_per_tok,
+                                cfg.moe_layer_count,
+                                renorm=cfg.moe_renorm, act=cfg.hidden_act,
+                                ep_axis=tp_axis if ep_q else None,
+                                ep_size=tp_size if ep_q else 1,
+                                route_kw=rkw)
+        else:
+            ep = moe_uses_ep(cfg, tp_size)
+            out = moe_mlp(normed2, lp["w_router"], lp["w_gate_e"],
+                          lp["w_up_e"], lp["w_down_e"],
+                          cfg.num_experts_per_tok,
+                          ep_axis=tp_axis if ep else None,
+                          renorm=cfg.moe_renorm, route_kw=rkw)
+        if cfg.n_shared_experts:
+            # deepseek shared experts: a dense SwiGLU MLP on the same
+            # normed input, ADDED to the routed output (HF
+            # DeepseekV2MoE.forward). Replicated under EP; psummed with
+            # the rest under TP would double-count — shared stacks are
+            # only built single-rank (config.validate gates deepseek+TP).
+            f = glu_act(cfg.hidden_act)
+            a = f(linear(normed2, lp["w_gate_sh"], layer=l),
+                  linear(normed2, lp["w_up_sh"], layer=l))
+            out = out + linear(a, lp["w_down_sh"], layer=l)
+        return out
     return linear(_swiglu_proj(normed2, w, l, cfg.hidden_act),
                   w("w_down"), layer=l)
 
@@ -419,6 +586,69 @@ def lora_delta(x: jnp.ndarray, A: jnp.ndarray, Bm: jnp.ndarray,
     return jnp.einsum("bsr,brm->bsm", t, Bsel) * scaling
 
 
+def _mla_qkv(cfg: ModelConfig, lp, w, normed: jnp.ndarray,
+             cos: jnp.ndarray, sin: jnp.ndarray, l):
+    """Multi-head Latent Attention projections (deepseek_v2,
+    HF `DeepseekV2Attention`, modular_deepseek_v2.py:426-473) in the
+    ABSORBED decode form: instead of materializing per-head K/V via
+    ``kv_b``, the up-projection ``W_uk`` folds into the query
+    (``q_abs = q_nope @ W_uk``) so attention is MQA over the cached
+    per-token latent ``[c | k_pe]`` — kv_lora_rank + qk_rope_head_dim
+    dims per token per layer instead of 2*heads*head_dim (DeepSeek-V2-
+    Lite: 8.9x less KV). Exact: q_abs . c == q_nope . (W_uk c) = the
+    HF per-head score; values are the shared latent, up-projected per
+    head AFTER attention (`_mla_out`).
+
+    normed: ``[..., H]``. Returns (q_full ``[..., heads, dc+dr]``,
+    k_full ``[..., 1, dc+dr]``, v_full ``[..., 1, dc]``, w_uv
+    ``[dc, heads, v_head_dim]``).
+    """
+    from ..ops.linear import linear
+    from ..ops.rope import apply_rope_interleaved
+
+    dc, dr = cfg.kv_lora_rank, cfg.qk_rope_head_dim
+    nope = cfg.qk_nope_head_dim
+    heads = cfg.num_heads
+    lead = normed.shape[:-1]
+    if cfg.q_lora_rank:
+        qa = rmsnorm(linear(normed, w("w_q_a"), layer=l), lp["q_a_norm"],
+                     cfg.rms_norm_eps)
+        q = linear(qa, w("w_q_b"), layer=l)
+    else:
+        q = linear(normed, w("wq"), layer=l)
+    q = q.reshape(*lead, heads, cfg.head_dim)
+    q_nope, q_pe = q[..., :nope], q[..., nope:]
+    ckv = linear(normed, w("w_kv_a"), layer=l)            # [..., dc + dr]
+    c = rmsnorm(ckv[..., :dc], lp["kv_a_norm"], cfg.rms_norm_eps)
+    k_pe = ckv[..., None, dc:]                            # [..., 1, dr]
+    # deepseek RoPE is the INTERLEAVED-pair convention (HF
+    # apply_rotary_emb via view_as_complex), applied to the rope slice
+    q_pe = apply_rope_interleaved(q_pe, cos, sin)
+    k_pe = apply_rope_interleaved(k_pe, cos, sin)
+    w_kv_b = lp["w_kv_b"].reshape(dc, heads, nope + cfg.v_head_dim)
+    w_uk, w_uv = w_kv_b[..., :nope], w_kv_b[..., nope:]
+    q_abs = jnp.einsum("...hn,chn->...hc", q_nope.astype(jnp.float32),
+                       w_uk.astype(jnp.float32)).astype(normed.dtype)
+    q_full = jnp.concatenate([q_abs, q_pe.astype(normed.dtype)], axis=-1)
+    k_full = jnp.concatenate([c[..., None, :],
+                              k_pe.astype(normed.dtype)], axis=-1)
+    return q_full, k_full, c[..., None, :], w_uv
+
+
+def _mla_out(cfg: ModelConfig, attn: jnp.ndarray,
+             w_uv: jnp.ndarray) -> jnp.ndarray:
+    """Per-head value up-projection after latent attention.
+
+    attn: ``[..., heads, >= kv_lora_rank]`` (tail is head-dim padding).
+    Returns ``[..., heads * v_head_dim]`` for the o-projection.
+    """
+    attn_c = attn[..., : cfg.kv_lora_rank]
+    out = jnp.einsum("...hc,chv->...hv", attn_c.astype(jnp.float32),
+                     w_uv.astype(jnp.float32))
+    return out.reshape(*attn.shape[:-2],
+                       cfg.num_heads * cfg.v_head_dim).astype(attn.dtype)
+
+
 def _swiglu_proj(normed, w, l, act: str = "silu"):
     """act(gate) * up — one fused gate|up matmul when available."""
     from ..ops.activations import glu_act
@@ -470,14 +700,40 @@ def decode_step(cfg: ModelConfig, params: Params,
     h = jnp.take(params["embed"], tokens, axis=0)          # [B, H]
     if cfg.embed_scale:   # gemma: sqrt(H) normalizer, cast to model dtype
         h = h * jnp.asarray(cfg.hidden_size ** 0.5, h.dtype)
-    cos, sin = rope_cos_sin(context_lens, cfg.head_dim, cfg.rope_theta,
+    rope_dim = cfg.qk_rope_head_dim if cfg.mla else cfg.head_dim
+    cos, sin = rope_cos_sin(context_lens, rope_dim, cfg.rope_theta,
                             scaling=cfg.rope_scaling)
 
     stacked = _stacked_weights(params)
 
-    def one_layer(carry, l, lp, window):
+    def one_layer(carry, l, lp, window, dense=False):
         hid, kc, vc, ks, vs = carry
         w = _weight_getter(lp, stacked)
+
+        if cfg.mla:
+            # Multi-head Latent Attention (deepseek_v2): MQA over the
+            # cached [c | k_pe] latent via W_uk absorption (_mla_qkv)
+            normed = rmsnorm(hid, lp["attn_norm"], cfg.rms_norm_eps)
+            q, k, v, w_uv = _mla_qkv(cfg, lp, w, normed, cos, sin, l)
+            d_pad = kc.shape[-1]
+            attn, kc, vc, ks, vs = paged_decode_append_auto(
+                pad_head(q, d_pad), pad_head(k, d_pad), pad_head(v, d_pad),
+                kc, vc, block_tables, context_lens, l, scale, ks, vs,
+                window=window, softcap=cfg.attn_logit_softcap)
+            attn_flat = _mla_out(cfg, attn, w_uv)
+            from ..ops.linear import quant_linear_normed
+            attn_out = quant_linear_normed(attn_flat, w("wo"), None,
+                                           cfg.rms_norm_eps, l)
+            if attn_out is None:
+                attn_out = linear(attn_flat, w("wo"), layer=l)
+            attn_out = _maybe_psum(attn_out, tp_axis)
+            normed2, resid = rmsnorm_residual(attn_out, hid,
+                                              lp["mlp_norm"],
+                                              cfg.rms_norm_eps)
+            mlp = _maybe_psum(
+                _mlp_out(cfg, w, lp, l, normed2, tp_axis, tp_size,
+                         dense_prefix=dense), tp_axis)
+            return (resid + mlp, kc, vc, ks, vs)
 
         # norm + activation-quantization fused into the a8 qkv kernel when
         # available; else the classic chain. Under TP the fused weights are
@@ -546,13 +802,13 @@ def decode_step(cfg: ModelConfig, params: Params,
         if not cfg.post_norms and cfg.hidden_act == "silu":
             from ..config import moe_uses_ep
             ep_q = tp_axis is not None and moe_uses_ep(cfg, tp_size)
-            if cfg.num_experts and (tp_axis is None or ep_q):
+            if cfg.plain_moe and (tp_axis is None or ep_q):
                 from ..ops.linear import fused_moe_mlp_block
                 new_hid = fused_moe_mlp_block(
                     attn_out, hid, lp["mlp_norm"], cfg.rms_norm_eps,
                     lp["w_router"], w("w_gate_up_e"), w("w_down_e"), l,
                     cfg.num_experts, cfg.num_experts_per_tok,
-                    cfg.num_layers, cfg.moe_renorm,
+                    cfg.moe_layer_count, cfg.moe_renorm,
                     ep_axis=tp_axis if ep_q else None,
                     ep_size=tp_size if ep_q else 1)
             elif not cfg.num_experts:
@@ -575,9 +831,12 @@ def decode_step(cfg: ModelConfig, params: Params,
             carry = one_layer(carry, l, lp, win)
         return carry, None
 
+    carry = (h, k_cache, v_cache, k_scales, v_scales)
+    for i, lp0 in _prefix_layers(params, cfg):   # deepseek dense prefix
+        carry = one_layer(carry, jnp.int32(i), lp0, cfg.layer_window(0),
+                          dense=True)
     (h, k_cache, v_cache, k_scales, v_scales), _ = jax.lax.scan(
-        body, (h, k_cache, v_cache, k_scales, v_scales),
-        _layer_xs(params, cfg))
+        body, carry, _layer_xs(params, cfg))
 
     logits = None
     if params.get("lm_head") is not None:
@@ -760,7 +1019,8 @@ def prefill_step(cfg: ModelConfig, params: Params,
     if cfg.embed_scale:   # gemma: sqrt(H) normalizer, cast to model dtype
         h = h * jnp.asarray(cfg.hidden_size ** 0.5, h.dtype)
     positions = history_lens[:, None] + jnp.arange(S, dtype=jnp.int32)[None, :]
-    cos, sin = rope_cos_sin(positions, cfg.head_dim, cfg.rope_theta,
+    rope_dim = cfg.qk_rope_head_dim if cfg.mla else cfg.head_dim
+    cos, sin = rope_cos_sin(positions, rope_dim, cfg.rope_theta,
                             scaling=cfg.rope_scaling)
 
     quantized = k_scales is not None
@@ -843,7 +1103,7 @@ def prefill_step(cfg: ModelConfig, params: Params,
 
     stacked = _stacked_weights(params)
 
-    def one_layer(carry, l, lp, window):
+    def one_layer(carry, l, lp, window, dense=False):
         hid, kc, vc, ks, vs = carry
         window = eff_window(window)
         w = _weight_getter(lp, stacked)
@@ -852,42 +1112,57 @@ def prefill_step(cfg: ModelConfig, params: Params,
         # (speculative verify windows, small prefills) take the fused
         # launches and big chunks keep the MXU-bound wide-matmul path.
         from ..ops.linear import fused_mlp_block, quant_linear_normed
-        qkv = None
-        if w("wqkv") is not None:
-            qkv = quant_linear_normed(hid, w("wqkv"), lp["attn_norm"],
-                                      cfg.rms_norm_eps, l,
-                                      bias=lp.get("bqkv"))
-        kv_dim_l = n_kv * cfg.head_dim
-        if qkv is not None:
-            if adapter_ids is not None and "lora_qkv_a" in lp:
-                normed = rmsnorm(hid, lp["attn_norm"], cfg.rms_norm_eps)
-                qkv = qkv + lora_delta(normed, lp["lora_qkv_a"],
-                                       lp["lora_qkv_b"], adapter_ids,
-                                       lora_scaling)
-            q, k, v = (qkv[..., :q_dim], qkv[..., q_dim:q_dim + kv_dim_l],
-                       qkv[..., q_dim + kv_dim_l:])
-        else:
+        w_uv = None
+        if cfg.mla:
+            # Multi-head Latent Attention (deepseek_v2): q/k built by
+            # _mla_qkv (rope applied inside, interleaved convention);
+            # the value is the shared latent, padded to the key width so
+            # the standard GQA attention/store paths apply unchanged
             normed = rmsnorm(hid, lp["attn_norm"], cfg.rms_norm_eps)
-            q, k, v = _qkv(normed, w, lp, l, q_dim, kv_dim_l)
-            if adapter_ids is not None and "lora_qkv_a" in lp:
-                d = lora_delta(normed, lp["lora_qkv_a"], lp["lora_qkv_b"],
-                               adapter_ids, lora_scaling)
-                q = q + d[..., :q_dim]
-                k = k + d[..., q_dim:q_dim + kv_dim_l]
-                v = v + d[..., q_dim + kv_dim_l:]
-        q = q.reshape(B, S, n_heads, cfg.head_dim)
-        k = k.reshape(B, S, n_kv, cfg.head_dim)
-        v = v.reshape(B, S, n_kv, cfg.head_dim)
-        if cfg.qk_norm:   # per-head (qwen3) / full-width (olmoe) pre-RoPE
-            q, k = _qk_norm(cfg, lp, q, k)
-        q = apply_rope(q, cos, sin)
-        k = apply_rope(k, cos, sin)
+            q, k, v, w_uv = _mla_qkv(cfg, lp, w, normed, cos, sin, l)
+            v = pad_head(v, q.shape[-1])
+        else:
+            qkv = None
+            if w("wqkv") is not None:
+                qkv = quant_linear_normed(hid, w("wqkv"), lp["attn_norm"],
+                                          cfg.rms_norm_eps, l,
+                                          bias=lp.get("bqkv"))
+            kv_dim_l = n_kv * cfg.head_dim
+            if qkv is not None:
+                if adapter_ids is not None and "lora_qkv_a" in lp:
+                    normed = rmsnorm(hid, lp["attn_norm"],
+                                     cfg.rms_norm_eps)
+                    qkv = qkv + lora_delta(normed, lp["lora_qkv_a"],
+                                           lp["lora_qkv_b"], adapter_ids,
+                                           lora_scaling)
+                q, k, v = (qkv[..., :q_dim],
+                           qkv[..., q_dim:q_dim + kv_dim_l],
+                           qkv[..., q_dim + kv_dim_l:])
+            else:
+                normed = rmsnorm(hid, lp["attn_norm"], cfg.rms_norm_eps)
+                q, k, v = _qkv(normed, w, lp, l, q_dim, kv_dim_l)
+                if adapter_ids is not None and "lora_qkv_a" in lp:
+                    d = lora_delta(normed, lp["lora_qkv_a"],
+                                   lp["lora_qkv_b"], adapter_ids,
+                                   lora_scaling)
+                    q = q + d[..., :q_dim]
+                    k = k + d[..., q_dim:q_dim + kv_dim_l]
+                    v = v + d[..., q_dim + kv_dim_l:]
+            q = q.reshape(B, S, n_heads, cfg.head_dim)
+            k = k.reshape(B, S, n_kv, cfg.head_dim)
+            v = v.reshape(B, S, n_kv, cfg.head_dim)
+            if cfg.qk_norm:  # per-head (qwen3) / full-width (olmoe) norm
+                q, k = _qk_norm(cfg, lp, q, k)
+            q = apply_rope(q, cos, sin)
+            k = apply_rope(k, cos, sin)
 
         d_pad = kc.shape[-1]
+        hd_out = d_pad if cfg.mla else cfg.head_dim   # _mla_out slices dc
+        nh_l, nkv_l = (cfg.num_heads, 1) if cfg.mla else (n_heads, n_kv)
         if pallas_attn:
             from ..ops.pallas.prefill_attention import flash_prefill_attention
             qt = pad_head(q, d_pad).reshape(
-                B, S, n_kv, n_heads // n_kv, d_pad).transpose(0, 2, 3, 1, 4)
+                B, S, nkv_l, nh_l // nkv_l, d_pad).transpose(0, 2, 3, 1, 4)
             attn = flash_prefill_attention(
                 qt, pad_head(k, d_pad).transpose(0, 2, 1, 3),
                 pad_head(v, d_pad).transpose(0, 2, 1, 3),
@@ -896,7 +1171,7 @@ def prefill_step(cfg: ModelConfig, params: Params,
                 k_scales=ks, v_scales=vs, window=window,
                 softcap=cfg.attn_logit_softcap)
             attn = attn.transpose(0, 3, 1, 2, 4).reshape(
-                B, S, n_heads, d_pad)[..., : cfg.head_dim]
+                B, S, nh_l, d_pad)[..., :hd_out]
         elif has_history:
             attn = chunked_prefill_attention_ref(
                 pad_head(q, d_pad), pad_head(k, d_pad), pad_head(v, d_pad),
@@ -904,14 +1179,17 @@ def prefill_step(cfg: ModelConfig, params: Params,
                 ks[l] if quantized else None,
                 vs[l] if quantized else None,
                 window=window,
-                softcap=cfg.attn_logit_softcap)[..., : cfg.head_dim]
+                softcap=cfg.attn_logit_softcap)[..., :hd_out]
         else:
             attn = prefill_attention_ref(q, k, v, scale, window=window,
                                          softcap=cfg.attn_logit_softcap)
 
         kc, vc, ks, vs = store_chunk(kc, vc, ks, vs, l, k, v)
 
-        attn_flat = attn.reshape(B, S, q_dim)
+        if cfg.mla:
+            attn_flat = _mla_out(cfg, attn, w_uv)
+        else:
+            attn_flat = attn.reshape(B, S, q_dim)
         attn_out = quant_linear_normed(attn_flat, w("wo"), None,
                                        cfg.rms_norm_eps, l)
         if attn_out is None:
@@ -928,7 +1206,7 @@ def prefill_step(cfg: ModelConfig, params: Params,
         if not cfg.post_norms and cfg.hidden_act == "silu":
             from ..config import moe_uses_ep
             ep_q = tp_axis is not None and moe_uses_ep(cfg, tp_size)
-            if cfg.num_experts and (tp_axis is None or ep_q):
+            if cfg.plain_moe and (tp_axis is None or ep_q):
                 # spec-verify windows / short chunks ride the one-launch
                 # MoE block (gates itself on row count)
                 from ..ops.linear import fused_moe_mlp_block
@@ -936,7 +1214,7 @@ def prefill_step(cfg: ModelConfig, params: Params,
                     attn_out, hid, lp["mlp_norm"], cfg.rms_norm_eps,
                     lp["w_router"], w("w_gate_up_e"), w("w_down_e"), l,
                     cfg.num_experts, cfg.num_experts_per_tok,
-                    cfg.num_layers, cfg.moe_renorm,
+                    cfg.moe_layer_count, cfg.moe_renorm,
                     ep_axis=tp_axis if ep_q else None,
                     ep_size=tp_size if ep_q else 1)
             elif not cfg.num_experts:
@@ -947,7 +1225,8 @@ def prefill_step(cfg: ModelConfig, params: Params,
             normed2, resid = rmsnorm_residual(attn_out, hid, lp["mlp_norm"],
                                               cfg.rms_norm_eps)
             mlp = _maybe_psum(
-                _mlp_out(cfg, w, lp, l, normed2, tp_axis, tp_size), tp_axis)
+                _mlp_out(cfg, w, lp, l, normed2, tp_axis, tp_size,
+                         dense_prefix=dense), tp_axis)
             if cfg.post_norms:
                 mlp = rmsnorm(mlp, lp["post_mlp_norm"], cfg.rms_norm_eps)
             new_hid = resid + mlp
@@ -959,9 +1238,12 @@ def prefill_step(cfg: ModelConfig, params: Params,
             carry = one_layer(carry, l, lp, win)
         return carry, None
 
+    carry = (h, k_cache, v_cache, k_scales, v_scales)
+    for i, lp0 in _prefix_layers(params, cfg):   # deepseek dense prefix
+        carry = one_layer(carry, jnp.int32(i), lp0, cfg.layer_window(0),
+                          dense=True)
     (h, k_cache, v_cache, k_scales, v_scales), _ = jax.lax.scan(
-        body, (h, k_cache, v_cache, k_scales, v_scales),
-        _layer_xs(params, cfg))
+        body, carry, _layer_xs(params, cfg))
 
     from ..ops.linear import quant_linear_normed as _qln
 
@@ -1032,31 +1314,40 @@ def forward_logits(cfg: ModelConfig, params: Params,
     if cfg.embed_scale:
         h = h * jnp.asarray(cfg.hidden_size ** 0.5, h.dtype)
     positions = jnp.broadcast_to(jnp.arange(S, dtype=jnp.int32)[None, :], (B, S))
-    cos, sin = rope_cos_sin(positions, cfg.head_dim, cfg.rope_theta,
+    rope_dim = cfg.qk_rope_head_dim if cfg.mla else cfg.head_dim
+    cos, sin = rope_cos_sin(positions, rope_dim, cfg.rope_theta,
                             scaling=cfg.rope_scaling)
 
     stacked = _stacked_weights(params)
 
-    def one_layer(hid, l, lp, window):
+    def one_layer(hid, l, lp, window, dense=False):
         w = _weight_getter(lp, stacked)
         normed = rmsnorm(hid, lp["attn_norm"], cfg.rms_norm_eps)
-        q, k, v = _qkv(normed, w, lp, l, cfg.q_dim, cfg.kv_dim)
-        q = q.reshape(B, S, cfg.num_heads, cfg.head_dim)
-        k = k.reshape(B, S, cfg.num_kv_heads, cfg.head_dim)
-        v = v.reshape(B, S, cfg.num_kv_heads, cfg.head_dim)
-        if cfg.qk_norm:   # per-head (qwen3) / full-width (olmoe) pre-RoPE
-            q, k = _qk_norm(cfg, lp, q, k)
-        q = apply_rope(q, cos, sin)
-        k = apply_rope(k, cos, sin)
-        attn = prefill_attention_ref(q, k, v, scale, window=window,
-                                     softcap=cfg.attn_logit_softcap)
-        attn_out = linear(attn.reshape(B, S, cfg.q_dim), w("wo"), layer=l)
+        if cfg.mla:
+            q, k, v, w_uv = _mla_qkv(cfg, lp, w, normed, cos, sin, l)
+            v = pad_head(v, q.shape[-1])
+            attn = prefill_attention_ref(q, k, v, scale, window=window,
+                                         softcap=cfg.attn_logit_softcap)
+            attn_flat = _mla_out(cfg, attn, w_uv)
+        else:
+            q, k, v = _qkv(normed, w, lp, l, cfg.q_dim, cfg.kv_dim)
+            q = q.reshape(B, S, cfg.num_heads, cfg.head_dim)
+            k = k.reshape(B, S, cfg.num_kv_heads, cfg.head_dim)
+            v = v.reshape(B, S, cfg.num_kv_heads, cfg.head_dim)
+            if cfg.qk_norm:  # per-head (qwen3) / full-width (olmoe)
+                q, k = _qk_norm(cfg, lp, q, k)
+            q = apply_rope(q, cos, sin)
+            k = apply_rope(k, cos, sin)
+            attn = prefill_attention_ref(q, k, v, scale, window=window,
+                                         softcap=cfg.attn_logit_softcap)
+            attn_flat = attn.reshape(B, S, cfg.q_dim)
+        attn_out = linear(attn_flat, w("wo"), layer=l)
         if cfg.post_norms:
             attn_out = rmsnorm(attn_out, lp["post_attn_norm"],
                                cfg.rms_norm_eps)
         normed2, resid = rmsnorm_residual(attn_out, hid, lp["mlp_norm"],
                                           cfg.rms_norm_eps)
-        mlp = _mlp_out(cfg, w, lp, l, normed2)
+        mlp = _mlp_out(cfg, w, lp, l, normed2, dense_prefix=dense)
         if cfg.post_norms:
             mlp = rmsnorm(mlp, lp["post_mlp_norm"], cfg.rms_norm_eps)
         return resid + mlp
@@ -1067,6 +1358,9 @@ def forward_logits(cfg: ModelConfig, params: Params,
             hid = one_layer(hid, l, lp, win)
         return hid, None
 
+    for i, lp0 in _prefix_layers(params, cfg):   # deepseek dense prefix
+        h = one_layer(h, jnp.int32(i), lp0, cfg.layer_window(0),
+                      dense=True)
     h, _ = jax.lax.scan(body, h, _layer_xs(params, cfg))
     h = rmsnorm(h, params["final_norm"], cfg.rms_norm_eps)
     logits = _lm_logits(params, h)

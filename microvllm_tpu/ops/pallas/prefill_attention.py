@@ -432,7 +432,18 @@ def flash_prefill_attention(
             pages_per_chunk=pages_per_chunk, block_q=block_q,
             block_k=block_k, scale=scale, with_history=with_history,
             window=window, softcap=softcap)
-        operands = (q, k, v, k_cache, v_cache)
+        if not with_history:
+            # The kernel never reads the cache without history — but
+            # passing the real tensors makes them operands of this
+            # custom call, and XLA then COPY-PROTECTS the whole cache
+            # against the in-place store_kv_pages in the same layer
+            # loop (measured: 2x ~1.25 ms full-cache copies per
+            # 256-token 7B prefill, ~11% of device time). Tiny dummies
+            # keep the ref arity without the dependency.
+            dummy = jnp.zeros((1, 1, 1, 1, 1), k_cache.dtype)
+            operands = (q, k, v, dummy, dummy)
+        else:
+            operands = (q, k, v, k_cache, v_cache)
 
     return pl.pallas_call(
         kernel,

@@ -67,3 +67,22 @@ def apply_rope(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray) -> jnp.ndarra
     out1 = x1 * c - x2 * s
     out2 = x2 * c + x1 * s
     return jnp.concatenate([out1, out2], axis=-1).astype(x.dtype)
+
+
+def apply_rope_interleaved(x: jnp.ndarray, cos: jnp.ndarray,
+                           sin: jnp.ndarray) -> jnp.ndarray:
+    """Rotary embedding in the INTERLEAVED-pair convention: adjacent
+    elements (2i, 2i+1) form the complex pair rotated by angle i — HF
+    deepseek_v2's ``apply_rotary_emb`` (torch.view_as_complex on
+    ``[..., d/2, 2]``), unlike the llama half-split used by apply_rope.
+
+    x: ``[..., num_heads, head_dim]``; cos/sin: ``[..., head_dim // 2]``
+    (same tables as apply_rope — only the pairing differs).
+    """
+    xe = x[..., 0::2]
+    xo = x[..., 1::2]
+    c = cos[..., None, :]
+    s = sin[..., None, :]
+    oe = xe * c - xo * s
+    oo = xe * s + xo * c
+    return jnp.stack([oe, oo], axis=-1).reshape(x.shape).astype(x.dtype)

@@ -108,6 +108,26 @@ def _build_hf(family: str):
             max_position_embeddings=512, tie_word_embeddings=False,
             attn_implementation="eager")
         return Qwen3MoeForCausalLM(cfg)
+    if family == "deepseek_v2":
+        # Multi-head Latent Attention (q-LoRA + compressed KV latent +
+        # interleaved RoPE on the decoupled rope slice) COMBINED with
+        # deepseek MoE: a dense first layer (first_k_dense_replace=1),
+        # shared experts, routed_scaling_factor that bites, and
+        # GROUP-LIMITED top-k routing
+        from transformers import DeepseekV2Config, DeepseekV2ForCausalLM
+        cfg = DeepseekV2Config(
+            vocab_size=256, hidden_size=64, intermediate_size=128,
+            moe_intermediate_size=96, num_hidden_layers=2,
+            num_attention_heads=4, num_key_value_heads=4,
+            q_lora_rank=48, kv_lora_rank=32, qk_nope_head_dim=16,
+            qk_rope_head_dim=8, v_head_dim=16,
+            n_routed_experts=4, num_experts_per_tok=2, n_shared_experts=2,
+            first_k_dense_replace=1, routed_scaling_factor=2.5,
+            topk_method="group_limited_greedy", n_group=2, topk_group=1,
+            norm_topk_prob=False, rope_theta=10000.0, rms_norm_eps=1e-6,
+            max_position_embeddings=512, tie_word_embeddings=False,
+            attn_implementation="eager")
+        return DeepseekV2ForCausalLM(cfg)
     if family == "mixtral":
         # Mixture-of-Experts: 4 experts, top-2 routing
         from transformers import MixtralConfig, MixtralForCausalLM
@@ -144,7 +164,8 @@ def _build_hf(family: str):
 
 @pytest.fixture(scope="module",
                 params=["qwen2", "qwen3", "gemma2", "llama", "llama3.1",
-                        "mistral", "mixtral", "olmoe", "phi3", "qwen3moe"])
+                        "mistral", "mixtral", "olmoe", "phi3", "qwen3moe",
+                        "deepseek_v2"])
 def snapshot(request, tmp_path_factory):
     hf = _build_hf(request.param).eval()
     d = tmp_path_factory.mktemp(f"hf_{request.param}")
