@@ -684,10 +684,14 @@ class EngineConfig:
         if not 0 <= self.logprobs_k <= 32:
             raise ValueError("logprobs_k must be in [0, 32]")
         if m.mla and self.parallel.tp_size > 1:
-            raise NotImplementedError(
-                "MLA (deepseek_v2) under tensor parallelism is not "
-                "supported yet (the absorbed w_kv_b needs head-sharded "
-                "specs); run tp_size=1")
+            if m.num_heads % self.parallel.tp_size:
+                raise ValueError(
+                    "MLA requires num_heads divisible by tp_size")
+            if (self.quant.quantize_weights
+                    and m.num_experts % self.parallel.tp_size):
+                raise NotImplementedError(
+                    "quantized deepseek_v2 under TP needs expert "
+                    "parallelism (num_experts % tp == 0)")
         if m.mla and self.lora is not None:
             raise NotImplementedError(
                 "LoRA adapters on MLA (deepseek_v2) models are not "

@@ -90,7 +90,8 @@ def spec_decode_span(cfg: ModelConfig, params, k_cache, v_cache,
                      temperature: jnp.ndarray | None = None,  # [B]
                      top_p: jnp.ndarray | None = None,        # [B]
                      top_ks: jnp.ndarray | None = None,       # [B] int32
-                     rng: jax.Array | None = None):
+                     rng: jax.Array | None = None,
+                     dp_axis: str | None = None):
     """Run ``num_steps`` propose→verify→accept rounds on device.
 
     ``sampled=True`` verifies by REJECTION SAMPLING instead of argmax
@@ -140,7 +141,7 @@ def spec_decode_span(cfg: ModelConfig, params, k_cache, v_cache,
             k_scales=ks, v_scales=vs,
             adapter_ids=adapter_ids, lora_scaling=lora_scaling,
             tp_axis=tp_axis, tp_size=tp_size,
-            with_logits=sampled or logprobs_k > 0)
+            with_logits=sampled or logprobs_k > 0, dp_axis=dp_axis)
         if quantized:
             preds, kc, vc, ks, vs = out
         else:

@@ -512,9 +512,10 @@ def _mlp_out(cfg: ModelConfig, w, lp, l, normed2: jnp.ndarray,
         if cfg.n_shared_experts:
             # deepseek shared experts: a dense SwiGLU MLP on the same
             # normed input, ADDED to the routed output (HF
-            # DeepseekV2MoE.forward). Replicated under EP; psummed with
-            # the rest under TP would double-count — shared stacks are
-            # only built single-rank (config.validate gates deepseek+TP).
+            # DeepseekV2MoE.forward). Under TP the shared stacks are
+            # intermediate-dim sharded (parallel/sharding.py), so this
+            # rank-local partial sums with the routed/EP partial in the
+            # caller's single psum.
             f = glu_act(cfg.hidden_act)
             a = f(linear(normed2, lp["w_gate_sh"], layer=l),
                   linear(normed2, lp["w_up_sh"], layer=l))
@@ -587,7 +588,7 @@ def lora_delta(x: jnp.ndarray, A: jnp.ndarray, Bm: jnp.ndarray,
 
 
 def _mla_qkv(cfg: ModelConfig, lp, w, normed: jnp.ndarray,
-             cos: jnp.ndarray, sin: jnp.ndarray, l):
+             cos: jnp.ndarray, sin: jnp.ndarray, l, tp_size: int = 1):
     """Multi-head Latent Attention projections (deepseek_v2,
     HF `DeepseekV2Attention`, modular_deepseek_v2.py:426-473) in the
     ABSORBED decode form: instead of materializing per-head K/V via
@@ -608,7 +609,11 @@ def _mla_qkv(cfg: ModelConfig, lp, w, normed: jnp.ndarray,
 
     dc, dr = cfg.kv_lora_rank, cfg.qk_rope_head_dim
     nope = cfg.qk_nope_head_dim
-    heads = cfg.num_heads
+    # Under TP the q/kv_b/o projections are head-sharded (column-parallel
+    # contiguous head blocks); the latent path (w_kv_a, cache) is
+    # replicated — every rank computes and stores identical latents and
+    # attends with its own head subset, psumming after o_proj.
+    heads = cfg.num_heads // tp_size
     lead = normed.shape[:-1]
     if cfg.q_lora_rank:
         qa = rmsnorm(linear(normed, w("w_q_a"), layer=l), lp["q_a_norm"],
@@ -639,14 +644,16 @@ def _mla_out(cfg: ModelConfig, attn: jnp.ndarray,
              w_uv: jnp.ndarray) -> jnp.ndarray:
     """Per-head value up-projection after latent attention.
 
-    attn: ``[..., heads, >= kv_lora_rank]`` (tail is head-dim padding).
-    Returns ``[..., heads * v_head_dim]`` for the o-projection.
+    attn: ``[..., heads(_local), >= kv_lora_rank]`` (tail is head-dim
+    padding). Returns ``[..., heads_local * v_head_dim]`` for the
+    (row-parallel under TP) o-projection.
     """
     attn_c = attn[..., : cfg.kv_lora_rank]
     out = jnp.einsum("...hc,chv->...hv", attn_c.astype(jnp.float32),
                      w_uv.astype(jnp.float32))
+    heads = attn.shape[-2]
     return out.reshape(*attn.shape[:-2],
-                       cfg.num_heads * cfg.v_head_dim).astype(attn.dtype)
+                       heads * cfg.v_head_dim).astype(attn.dtype)
 
 
 def _swiglu_proj(normed, w, l, act: str = "silu"):
@@ -659,6 +666,98 @@ def _swiglu_proj(normed, w, l, act: str = "silu"):
         return f(gu[..., :inter], gu[..., inter:])
     return f(linear(normed, w("w_gate"), layer=l),
              linear(normed, w("w_up"), layer=l))
+
+
+# ---------------------------------------------------------------------------
+# Data-parallel KV-write replication
+# ---------------------------------------------------------------------------
+#
+# Under DP the paged KV cache is REPLICATED per data replica (cache_spec
+# never shards it on the data axis) and each replica's store/fused-append
+# only writes its local batch rows. The replica copies therefore diverge,
+# and correctness would silently depend on every sequence keeping the same
+# data-replica row assignment across its whole lifetime — which the
+# scheduler does not (and should not have to) guarantee: prefill batch
+# layouts differ from decode buckets, and decode round-robin rotation past
+# the bucket cap migrates rows. Fix: every replica all-gathers the new
+# per-layer K/V over the data axis and scatters the OTHER replicas' rows
+# into its local copy (its own rows are redirected to the reserved trash
+# page 0 — the local store/fused append writes those), so all replica
+# copies stay page-identical. The gathered arrays are tiny ([B, KV, D] per
+# layer at decode) and ride ICI; everything here is statically skipped
+# when dp_axis is None (the single-replica bench path is untouched).
+
+
+def _dp_remote_mask(dp_axis: str, b_local: int, b_global: int):
+    """[B_global] bool — True for rows owned by OTHER data replicas."""
+    rows = jnp.arange(b_global, dtype=jnp.int32)
+    mine = jax.lax.axis_index(dp_axis).astype(jnp.int32)
+    return (rows // b_local) != mine
+
+
+def _dp_store_remote_decode(kc, vc, ks, vs, k, v, tables_g, ctx_g,
+                            l, dp_axis: str):
+    """Scatter other replicas' single-token KV writes into the local cache.
+
+    k/v: LOCAL ``[B_local, KV, D_pad]`` new-token keys/values (pre-store).
+    tables_g/ctx_g: data-axis-gathered block tables / context lens.
+    Padding rows need no masking: they carry all-trash block tables, so
+    their coords already land on page 0.
+    """
+    from ..ops.attention import quantize_kv, slot_coords
+    kg = jax.lax.all_gather(k, dp_axis, axis=0, tiled=True)
+    vg = jax.lax.all_gather(v, dp_axis, axis=0, tiled=True)
+    page_size = kc.shape[3]
+    page_ids, offsets = slot_coords(tables_g, ctx_g, page_size)
+    remote = _dp_remote_mask(dp_axis, k.shape[0], kg.shape[0])
+    page_ids = jnp.where(remote, page_ids, 0)
+    offsets = jnp.where(remote, offsets, 0)
+    if ks is not None:
+        k_q, k_s = quantize_kv(kg)
+        v_q, v_s = quantize_kv(vg)
+        kc = kc.at[l, page_ids, :, offsets].set(k_q)
+        vc = vc.at[l, page_ids, :, offsets].set(v_q)
+        ks = ks.at[l, page_ids, :, offsets].set(k_s)
+        vs = vs.at[l, page_ids, :, offsets].set(v_s)
+        return kc, vc, ks, vs
+    kc = kc.at[l, page_ids, :, offsets].set(kg.astype(kc.dtype))
+    vc = vc.at[l, page_ids, :, offsets].set(vg.astype(vc.dtype))
+    return kc, vc, ks, vs
+
+
+def _dp_store_remote_prefill(kc, vc, ks, vs, k, v, tables_g, pos_g,
+                             valid_g, l, dp_axis: str):
+    """Prefill twin of `_dp_store_remote_decode` for ``[B, S]`` chunks.
+
+    k/v: LOCAL ``[B_local, S, KV, head_dim]`` (unpadded head dim).
+    tables_g/pos_g/valid_g: data-axis-gathered block tables, absolute
+    positions and chunk-validity mask. Invalid (padding) positions and
+    locally-owned rows are redirected to trash page 0 — the local store
+    path writes the local rows.
+    """
+    from ..ops.attention import quantize_kv, slot_coords
+    d_pad = kc.shape[-1]
+    kg = jax.lax.all_gather(pad_head(k, d_pad), dp_axis, axis=0, tiled=True)
+    vg = jax.lax.all_gather(pad_head(v, d_pad), dp_axis, axis=0, tiled=True)
+    B, S = kg.shape[:2]
+    page_ids, offsets = slot_coords(tables_g, pos_g, kc.shape[3])
+    remote = _dp_remote_mask(dp_axis, k.shape[0], B)[:, None] & valid_g
+    fp = jnp.where(remote, page_ids, 0).reshape(B * S)
+    fo = jnp.where(remote, offsets, 0).reshape(B * S)
+    n_kv = kg.shape[2]
+    if ks is not None:
+        k_q, k_s = quantize_kv(kg)
+        v_q, v_s = quantize_kv(vg)
+        kc = kc.at[l, fp, :, fo].set(k_q.reshape(B * S, n_kv, d_pad))
+        vc = vc.at[l, fp, :, fo].set(v_q.reshape(B * S, n_kv, d_pad))
+        ks = ks.at[l, fp, :, fo].set(k_s.reshape(B * S, n_kv))
+        vs = vs.at[l, fp, :, fo].set(v_s.reshape(B * S, n_kv))
+        return kc, vc, ks, vs
+    kc = kc.at[l, fp, :, fo].set(
+        kg.reshape(B * S, n_kv, d_pad).astype(kc.dtype))
+    vc = vc.at[l, fp, :, fo].set(
+        vg.reshape(B * S, n_kv, d_pad).astype(vc.dtype))
+    return kc, vc, ks, vs
 
 
 # ---------------------------------------------------------------------------
@@ -675,6 +774,7 @@ def decode_step(cfg: ModelConfig, params: Params,
                 v_scales: jnp.ndarray | None = None,
                 adapter_ids: jnp.ndarray | None = None,
                 lora_scaling: float = 1.0,
+                dp_axis: str | None = None,
                 ):
     """One decode step for a fixed-size batch.
 
@@ -694,7 +794,9 @@ def decode_step(cfg: ModelConfig, params: Params,
     scale = cfg.attn_scale
     B = tokens.shape[0]
     n_heads = cfg.num_heads // tp_size
-    n_kv = cfg.num_kv_heads // tp_size
+    # MLA: the single latent "kv head" is REPLICATED under TP (only the
+    # query/o heads shard); standard GQA shards kv heads with the cache
+    n_kv = cfg.num_kv_heads if cfg.mla else cfg.num_kv_heads // tp_size
     q_dim = n_heads * cfg.head_dim
 
     h = jnp.take(params["embed"], tokens, axis=0)          # [B, H]
@@ -705,6 +807,11 @@ def decode_step(cfg: ModelConfig, params: Params,
                             scaling=cfg.rope_scaling)
 
     stacked = _stacked_weights(params)
+    if dp_axis is not None:   # see _dp_store_remote_decode
+        tables_g = jax.lax.all_gather(block_tables, dp_axis, axis=0,
+                                      tiled=True)
+        ctx_g = jax.lax.all_gather(context_lens, dp_axis, axis=0,
+                                   tiled=True)
 
     def one_layer(carry, l, lp, window, dense=False):
         hid, kc, vc, ks, vs = carry
@@ -714,8 +821,13 @@ def decode_step(cfg: ModelConfig, params: Params,
             # Multi-head Latent Attention (deepseek_v2): MQA over the
             # cached [c | k_pe] latent via W_uk absorption (_mla_qkv)
             normed = rmsnorm(hid, lp["attn_norm"], cfg.rms_norm_eps)
-            q, k, v, w_uv = _mla_qkv(cfg, lp, w, normed, cos, sin, l)
+            q, k, v, w_uv = _mla_qkv(cfg, lp, w, normed, cos, sin, l,
+                                     tp_size)
             d_pad = kc.shape[-1]
+            if dp_axis is not None:
+                kc, vc, ks, vs = _dp_store_remote_decode(
+                    kc, vc, ks, vs, pad_head(k, d_pad), pad_head(v, d_pad),
+                    tables_g, ctx_g, l, dp_axis)
             attn, kc, vc, ks, vs = paged_decode_append_auto(
                 pad_head(q, d_pad), pad_head(k, d_pad), pad_head(v, d_pad),
                 kc, vc, block_tables, context_lens, l, scale, ks, vs,
@@ -774,6 +886,10 @@ def decode_step(cfg: ModelConfig, params: Params,
         k = apply_rope(k, cos, sin)
 
         d_pad = kc.shape[-1]
+        if dp_axis is not None:
+            kc, vc, ks, vs = _dp_store_remote_decode(
+                kc, vc, ks, vs, pad_head(k, d_pad), pad_head(v, d_pad),
+                tables_g, ctx_g, l, dp_axis)
         attn, kc, vc, ks, vs = paged_decode_append_auto(
             pad_head(q, d_pad), pad_head(k, d_pad), pad_head(v, d_pad),
             kc, vc, block_tables, context_lens, l, scale, ks, vs,
@@ -884,6 +1000,7 @@ def decode_span(cfg: ModelConfig, params: Params,
                 logprobs_k: int = 0,
                 penalties: tuple | None = None,
                 seed_state: tuple | None = None,
+                dp_axis: str | None = None,
                 ):
     """Run ``num_steps`` decode steps entirely on device, feeding each
     sampled token into the next step (no host round-trips — the TPU
@@ -926,12 +1043,12 @@ def decode_span(cfg: ModelConfig, params: Params,
             logits, kc, vc, ks, vs = decode_step(
                 cfg, params, kc, vc, toks, block_tables, ctx, tp_axis,
                 tp_size, ks, vs, adapter_ids=adapter_ids,
-                lora_scaling=lora_scaling)
+                lora_scaling=lora_scaling, dp_axis=dp_axis)
         else:
             logits, kc, vc = decode_step(
                 cfg, params, kc, vc, toks, block_tables, ctx, tp_axis,
                 tp_size, adapter_ids=adapter_ids,
-                lora_scaling=lora_scaling)
+                lora_scaling=lora_scaling, dp_axis=dp_axis)
         key, sub = jax.random.split(key)
         raw = logits
         if penalties is not None:
@@ -983,6 +1100,7 @@ def prefill_step(cfg: ModelConfig, params: Params,
                  lora_scaling: float = 1.0,
                  slot_exact_store: bool = False,
                  with_logits: bool = False,
+                 dp_axis: str | None = None,
                  ):
     """Prefill a ``[B, S]`` chunk, writing all KV into the paged cache.
 
@@ -1012,7 +1130,8 @@ def prefill_step(cfg: ModelConfig, params: Params,
     page_size = k_cache.shape[3]
     scale = cfg.attn_scale
     n_heads = cfg.num_heads // tp_size
-    n_kv = cfg.num_kv_heads // tp_size
+    n_kv = (cfg.num_kv_heads if cfg.mla
+            else cfg.num_kv_heads // tp_size)
     q_dim = n_heads * cfg.head_dim
 
     h = jnp.take(params["embed"], tokens, axis=0)          # [B, S, H]
@@ -1048,7 +1167,23 @@ def prefill_step(cfg: ModelConfig, params: Params,
         flat_pages = page_ids.reshape(B * S)
         flat_offsets = offsets.reshape(B * S)
 
+    if dp_axis is not None:   # see _dp_store_remote_prefill
+        tables_g = jax.lax.all_gather(block_tables, dp_axis, axis=0,
+                                      tiled=True)
+        hist_g = jax.lax.all_gather(history_lens, dp_axis, axis=0,
+                                    tiled=True)
+        chunk_g = jax.lax.all_gather(chunk_lens, dp_axis, axis=0,
+                                     tiled=True)
+        pos_g = hist_g[:, None] + jnp.arange(S, dtype=jnp.int32)[None, :]
+        valid_g = jnp.arange(S, dtype=jnp.int32)[None, :] < chunk_g[:, None]
+
     def store_chunk(kc, vc, ks, vs, l, k, v):
+        if dp_axis is not None:
+            kc, vc, ks, vs = _dp_store_remote_prefill(
+                kc, vc, ks, vs, k, v, tables_g, pos_g, valid_g, l, dp_axis)
+        return _store_chunk_local(kc, vc, ks, vs, l, k, v)
+
+    def _store_chunk_local(kc, vc, ks, vs, l, k, v):
         d_pad = kc.shape[-1]
         if quantized:
             from ..ops.attention import quantize_kv
@@ -1119,7 +1254,8 @@ def prefill_step(cfg: ModelConfig, params: Params,
             # the value is the shared latent, padded to the key width so
             # the standard GQA attention/store paths apply unchanged
             normed = rmsnorm(hid, lp["attn_norm"], cfg.rms_norm_eps)
-            q, k, v, w_uv = _mla_qkv(cfg, lp, w, normed, cos, sin, l)
+            q, k, v, w_uv = _mla_qkv(cfg, lp, w, normed, cos, sin, l,
+                                     tp_size)
             v = pad_head(v, q.shape[-1])
         else:
             qkv = None
@@ -1158,7 +1294,8 @@ def prefill_step(cfg: ModelConfig, params: Params,
 
         d_pad = kc.shape[-1]
         hd_out = d_pad if cfg.mla else cfg.head_dim   # _mla_out slices dc
-        nh_l, nkv_l = (cfg.num_heads, 1) if cfg.mla else (n_heads, n_kv)
+        nh_l, nkv_l = ((cfg.num_heads // tp_size, 1) if cfg.mla
+                       else (n_heads, n_kv))
         if pallas_attn:
             from ..ops.pallas.prefill_attention import flash_prefill_attention
             qt = pad_head(q, d_pad).reshape(

@@ -60,6 +60,25 @@ _LAYER_SPECS: dict[str, P] = {
     "w_gate_e": P(None, None, None, MODEL_AXIS),
     "w_up_e": P(None, None, None, MODEL_AXIS),
     "w_down_e": P(None, None, MODEL_AXIS, None),
+    # deepseek_v2 MLA: the latent path (kv_a, its norm, the cache) is
+    # replicated — every rank computes identical per-token latents — and
+    # the head-indexed projections shard on heads: q/q_b and kv_b are
+    # column-parallel (contiguous head blocks), o row-parallel (above).
+    "w_kv_a": P(),
+    "kv_a_norm": P(),
+    "w_kv_b": P(None, None, MODEL_AXIS),
+    "w_q_a": P(),
+    "q_a_norm": P(),
+    "w_q_b": P(None, None, MODEL_AXIS),
+    # deepseek dense-prefix + shared-expert MLPs: intermediate-dim TP
+    # like the dense MLP (their row-parallel down partials ride the same
+    # caller psum that reduces the routed/EP expert contributions)
+    "w_gate_d": P(None, None, MODEL_AXIS),
+    "w_up_d": P(None, None, MODEL_AXIS),
+    "w_down_d": P(None, MODEL_AXIS, None),
+    "w_gate_sh": P(None, None, MODEL_AXIS),
+    "w_up_sh": P(None, None, MODEL_AXIS),
+    "w_down_sh": P(None, MODEL_AXIS, None),
 }
 
 # Expert parallelism: shard the E axis — each rank holds E/tp whole

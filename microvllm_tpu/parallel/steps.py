@@ -40,6 +40,10 @@ class ShardedStepFns:
         self.config = config
         self.mcfg = config.model
         self.tp = config.parallel.tp_size
+        # dp>1: KV writes must be replicated across data replicas (the
+        # cache is replicated but each replica only computes its local
+        # rows — see transformer._dp_store_remote_decode)
+        self.dp_axis = DATA_AXIS if config.parallel.dp_size > 1 else None
         self.has_lora = config.lora is not None
         self._lora_scaling = (float(config.lora.scaling)
                               if self.has_lora else 1.0)
@@ -101,6 +105,7 @@ class ShardedStepFns:
         if span in self._decode_cache:
             return self._decode_cache[span]
         cfg, tp = self.mcfg, self.tp
+        dp_axis = self.dp_axis
         scaling, has_lora = self._lora_scaling, self.has_lora
         lp_k = self._lp_k
 
@@ -111,7 +116,7 @@ class ShardedStepFns:
                 span, tp_axis=MODEL_AXIS if tp > 1 else None, tp_size=tp,
                 top_ks=top_ks,
                 adapter_ids=lora[0] if has_lora else None,
-                lora_scaling=scaling, logprobs_k=lp_k)
+                lora_scaling=scaling, logprobs_k=lp_k, dp_axis=dp_axis)
             # replicate sampled tokens so every host reads them locally
             toks = jax.lax.all_gather(toks, DATA_AXIS, axis=0, tiled=True)
             return toks, self._gather_lp(lp), k, v
@@ -146,6 +151,7 @@ class ShardedStepFns:
         if span in self._decode_q_cache:
             return self._decode_q_cache[span]
         cfg, tp = self.mcfg, self.tp
+        dp_axis = self.dp_axis
         scaling, has_lora = self._lora_scaling, self.has_lora
         lp_k = self._lp_k
 
@@ -156,7 +162,7 @@ class ShardedStepFns:
                 span, tp_axis=MODEL_AXIS if tp > 1 else None, tp_size=tp,
                 k_scales=ks, v_scales=vs, top_ks=top_ks,
                 adapter_ids=lora[0] if has_lora else None,
-                lora_scaling=scaling, logprobs_k=lp_k)
+                lora_scaling=scaling, logprobs_k=lp_k, dp_axis=dp_axis)
             toks = jax.lax.all_gather(toks, DATA_AXIS, axis=0, tiled=True)
             return toks, self._gather_lp(lp), k, v, ks, vs
 
@@ -205,6 +211,7 @@ class ShardedStepFns:
         if key in self._spec_cache:
             return self._spec_cache[key]
         cfg, tp = self.mcfg, self.tp
+        dp_axis = self.dp_axis
         scaling, has_lora = self._lora_scaling, self.has_lora
         lp_k = self._lp_k
         from ..models.speculative import spec_decode_span
@@ -228,7 +235,7 @@ class ShardedStepFns:
                 adapter_ids=adapter_ids, lora_scaling=scaling,
                 tp_axis=MODEL_AXIS if tp > 1 else None, tp_size=tp,
                 logprobs_k=lp_k, sampled=sampled, temperature=temp,
-                top_p=top_p, top_ks=top_ks, rng=rng)
+                top_p=top_p, top_ks=top_ks, rng=rng, dp_axis=dp_axis)
             emitted, counts, lp = out[0], out[1], out[2]
             # replicate results so every host reads them locally
             emitted = jax.lax.all_gather(emitted, DATA_AXIS, axis=1,
@@ -276,6 +283,7 @@ class ShardedStepFns:
         if has_history in self._prefill_cache:
             return self._prefill_cache[has_history]
         cfg, tp = self.mcfg, self.tp
+        dp_axis = self.dp_axis
         scaling, has_lora = self._lora_scaling, self.has_lora
 
         lp_k = self._lp_k
@@ -285,7 +293,7 @@ class ShardedStepFns:
             logits, k, v = model_lib.prefill_step(
                 cfg, params, k, v, tokens, tables, chunk_lens, history,
                 has_history, tp_axis=MODEL_AXIS if tp > 1 else None,
-                tp_size=tp,
+                tp_size=tp, dp_axis=dp_axis,
                 adapter_ids=lora[0] if has_lora else None,
                 lora_scaling=scaling)
             toks = sample_tokens(logits, rng, temp, top_p,
@@ -329,6 +337,7 @@ class ShardedStepFns:
         if has_history in self._prefill_q_cache:
             return self._prefill_q_cache[has_history]
         cfg, tp = self.mcfg, self.tp
+        dp_axis = self.dp_axis
         scaling, has_lora = self._lora_scaling, self.has_lora
 
         lp_k = self._lp_k
@@ -338,7 +347,7 @@ class ShardedStepFns:
             logits, k, v, ks, vs = model_lib.prefill_step(
                 cfg, params, k, v, tokens, tables, chunk_lens, history,
                 has_history, tp_axis=MODEL_AXIS if tp > 1 else None,
-                tp_size=tp, k_scales=ks, v_scales=vs,
+                tp_size=tp, k_scales=ks, v_scales=vs, dp_axis=dp_axis,
                 adapter_ids=lora[0] if has_lora else None,
                 lora_scaling=scaling)
             toks = sample_tokens(logits, rng, temp, top_p,

@@ -108,9 +108,25 @@ def test_mla_quantized_experts_run():
     assert a == b
 
 
-def test_mla_rejects_tp_and_lora():
-    with pytest.raises(NotImplementedError, match="tensor parallelism"):
-        _engine(parallel=ParallelConfig(tp_size=2))
+def test_mla_tensor_parallel_matches_single_device():
+    """MLA under TPxDP: head-sharded q/kv_b/o projections over a
+    REPLICATED latent cache, shared-expert + dense-prefix MLPs
+    intermediate-sharded, routed experts expert-parallel (E % tp == 0) —
+    greedy outputs match the single-rank engine."""
+    sp = SamplingParams(temperature=0.0, max_new_tokens=6)
+    prompts = [[1, 2, 3, 4], [9, 8, 7], [5, 6], [11, 12, 13]]
+
+    def run(parallel):
+        eng = _engine(parallel=parallel or ParallelConfig())
+        return [s.output_token_ids
+                for s in eng.generate(prompts, sampling=sp)]
+
+    ref = run(None)
+    got = run(ParallelConfig(tp_size=2, dp_size=2))
+    assert got == ref
+
+
+def test_mla_rejects_lora():
     from microvllm_tpu.config import LoRAConfig
     with pytest.raises(NotImplementedError, match="LoRA"):
         _engine(lora=LoRAConfig(rank=4, max_adapters=2))

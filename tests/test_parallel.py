@@ -69,6 +69,41 @@ def test_sharded_engine_matches_single_device(tp, dp):
     assert out == ref_out
 
 
+@pytest.mark.parametrize("kv_bits", [16, 8])
+def test_dp_kv_consistent_across_batch_layout_changes(kv_bits):
+    """DP regression: a sequence prefilled in one batch layout must decode
+    correctly from ANY decode-bucket row. With prefill_batch_buckets=(1,2)
+    and a decode bucket of 4, seqs 1 and 2 swap data replicas between
+    prefill and decode; before the KV-write replication fix
+    (`transformer._dp_store_remote_decode`) their decode read a replica
+    cache copy missing their prefill KV and silently diverged."""
+    from microvllm_tpu.config import QuantConfig
+
+    def cfg(parallel=None):
+        return EngineConfig(
+            model=ModelConfig.tiny(num_heads=8, num_kv_heads=4, head_dim=32,
+                                   hidden_size=128, intermediate_size=256),
+            quant=QuantConfig(kv_bits=kv_bits),
+            cache=CacheConfig(num_pages=64, page_size=16,
+                              max_pages_per_seq=8),
+            scheduler=SchedulerConfig(
+                max_batch_size=4, max_prefill_tokens=256,
+                prefill_wait_s=0.0, decode_buckets=(1, 4),
+                prefill_len_buckets=(16, 32), prefill_batch_buckets=(1, 2),
+                decode_spans=(1, 4)),
+            max_model_len=128, default_max_new_tokens=6,
+            parallel=parallel or ParallelConfig())
+
+    prompts = [[1, 2, 3, 4], [9, 8, 7], [5, 6], [11, 12, 13]]
+    sp = SamplingParams(temperature=0.0, max_new_tokens=6)
+    ref = [s.output_token_ids
+           for s in InferenceEngine(cfg()).generate(prompts, sampling=sp)]
+    got = [s.output_token_ids
+           for s in InferenceEngine(cfg(ParallelConfig(dp_size=2)))
+           .generate(prompts, sampling=sp)]
+    assert got == ref
+
+
 def test_sharded_engine_streaming_and_preemption():
     eng = InferenceEngine(tiny_cfg(ParallelConfig(tp_size=2, dp_size=2)))
     events = []
