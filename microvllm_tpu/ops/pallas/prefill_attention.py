@@ -378,6 +378,15 @@ def flash_prefill_attention(
     max_pages = block_tables.shape[1]
     block_q = min(block_q, S)
     block_k = min(block_k, S)
+    # The q/out tiles ([G, block_q, D] bf16, double-buffered) and the f32
+    # accumulator all scale with G*D. Standard GQA heads (D=128, G<=8)
+    # fit the default block_q=128 easily, but MLA's absorbed-latent heads
+    # are WIDE (deepseek_v2: G=16 query heads over a 640-lane padded
+    # latent) — at block_q 128 that's ~21 MB of scoped VMEM vs the 16 MB
+    # limit. Shrink block_q until the dominant tiles fit a ~6 MB budget
+    # (leaves room for the k/v chunk blocks + history-page scratch).
+    while block_q > 32 and G * block_q * D * 12 > 6 * 1024 * 1024:
+        block_q //= 2
     assert S % block_q == 0 and S % block_k == 0, (S, block_q, block_k)
 
     pages_per_chunk = min(pages_per_chunk, max_pages)

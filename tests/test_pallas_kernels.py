@@ -130,6 +130,46 @@ def test_quant_matmul_matches_dequant(K, N, M, gs):
     assert rel < 2e-2
 
 
+def test_flash_prefill_wide_latent_heads():
+    """MLA-shaped prefill (KV=1, G=16 query heads over a 640-lane padded
+    latent, deepseek-v2-lite geometry): the VMEM-budget auto-shrink must
+    drop block_q 128 -> 32 — the default tile needs ~21 MB of scoped VMEM
+    on chip (>16 MB limit, hit by the first TPU run) — and still match
+    the jnp oracle."""
+    from microvllm_tpu.ops.attention import chunked_prefill_attention_ref
+    from microvllm_tpu.ops.pallas.prefill_attention import flash_prefill_attention
+
+    L, B, KV, G, D, PS, NP, MP = 1, 1, 1, 16, 640, 16, 16, 12
+    S, layer = 128, 0
+    kc = jnp.zeros((L, NP, KV, PS, D))
+    vc = jnp.zeros((L, NP, KV, PS, D))
+    bt = np.zeros((B, MP), np.int32)
+    hist = np.array([32], np.int32)
+    chunk = np.array([S], np.int32)
+    n = -(-(int(hist[0]) + S) // PS)
+    bt[0, :n] = range(1, 1 + n)
+    bt = jnp.asarray(bt)
+    kk = jax.random.normal(jax.random.PRNGKey(1), (32, KV, D))
+    vv = jax.random.normal(jax.random.PRNGKey(9), (32, KV, D))
+    pos = jnp.arange(32, dtype=jnp.int32)
+    pages, offs = slot_coords(bt[0][None].repeat(32, 0), pos, PS)
+    kl, vl = append_kv(kc[layer], vc[layer], kk, vv, pages, offs)
+    kc, vc = kc.at[layer].set(kl), vc.at[layer].set(vl)
+
+    q = jax.random.normal(jax.random.PRNGKey(0), (B, S, KV * G, D))
+    k = jax.random.normal(jax.random.PRNGKey(2), (B, S, KV, D))
+    v = jax.random.normal(jax.random.PRNGKey(3), (B, S, KV, D))
+    ref = chunked_prefill_attention_ref(q, k, v, kc[layer], vc[layer], bt,
+                                        jnp.asarray(hist), D ** -0.5)
+    qk = q.reshape(B, S, KV, G, D).transpose(0, 2, 3, 1, 4)
+    got = flash_prefill_attention(
+        qk, k.transpose(0, 2, 1, 3), v.transpose(0, 2, 1, 3), kc, vc, bt,
+        jnp.asarray(hist), jnp.asarray(chunk), jnp.int32(layer),
+        scale=D ** -0.5, pages_per_chunk=2, interpret=True)
+    got_std = got.transpose(0, 3, 1, 2, 4).reshape(B, S, KV * G, D)
+    np.testing.assert_allclose(got_std[0], ref[0], rtol=2e-5, atol=2e-5)
+
+
 def test_flash_prefill_matches_ref():
     from microvllm_tpu.ops.pallas.prefill_attention import flash_prefill_attention
     from microvllm_tpu.ops.attention import chunked_prefill_attention_ref
