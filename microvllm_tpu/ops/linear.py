@@ -229,8 +229,8 @@ def fused_moe_mlp_block(attn_out: jnp.ndarray, hid: jnp.ndarray, norm_w,
         rows *= d
     if rows > 64:
         return None   # prefill-sized batches: per-expert wide matmuls win
-    if rows > 1 and e_local > 128:
-        return None   # sweep mode: one slot per lane of the weight vector
+    if rows > 1 and rows * top_k > 128 and e_local > 128:
+        return None   # neither sorted-gather nor sweep fits the 128 lanes
 
     from ..models.moe import moe_route
     from .normalization import rmsnorm
@@ -255,6 +255,26 @@ def fused_moe_mlp_block(attn_out: jnp.ndarray, hid: jnp.ndarray, norm_w,
         else:
             idx = top_i[0] * num_layers + layer     # [k] selected experts
             wts = top_w                              # [1, k]
+    elif rows * top_k <= 128:
+        # SORTED-ASSIGNMENT mode: one slot per (row, choice) routed
+        # assignment, sorted by expert id so duplicate experts sit in
+        # ADJACENT slots — the kernel's inner slot axis then elides their
+        # weight DMAs (same-block-index pipeline reuse), so each layer
+        # reads only the UNION of routed experts' bytes instead of all E
+        # (sweep). b8 x top-6 over 64 experts reads ~35 experts expected.
+        if ep:
+            e_loc = top_i - rank0                      # [rows, k]
+            local = (e_loc >= 0) & (e_loc < e_local)
+            eids = jnp.clip(e_loc, 0, e_local - 1).reshape(-1)
+            flat_w = jnp.where(local, top_w, 0.0).reshape(-1)
+        else:
+            eids = top_i.reshape(-1)                   # [rows*k]
+            flat_w = top_w.reshape(-1)
+        order = jnp.argsort(eids)
+        idx = eids[order] * num_layers + layer         # [S] sorted slots
+        s = rows * top_k
+        wts = jnp.zeros((rows, s), jnp.float32).at[
+            order // top_k, jnp.arange(s)].set(flat_w[order])
     else:
         idx = jnp.arange(e_local, dtype=jnp.int32) * num_layers + layer
         if ep:

@@ -14,13 +14,20 @@ expert's weight tiles directly from the ``[L*E, ...]`` stack:
                   acc += wts[:, j] * (quant(a) @ Wd[idx_j, t, :])
     last step:    out = resid + acc
 
-Weighting modes (both exact):
+Weighting modes (all exact):
 * GATHER (decode, one row): ``idx`` = the top-k selected experts,
   ``wts[0, j]`` = routing weight of slot j — only k/E of the expert
   bytes are ever read from HBM;
-* SWEEP (small batched rows): ``idx`` = all E experts, ``wts[m, j]`` =
-  row m's routing weight for expert j (zero if unselected) — each
-  expert's weights are read exactly once per layer.
+* SORTED-ASSIGNMENT (batched decode, rows*k <= 128 slots): ``idx`` = the
+  flattened (row, choice) expert ids SORTED ascending, ``wts[m, j]`` =
+  row m's weight if slot j is row m's assignment else 0. The slot axis
+  is the INNER grid dimension, so adjacent duplicate ids reuse the
+  previous slot's weight blocks (the pipeline skips a copy whose block
+  index is unchanged from the immediately preceding step): each layer
+  DMAs only the UNION of routed experts, not all E;
+* SWEEP (batched rows, rows*k > 128 lanes): ``idx`` = all E experts,
+  ``wts[m, j]`` = row m's routing weight for expert j (zero if
+  unselected) — each expert's weights are read exactly once per layer.
 
 Routing (router matmul + top_k) runs outside in jnp on a recomputed
 norm of the residual — the kernel re-derives the identical norm
@@ -48,8 +55,12 @@ def _fused_moe_kernel(idx_ref, attn_ref, hid_ref, nw_ref, wts_ref, qg_ref,
                       acc_ref, xq_scr, xs_scr, *, group_size: int,
                       bits: int, K: int, TI: int, H: int, n_tiles: int,
                       n_slots: int, eps: float, add_resid: bool):
-    j = pl.program_id(0)          # expert slot
-    i = pl.program_id(1)          # intermediate tile
+    i = pl.program_id(0)          # intermediate tile
+    j = pl.program_id(1)          # expert slot (INNER: consecutive slots
+    #                               with the same expert id — sorted-
+    #                               assignment mode — elide their weight
+    #                               DMAs via the pipeline's same-block-
+    #                               index reuse)
     gs = group_size
     G_k = K // gs
 
@@ -108,7 +119,7 @@ def _fused_moe_kernel(idx_ref, attn_ref, hid_ref, nw_ref, wts_ref, qg_ref,
                   keepdims=True)                             # [Mp, 1]
     acc_ref[...] += w_j * part
 
-    @pl.when((j == n_slots - 1) & (i == n_tiles - 1))
+    @pl.when((i == n_tiles - 1) & (j == n_slots - 1))
     def _():
         if add_resid:
             resid = (attn_ref[...].astype(jnp.float32)
@@ -177,28 +188,32 @@ def fused_moe_block(
     wp = jnp.zeros((Mp, 128), jnp.float32).at[:M, :n_slots].set(
         wts.astype(jnp.float32))
 
+    # Slot axis INNER so sorted-assignment batches (duplicate adjacent
+    # expert ids) reuse the previous slot's weight blocks: the pipeline
+    # skips a block copy when its index map output is unchanged from the
+    # immediately preceding grid step.
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(n_slots, n_tiles),
+        grid=(n_tiles, n_slots),
         in_specs=[
-            pl.BlockSpec((Mp, K), lambda j, i, ix: (0, 0)),
-            pl.BlockSpec((Mp, K), lambda j, i, ix: (0, 0)),
-            pl.BlockSpec((1, K), lambda j, i, ix: (0, 0)),
-            pl.BlockSpec((Mp, 128), lambda j, i, ix: (0, 0)),
+            pl.BlockSpec((Mp, K), lambda i, j, ix: (0, 0)),
+            pl.BlockSpec((Mp, K), lambda i, j, ix: (0, 0)),
+            pl.BlockSpec((1, K), lambda i, j, ix: (0, 0)),
+            pl.BlockSpec((Mp, 128), lambda i, j, ix: (0, 0)),
             # gate columns [i*TI, (i+1)*TI) of expert idx[j]
-            pl.BlockSpec((1, K // pack, TI), lambda j, i, ix: (ix[j], 0, i)),
+            pl.BlockSpec((1, K // pack, TI), lambda i, j, ix: (ix[j], 0, i)),
             # up columns [I + i*TI, ...): block index n_tiles + i
             pl.BlockSpec((1, K // pack, TI),
-                         lambda j, i, ix, _n=n_tiles: (ix[j], 0, _n + i)),
+                         lambda i, j, ix, _n=n_tiles: (ix[j], 0, _n + i)),
             pl.BlockSpec((1, n_kg, srows, TI),
-                         lambda j, i, ix: (ix[j], 0, 0, i)),
+                         lambda i, j, ix: (ix[j], 0, 0, i)),
             pl.BlockSpec((1, n_kg, srows, TI),
-                         lambda j, i, ix, _n=n_tiles: (ix[j], 0, 0, _n + i)),
-            pl.BlockSpec((1, TI // pack, H), lambda j, i, ix: (ix[j], i, 0)),
+                         lambda i, j, ix, _n=n_tiles: (ix[j], 0, 0, _n + i)),
+            pl.BlockSpec((1, TI // pack, H), lambda i, j, ix: (ix[j], i, 0)),
             pl.BlockSpec((1, 1, srows_d, H),
-                         lambda j, i, ix: (ix[j], i, 0, 0)),
+                         lambda i, j, ix: (ix[j], i, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((Mp, H), lambda j, i, ix: (0, 0)),
+        out_specs=pl.BlockSpec((Mp, H), lambda i, j, ix: (0, 0)),
         scratch_shapes=[
             pltpu.VMEM((Mp, H), jnp.float32),
             pltpu.VMEM((Mp, K), jnp.int8),

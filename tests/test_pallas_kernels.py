@@ -1038,13 +1038,16 @@ def test_flash_prefill_softcap():
 
 
 @pytest.mark.parametrize("bits,mode", [(4, "gather"), (4, "sweep"),
-                                       (8, "sweep")])
+                                       (8, "sweep"), (4, "sorted")])
 def test_fused_moe_block_matches_composition(bits, mode):
     """One-launch routed MoE block (resid + sum_j w_j * expert_{idx_j}(
     rmsnorm(resid))) vs composing the tested fused_mlp_a8 per expert.
 
     GATHER mode: one row, idx = the selected experts only. SWEEP mode:
-    several rows, idx = all experts, per-row masked weights.
+    several rows, idx = all experts, per-row masked weights. SORTED mode:
+    several rows, idx = sorted per-assignment expert ids WITH adjacent
+    duplicates (the DMA-eliding batched-decode layout), one weight per
+    (row, slot) assignment.
     """
     from microvllm_tpu.ops.normalization import rmsnorm
     from microvllm_tpu.ops.pallas.fused_mlp import fused_mlp_a8
@@ -1067,6 +1070,16 @@ def test_fused_moe_block_matches_composition(bits, mode):
         M = 1
         idx = jnp.asarray([layer * E + 2, layer * E + 0], jnp.int32)
         wts = jnp.asarray([[0.7, 0.2]], jnp.float32)
+    elif mode == "sorted":
+        # 3 rows x top-2 = 6 assignment slots, sorted: experts
+        # [0, 0, 1, 2, 2, 3] — duplicates adjacent, one weight per slot
+        M = 3
+        eids = jnp.asarray([0, 0, 1, 2, 2, 3], jnp.int32)
+        rows_of = jnp.asarray([0, 2, 1, 0, 1, 2])   # owning row per slot
+        w_of = jnp.asarray([0.6, 0.5, 0.9, 0.4, 0.1, 0.5], jnp.float32)
+        idx = layer * E + eids
+        wts = jnp.zeros((M, 6), jnp.float32).at[
+            rows_of, jnp.arange(6)].set(w_of)
     else:
         M = 5
         idx = layer * E + jnp.arange(E, dtype=jnp.int32)
