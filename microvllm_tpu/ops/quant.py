@@ -64,11 +64,25 @@ def default_block_k(K: int, group_size: int, tp: int = 1) -> int:
     per-step overhead is the floor for decode-sized m (e.g. K=3584 gets
     896 -> 4 steps instead of 512 -> 7)."""
     local_k = K // tp if tp > 1 and K % tp == 0 else K
-    best = group_size
-    for mult in range(min(1024 // group_size, local_k // group_size), 0, -1):
-        if local_k % (mult * group_size) == 0:
-            best = mult * group_size
-            break
+
+    def best_under(cap: int) -> int:
+        for mult in range(min(cap // group_size, local_k // group_size),
+                          0, -1):
+            if local_k % (mult * group_size) == 0:
+                return mult * group_size
+        return group_size
+
+    best = best_under(1024)
+    if best < 512:
+        # Divisibility forced a pathologically thin tile: deepseek-v2's
+        # expert I=1408 = 11 x 128 only admits 128 under the 1024 cap,
+        # which runs the fused-MoE kernel at 11x more grid steps with
+        # 128-wide MXU chains (measured ~134 GB/s effective vs the dense
+        # kernel's ~670). Allow up to 2048 when that recovers a >=512
+        # tile — the [block_k, n_tile] VMEM weight blocks stay ~2 MB.
+        wide = best_under(2048)
+        if wide >= 512:
+            best = wide
     return best
 
 
