@@ -271,6 +271,185 @@ def paged_decode_attention_ref(q: jnp.ndarray, k_pages: jnp.ndarray,
 
 
 # ---------------------------------------------------------------------------
+# Sequence-parallel KV (page sharding over a mesh axis)
+# ---------------------------------------------------------------------------
+# The paged cache shards its PAGE axis over the ``seq`` mesh axis
+# (interleaved ownership: global page g lives on rank g % sp at local slot
+# g // sp; global pages 0..sp-1 are reserved trash so every rank's local
+# slot 0 absorbs redirected writes). Every sp rank computes identical
+# new-token K/V (weights are replicated over ``seq``), writes only its
+# owned pages, attends only its local shard (flash partials), and the
+# ranks combine with one tiny psum — the flash-decode split the chunked
+# kernel already performs locally, lifted across the mesh. KV capacity
+# then scales sp-fold: n chips hold n x the single-chip ~35k-token bound
+# (SURVEY.md §5 long-context mandate; no reference counterpart — vLLM's
+# CUDA paged cache is single-GPU per TP shard).
+
+
+def sp_local_tables(block_tables: jnp.ndarray, lens: jnp.ndarray,
+                    page_size: int, sp: int, rank: jnp.ndarray
+                    ) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Global block tables -> this rank's compacted LOCAL tables + lens.
+
+    block_tables: ``[B, P]`` GLOBAL page ids; lens: ``[B]`` tokens to
+    attend (including any just-appended token). Returns
+    ``(local_tables [B, P] local page ids — owned pages first, original
+    order, trash-padded; local_lens [B] tokens held by this rank)``.
+
+    Order preservation keeps the one partial page (the global last) as
+    the final owned entry, so the kernel's slot-order position mask
+    (pos < local_len) is exact. Softmax is permutation-invariant, so
+    compaction never changes the combined result.
+    """
+    B, P = block_tables.shape
+    pidx = jnp.arange(P, dtype=jnp.int32)[None, :]
+    n_used = -(-lens // page_size)                       # ceil
+    in_use = pidx < n_used[:, None]
+    owned = in_use & ((block_tables % sp) == rank)
+    tok = jnp.clip(lens[:, None] - pidx * page_size, 0, page_size)
+    local_lens = jnp.sum(jnp.where(owned, tok, 0), axis=1).astype(lens.dtype)
+    # stable compaction: owned first, original order preserved
+    order = jnp.argsort(jnp.where(owned, 0, 1), axis=1, stable=True)
+    owned_sorted = jnp.take_along_axis(owned, order, axis=1)
+    local_ids = jnp.take_along_axis(block_tables // sp, order, axis=1)
+    local_tables = jnp.where(owned_sorted, local_ids, 0)
+    return local_tables.astype(block_tables.dtype), local_lens
+
+
+def sp_owner_coords(page_ids: jnp.ndarray, sp: int, rank: jnp.ndarray
+                    ) -> jnp.ndarray:
+    """Global destination page ids -> local ids, with pages owned by other
+    ranks redirected to the local trash slot 0."""
+    mine = (page_ids % sp) == rank
+    return jnp.where(mine, page_ids // sp, 0).astype(page_ids.dtype)
+
+
+def sp_combine_partials(acc: jnp.ndarray, m: jnp.ndarray, l: jnp.ndarray,
+                        axis: str):
+    """Combine per-rank flash partials over mesh axis ``axis``.
+
+    acc: ``[..., D]`` unnormalized; m/l: ``[..., 1]``. Exact: a rank with
+    no local tokens contributes (0, MASK_VALUE~-inf, 0). Rows with no
+    tokens on ANY rank (padding) return 0 (guarded divide), matching the
+    single-device kernels' zero output for context_len == 0.
+    """
+    m_max = jax.lax.pmax(m, axis)
+    alpha = jnp.exp(m - m_max)
+    l_tot = jax.lax.psum(l * alpha, axis)
+    o = jax.lax.psum(acc * alpha, axis)
+    return o / jnp.maximum(l_tot, 1e-30)
+
+
+def paged_decode_partials_ref(q: jnp.ndarray, k_pages: jnp.ndarray,
+                              v_pages: jnp.ndarray,
+                              block_tables: jnp.ndarray,
+                              seq_lens: jnp.ndarray,
+                              scale: float,
+                              k_scales: jnp.ndarray | None = None,
+                              v_scales: jnp.ndarray | None = None,
+                              softcap: float | None = None):
+    """jnp oracle for the Pallas ``partials=True`` decode kernel: returns
+    ``(acc [B,H,D] f32 unnormalized, m [B,H,1], l [B,H,1])``."""
+    B, num_heads, head_dim = q.shape
+    _, kv_heads, page_size, _ = k_pages.shape
+    max_pages = block_tables.shape[1]
+    group = num_heads // kv_heads
+
+    k = gather_kv_pages(k_pages, k_scales, block_tables)
+    v = gather_kv_pages(v_pages, v_scales, block_tables)
+    qg = q.reshape(B, kv_heads, group, head_dim).astype(jnp.float32)
+    scores = softcap_scores(
+        jnp.einsum("bkgd,bksd->bkgs", qg, k.astype(jnp.float32)) * scale,
+        softcap)
+    positions = jnp.arange(max_pages * page_size, dtype=jnp.int32)
+    valid = positions[None, :] < seq_lens[:, None]
+    scores = jnp.where(valid[:, None, None, :], scores, NEG_INF)
+    m = jnp.max(scores, axis=-1, keepdims=True)            # [B,kv,G,1]
+    p = jnp.where(valid[:, None, None, :], jnp.exp(scores - m), 0.0)
+    l = jnp.sum(p, axis=-1, keepdims=True)
+    acc = jnp.einsum("bkgs,bksd->bkgd", p, v.astype(jnp.float32))
+    return (acc.reshape(B, num_heads, head_dim),
+            m.reshape(B, num_heads, 1), l.reshape(B, num_heads, 1))
+
+
+def sp_decode_attention(q, k_pages, v_pages, local_tables, local_lens,
+                        scale, k_scales=None, v_scales=None,
+                        softcap=None, *, sp_axis: str):
+    """Decode attention over this rank's page shard + cross-rank combine.
+
+    The caller localizes tables/lens with `sp_local_tables` (lens must
+    INCLUDE the just-appended token) and stores the new K/V first via
+    `sp_owner_coords`-redirected scatters. Sliding window is unsupported
+    here (window masking needs global slot order); the engine gates sp
+    off for windowed models.
+    """
+    if use_pallas() and k_scales is None:
+        from .pallas.decode_attention import paged_decode_attention
+        acc, m, l = paged_decode_attention(
+            q, k_pages, v_pages, local_tables, local_lens, scale=scale,
+            softcap=softcap, partials=True)
+    else:
+        # int8-KV under sp rides the jnp partials for now (a quantized
+        # partials Pallas twin mirrors the append_q chunk-dequant; the
+        # virtual-device CPU meshes this mode runs on use jnp anyway)
+        acc, m, l = paged_decode_partials_ref(
+            q, k_pages, v_pages, local_tables, local_lens, scale,
+            k_scales, v_scales, softcap)
+    return sp_combine_partials(acc, m, l, sp_axis).astype(q.dtype)
+
+
+def chunked_prefill_attention_sp(q, k, v, k_pages, v_pages, local_tables,
+                                 local_hist_lens, scale,
+                                 k_scales=None, v_scales=None,
+                                 softcap=None, *, sp_axis: str):
+    """Chunked-prefill attention under KV page sharding.
+
+    Each rank computes flash partials over its LOCAL history shard; the
+    current chunk's causal self-attention is included by rank 0 only
+    (every rank holds identical chunk K/V — including it once keeps the
+    combined softmax exact). jnp path (the sp prefill Pallas twin is a
+    documented follow-up — on virtual-device CPU meshes this is the
+    executing path anyway).
+    """
+    B, S, num_heads, head_dim = q.shape
+    _, kv_heads, page_size, _ = k_pages.shape
+    max_pages = local_tables.shape[1]
+    group = num_heads // kv_heads
+
+    hk = gather_kv_pages(k_pages, k_scales, local_tables)
+    hv = gather_kv_pages(v_pages, v_scales, local_tables)
+    qg = q.reshape(B, S, kv_heads, group, head_dim).astype(jnp.float32)
+
+    h_scores = softcap_scores(jnp.einsum(
+        "bqkgd,bksd->bkgqs", qg, hk.astype(jnp.float32)) * scale, softcap)
+    hpos = jnp.arange(max_pages * page_size, dtype=jnp.int32)
+    h_valid = (hpos[None, :] < local_hist_lens[:, None])[:, None, :]
+    h_valid = jnp.broadcast_to(h_valid, (B, S, hpos.shape[0]))
+    h_scores = jnp.where(h_valid[:, None, None, :, :], h_scores, NEG_INF)
+
+    c_scores = softcap_scores(jnp.einsum(
+        "bqkgd,bskd->bkgqs", qg, k.astype(jnp.float32)) * scale, softcap)
+    causal = jnp.tril(jnp.ones((S, S), dtype=bool))[None]
+    is_rank0 = jax.lax.axis_index(sp_axis) == 0
+    c_valid = jnp.broadcast_to(causal & is_rank0, (B, S, S))
+    c_scores = jnp.where(c_valid[:, None, None, :, :], c_scores, NEG_INF)
+
+    scores = jnp.concatenate([h_scores, c_scores], axis=-1)
+    valid = jnp.concatenate([h_valid, c_valid], axis=-1)
+    m = jnp.max(scores, axis=-1, keepdims=True)        # [B,kv,G,S,1]
+    p = jnp.where(valid[:, None, None, :, :], jnp.exp(scores - m), 0.0)
+    l = jnp.sum(p, axis=-1, keepdims=True)
+    hs = max_pages * page_size
+    acc = (jnp.einsum("bkgqs,bksd->bkgqd", p[..., :hs],
+                      hv.astype(jnp.float32))
+           + jnp.einsum("bkgqs,bskd->bkgqd", p[..., hs:],
+                        v.astype(jnp.float32)))
+    out = sp_combine_partials(acc, m, l, sp_axis)      # [B,kv,G,S,D]
+    return out.transpose(0, 3, 1, 2, 4).reshape(
+        B, S, num_heads, head_dim).astype(q.dtype)
+
+
+# ---------------------------------------------------------------------------
 # Prefill: rectangular causal attention (jnp reference)
 # ---------------------------------------------------------------------------
 

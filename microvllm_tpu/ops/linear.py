@@ -184,6 +184,26 @@ def fused_mlp_block(attn_out: jnp.ndarray, hid: jnp.ndarray, norm_w, eps,
             + jax.lax.psum(y, tp_axis).astype(attn_out.dtype))
 
 
+def _moe_slots_per_step(K: int, tile_i: int, bits: int,
+                        n_slots: int) -> int:
+    """Largest power-of-two slots-per-step S whose 2*S double-buffered
+    expert weight blocks fit a ~50 MB VMEM budget (the kernel raises
+    Mosaic's 16 MB default; unpacked int8 temps need the rest of the
+    ~110 MB v5e VMEM). ``MVT_MOE_SLOTS`` overrides for probing."""
+    import os
+
+    env = os.environ.get("MVT_MOE_SLOTS")
+    if env:
+        return max(1, int(env))
+    pack = 2 if bits == 4 else 1
+    slot_bytes = (K // pack) * tile_i * 2 + (tile_i // pack) * K
+    s = 1
+    while (s < 8 and s * 2 < 2 * n_slots
+           and 2 * (s * 2) * slot_bytes <= (50 << 20)):
+        s *= 2
+    return s
+
+
 def fused_moe_mlp_block(attn_out: jnp.ndarray, hid: jnp.ndarray, norm_w,
                         eps, w_router: jnp.ndarray, w_gu, w_dn, layer,
                         num_experts: int, top_k: int, num_layers: int,
@@ -281,10 +301,21 @@ def fused_moe_mlp_block(attn_out: jnp.ndarray, hid: jnp.ndarray, norm_w,
             wts = jax.lax.dynamic_slice_in_dim(sel, rank0, e_local, axis=1)
         else:
             wts = sel                                # [rows, E_local]
+    # Multi-slot packing: S (row, expert) slots per grid step amortizes
+    # the fixed per-step cost that floors batched MoE (the r4 elision
+    # probe proved the kernel is per-step-latency-bound, not DMA-bound).
+    # S is VMEM-sized: 2*S weight blocks (double-buffered) ~< 36 MB.
+    S = _moe_slots_per_step(K, tile, w_gu.bits, idx.shape[0])
+    pad = (-idx.shape[0]) % S
+    if pad:
+        # repeated trailing ids with zero weights: exact, and the repeats'
+        # DMAs coalesce with the real last slot's blocks
+        idx = jnp.concatenate([idx, jnp.broadcast_to(idx[-1:], (pad,))])
+        wts = jnp.pad(wts, ((0, 0), (0, pad)))
     y = _kernel(a2, h2, norm_w, idx, wts, w_gu.q, w_gu.scales_tiled,
                 w_dn.q, w_dn.scales_tiled, group_size=gs, bits=w_gu.bits,
                 tile_i=tile, eps=float(eps), out_dtype=attn_out.dtype,
-                add_resid=not ep)
+                add_resid=not ep, slots_per_step=S)
     if ep:
         y = ((a2.astype(jnp.float32) + h2.astype(jnp.float32)
               + jax.lax.psum(y.astype(jnp.float32), ep_axis))

@@ -72,11 +72,41 @@ def _decode_kernel(
         softcap=softcap)
 
 
+def _decode_kernel_partials(
+    block_tables_ref, context_lens_ref, q_ref, k_hbm, v_hbm,
+    o_ref, m_ref, l_ref, k_buf, v_buf, k_sems, v_sems,
+    *, page_size: int, max_pages: int, pages_per_chunk: int, scale: float,
+    window: int | None = None, softcap: float | None = None,
+):
+    """Flash-decode partials: o_ref gets the UNNORMALIZED accumulator and
+    m/l land in extra [1, 1, G, 128] outputs (lane-broadcast) — for
+    KV-page-sharded (sequence-parallel) decode, where each rank attends
+    its local page shard and the caller combines
+    ``psum(exp(m - pmax m) * (acc, l))`` across the mesh axis
+    (`ops/attention.py::sp_combine_partials`)."""
+    b = pl.program_id(0)
+    ctx = context_lens_ref[b]
+
+    def emit(m, l, acc):
+        o_ref[0, 0] = acc.astype(o_ref.dtype)
+        m_ref[0, 0] = jnp.broadcast_to(m, m_ref.shape[2:]).astype(
+            m_ref.dtype)
+        l_ref[0, 0] = jnp.broadcast_to(l, l_ref.shape[2:]).astype(
+            l_ref.dtype)
+
+    _decode_attention_body(
+        block_tables_ref, ctx, q_ref, k_hbm, v_hbm, None,
+        k_buf, v_buf, k_sems, v_sems,
+        page_size=page_size, max_pages=max_pages,
+        pages_per_chunk=pages_per_chunk, scale=scale, window=window,
+        softcap=softcap, emit=emit)
+
+
 def _decode_attention_body(
     block_tables_ref, ctx, q_ref, k_hbm, v_hbm, o_ref,
     k_buf, v_buf, k_sems, v_sems,
     *, page_size, max_pages, pages_per_chunk, scale, window=None,
-    softcap=None,
+    softcap=None, emit=None,
 ):
     b = pl.program_id(0)
     h = pl.program_id(1)
@@ -153,14 +183,17 @@ def _decode_attention_body(
     )
     m, l, acc = jax.lax.fori_loop(start_chunk, num_chunks, body, init)
 
-    out = acc / jnp.maximum(l, 1e-30)
-    o_ref[0, 0] = out.astype(o_ref.dtype)
+    if emit is not None:
+        emit(m, l, acc)
+    else:
+        out = acc / jnp.maximum(l, 1e-30)
+        o_ref[0, 0] = out.astype(o_ref.dtype)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("scale", "pages_per_chunk", "interpret", "window",
-                     "softcap"))
+                     "softcap", "partials"))
 def paged_decode_attention(
     q: jnp.ndarray,             # [B, num_heads, head_dim]
     k_pages: jnp.ndarray,       # [num_pages, kv_heads, page_size, head_dim]
@@ -173,7 +206,14 @@ def paged_decode_attention(
     interpret: bool = False,
     window: int | None = None,
     softcap: float | None = None,
-) -> jnp.ndarray:
+    partials: bool = False,
+):
+    """Paged decode attention. With ``partials=True`` returns the
+    flash-decode partial triple ``(acc [B,H,D] unnormalized f32,
+    m [B,H,1] f32 running max, l [B,H,1] f32 running denominator)`` for
+    cross-rank combination under KV page sharding (sequence parallelism);
+    a rank whose local shard holds none of a sequence's tokens emits
+    (0, MASK_VALUE, 0) — the exact identity of the combine."""
     B, num_heads, head_dim = q.shape
     num_pages, kv_heads, page_size, _ = k_pages.shape
     max_pages = block_tables.shape[1]
@@ -188,17 +228,17 @@ def paged_decode_attention(
 
     qg = q.reshape(B, kv_heads, group, head_dim)
 
+    blk = pl.BlockSpec((1, 1, group, head_dim), lambda b, h, *_: (b, h, 0, 0))
+    ml_blk = pl.BlockSpec((1, 1, group, 128), lambda b, h, *_: (b, h, 0, 0))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(B, kv_heads),
         in_specs=[
-            pl.BlockSpec((1, 1, group, head_dim),
-                         lambda b, h, *_: (b, h, 0, 0)),
+            blk,
             pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],
-        out_specs=pl.BlockSpec((1, 1, group, head_dim),
-                               lambda b, h, *_: (b, h, 0, 0)),
+        out_specs=(blk, ml_blk, ml_blk) if partials else blk,
         scratch_shapes=[
             pltpu.VMEM((2, pages_per_chunk, page_size, head_dim), k_pages.dtype),
             pltpu.VMEM((2, pages_per_chunk, page_size, head_dim), v_pages.dtype),
@@ -208,7 +248,7 @@ def paged_decode_attention(
     )
 
     kernel = functools.partial(
-        _decode_kernel,
+        _decode_kernel_partials if partials else _decode_kernel,
         page_size=page_size,
         max_pages=max_pages,
         pages_per_chunk=pages_per_chunk,
@@ -217,16 +257,28 @@ def paged_decode_attention(
         softcap=softcap,
     )
 
+    f32 = jnp.float32
+    out_shape = (
+        (jax.ShapeDtypeStruct((B, kv_heads, group, head_dim), f32),
+         jax.ShapeDtypeStruct((B, kv_heads, group, 128), f32),
+         jax.ShapeDtypeStruct((B, kv_heads, group, 128), f32))
+        if partials else
+        jax.ShapeDtypeStruct((B, kv_heads, group, head_dim), q.dtype))
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((B, kv_heads, group, head_dim), q.dtype),
+        out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
         ),
         interpret=interpret,
     )(block_tables.reshape(-1), context_lens, qg, k_pages, v_pages)
 
+    if partials:
+        acc, m, l = out
+        return (acc.reshape(B, num_heads, head_dim),
+                m[..., :1].reshape(B, num_heads, 1),
+                l[..., :1].reshape(B, num_heads, 1))
     return out.reshape(B, num_heads, head_dim)
 
 

@@ -4,15 +4,29 @@ half of a decoder layer in ONE kernel launch.
 The naive quantized MoE decode (models/moe.py::moe_mlp_quant) costs
 2 kernel launches per selected expert — 16 launches/layer for OLMoE's
 top-8, and decode at M<=8 is launch-overhead-bound (RESULTS.md r2). This
-kernel runs a (expert_slot, I_tile) grid over the SAME expert weight
+kernel runs a (I_tile, slot_group) grid over the SAME expert weight
 stacks, with the expert ids delivered as a scalar-prefetch vector
 (``idx[j] = layer*E + expert_j``) so each slot's BlockSpec DMAs that
 expert's weight tiles directly from the ``[L*E, ...]`` stack:
 
     step (0, 0):  resid = attn_out + hid; rmsnorm; int8-quantize -> scratch
-    step (j, i):  a   = silu(x @ Wg[idx_j, :, t]) * (x @ Wu[idx_j, :, t])
-                  acc += wts[:, j] * (quant(a) @ Wd[idx_j, t, :])
+    step (i, j):  for s in range(S):           # S slots per grid step
+                      a    = silu(x @ Wg[idx_{jS+s}, :, t])
+                             * (x @ Wu[idx_{jS+s}, :, t])
+                      acc += wts[:, jS+s] * (quant(a) @ Wd[idx_{jS+s}, t, :])
     last step:    out = resid + acc
+
+MULTI-SLOT (``slots_per_step`` = S > 1): the r4 elision probe
+(tools/probe_moe_elision.py, RESULTS.md r4) proved batched MoE is
+per-grid-step LATENCY-bound, not expert-DMA-bound — a 48-slot launch
+costs the same whether it streams 206 MB or 4.3 MB of weights. Packing S
+(row, expert) slots into one grid step amortizes that fixed per-step
+cost S-fold and lets the S independent dot chains overlap each other's
+VPU rescales. Each slot's weight tiles arrive as separate BlockSpec
+operands (the same stack passed S times with lane-offset index maps), so
+the pipeline still prefetches and double-buffers them; VMEM is the
+limit — the caller sizes S so 2*S weight blocks fit (~18 MB budget,
+vmem_limit raised above the 16 MB default).
 
 Weighting modes (all exact):
 * GATHER (decode, one row): ``idx`` = the top-k selected experts,
@@ -20,11 +34,10 @@ Weighting modes (all exact):
   bytes are ever read from HBM;
 * SORTED-ASSIGNMENT (batched decode, rows*k <= 128 slots): ``idx`` = the
   flattened (row, choice) expert ids SORTED ascending, ``wts[m, j]`` =
-  row m's weight if slot j is row m's assignment else 0. The slot axis
-  is the INNER grid dimension, so adjacent duplicate ids reuse the
-  previous slot's weight blocks (the pipeline skips a copy whose block
-  index is unchanged from the immediately preceding step): each layer
-  DMAs only the UNION of routed experts, not all E;
+  row m's weight if slot j is row m's assignment else 0. Sorting keeps
+  duplicate experts adjacent so their weight blocks coalesce (same-
+  block-index pipeline reuse at S=1; within a multi-slot step the DMAs
+  are simply issued together);
 * SWEEP (batched rows, rows*k > 128 lanes): ``idx`` = all E experts,
   ``wts[m, j]`` = row m's routing weight for expert j (zero if
   unselected) — each expert's weights are read exactly once per layer.
@@ -50,47 +63,17 @@ from microvllm_tpu.ops.pallas.fused_mlp import _group_dots
 from microvllm_tpu.ops.pallas.unpack import unpack4
 
 
-def _fused_moe_kernel(idx_ref, attn_ref, hid_ref, nw_ref, wts_ref, qg_ref,
-                      qu_ref, sg_ref, su_ref, qd_ref, sd_ref, o_ref,
-                      acc_ref, xq_scr, xs_scr, *, group_size: int,
-                      bits: int, K: int, TI: int, H: int, n_tiles: int,
-                      n_slots: int, eps: float, add_resid: bool):
-    i = pl.program_id(0)          # intermediate tile
-    j = pl.program_id(1)          # expert slot (INNER: consecutive slots
-    #                               with the same expert id — sorted-
-    #                               assignment mode — elide their weight
-    #                               DMAs via the pipeline's same-block-
-    #                               index reuse)
-    gs = group_size
-    G_k = K // gs
-
-    @pl.when((j == 0) & (i == 0))
-    def _():
-        acc_ref[...] = jnp.zeros_like(acc_ref)
-        r = (attn_ref[...].astype(jnp.float32)
-             + hid_ref[...].astype(jnp.float32))
-        var = jnp.mean(r * r, axis=-1, keepdims=True)
-        x = r * jax.lax.rsqrt(var + eps) * nw_ref[0][None, :]
-        for g in range(G_k):
-            seg = x[:, g * gs:(g + 1) * gs]
-            s = jnp.maximum(
-                jnp.max(jnp.abs(seg), axis=-1, keepdims=True) / 127.0,
-                1e-10)
-            xq_scr[:, g * gs:(g + 1) * gs] = jnp.clip(
-                jnp.round(seg / s), -127, 127).astype(jnp.int8)
-            xs_scr[:, g] = s[:, 0]
-
-    gpt = G_k // sg_ref.shape[1]
-
+def _slot_part(x_q, xs, qg_ref, qu_ref, sg_ref, su_ref, qd_ref, sd_ref, *,
+               gs: int, bits: int, gpt: int):
+    """One expert slot's SwiGLU MLP on the shared quantized activations:
+    ``quant(silu(x@Wg) * (x@Wu)) @ Wd`` with per-128-group output
+    rescaling; returns the [Mp, H] f32 partial (pre routing weight)."""
     if bits == 4:
         wg = unpack4(qg_ref[0], gs)
         wu = unpack4(qu_ref[0], gs)
     else:
         wg = qg_ref[0]
         wu = qu_ref[0]
-
-    x_q = xq_scr[...]
-    xs = xs_scr[...]
 
     def xrow(g):
         return xs[:, g][:, None]
@@ -110,16 +93,54 @@ def _fused_moe_kernel(idx_ref, attn_ref, hid_ref, nw_ref, wts_ref, qg_ref,
         wd = unpack4(qd_ref[0], gs)
     else:
         wd = qd_ref[0]
-    part = _group_dots(
+    return _group_dots(
         a_q, wd, lambda g: a_s, lambda g: sd_ref[0, 0, g][None, :], gs)
-    # slot j's routing weight: dynamic LANE indexing is not lowerable
-    # (Mosaic requires static 128-multiples), so select via a lane mask
-    lane = jax.lax.broadcasted_iota(jnp.int32, wts_ref.shape, 1)
-    w_j = jnp.sum(jnp.where(lane == j, wts_ref[...], 0.0), axis=1,
-                  keepdims=True)                             # [Mp, 1]
-    acc_ref[...] += w_j * part
 
-    @pl.when((i == n_tiles - 1) & (j == n_slots - 1))
+
+def _fused_moe_kernel(idx_ref, attn_ref, hid_ref, nw_ref, wts_ref, *refs,
+                      group_size: int, bits: int, K: int, TI: int, H: int,
+                      n_tiles: int, n_groups: int, S: int, eps: float,
+                      add_resid: bool):
+    # refs = S x (qg, qu, sg, su, qd, sd), o_ref, acc_ref, xq_scr, xs_scr
+    o_ref, acc_ref, xq_scr, xs_scr = refs[6 * S:]
+    i = pl.program_id(0)          # intermediate tile
+    j = pl.program_id(1)          # slot GROUP (S slots each)
+    gs = group_size
+    G_k = K // gs
+
+    @pl.when((j == 0) & (i == 0))
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+        r = (attn_ref[...].astype(jnp.float32)
+             + hid_ref[...].astype(jnp.float32))
+        var = jnp.mean(r * r, axis=-1, keepdims=True)
+        x = r * jax.lax.rsqrt(var + eps) * nw_ref[0][None, :]
+        for g in range(G_k):
+            seg = x[:, g * gs:(g + 1) * gs]
+            s = jnp.maximum(
+                jnp.max(jnp.abs(seg), axis=-1, keepdims=True) / 127.0,
+                1e-10)
+            xq_scr[:, g * gs:(g + 1) * gs] = jnp.clip(
+                jnp.round(seg / s), -127, 127).astype(jnp.int8)
+            xs_scr[:, g] = s[:, 0]
+
+    gpt = G_k // refs[2].shape[1]
+    x_q = xq_scr[...]
+    xs = xs_scr[...]
+    lane = jax.lax.broadcasted_iota(jnp.int32, wts_ref.shape, 1)
+    wts = wts_ref[...]
+
+    for s in range(S):
+        part = _slot_part(x_q, xs, *refs[6 * s:6 * s + 6],
+                          gs=gs, bits=bits, gpt=gpt)
+        # slot (j*S+s)'s routing weight: dynamic LANE indexing is not
+        # lowerable (Mosaic requires static 128-multiples), so select via
+        # a lane mask
+        w_s = jnp.sum(jnp.where(lane == j * S + s, wts, 0.0), axis=1,
+                      keepdims=True)                          # [Mp, 1]
+        acc_ref[...] += w_s * part
+
+    @pl.when((i == n_tiles - 1) & (j == n_groups - 1))
     def _():
         if add_resid:
             resid = (attn_ref[...].astype(jnp.float32)
@@ -135,7 +156,7 @@ def _fused_moe_kernel(idx_ref, attn_ref, hid_ref, nw_ref, wts_ref, qg_ref,
 @functools.partial(
     jax.jit,
     static_argnames=("group_size", "bits", "tile_i", "eps", "out_dtype",
-                     "interpret", "add_resid"))
+                     "interpret", "add_resid", "slots_per_step"))
 def fused_moe_block(
     attn_out: jnp.ndarray,       # [M, H] (o-proj output)
     hid: jnp.ndarray,            # [M, H] (layer input / residual)
@@ -154,17 +175,25 @@ def fused_moe_block(
     out_dtype=jnp.bfloat16,
     interpret: bool = False,
     add_resid: bool = True,
+    slots_per_step: int = 1,
 ) -> jnp.ndarray:
     """``resid + sum_j wts[:, j] * expert_{idx[j]}(rmsnorm(resid))`` where
     ``resid = attn_out + hid`` — the routed post-attention half of a
     decoder layer in one launch.
+
+    ``slots_per_step`` (S) packs S slots into each grid step (must divide
+    ``n_slots``; pad with repeated ids + zero weights) — the batched-MoE
+    per-step-latency amortization (see module docstring).
 
     ``add_resid=False`` returns only the weighted expert sum (for expert
     parallelism, where the caller psums rank contributions before adding
     the residual once)."""
     M, K = attn_out.shape
     n_slots = idx.shape[0]
+    S = slots_per_step
     assert n_slots <= 128, "routing weights ride one 128-lane vector"
+    assert n_slots % S == 0, (n_slots, S)
+    n_groups = n_slots // S
     LE, _, two_i = q_gu.shape
     I = two_i // 2
     H = q_dn.shape[2]
@@ -189,30 +218,50 @@ def fused_moe_block(
         wts.astype(jnp.float32))
 
     # Slot axis INNER so sorted-assignment batches (duplicate adjacent
-    # expert ids) reuse the previous slot's weight blocks: the pipeline
-    # skips a block copy when its index map output is unchanged from the
-    # immediately preceding grid step.
+    # expert ids) reuse the previous slot's weight blocks at S=1 (the
+    # pipeline skips a copy whose block index is unchanged from the
+    # immediately preceding step).
+    slot_specs, slot_args = [], []
+    for s in range(S):
+        def ga(i, j, ix, _s=s):
+            return (ix[j * S + _s], 0, i)
+
+        def ua(i, j, ix, _s=s, _n=n_tiles):
+            return (ix[j * S + _s], 0, _n + i)
+
+        def sa(i, j, ix, _s=s):
+            return (ix[j * S + _s], 0, 0, i)
+
+        def sua(i, j, ix, _s=s, _n=n_tiles):
+            return (ix[j * S + _s], 0, 0, _n + i)
+
+        def da(i, j, ix, _s=s):
+            return (ix[j * S + _s], i, 0)
+
+        def dsa(i, j, ix, _s=s):
+            return (ix[j * S + _s], i, 0, 0)
+
+        slot_specs += [
+            # gate columns [i*TI, (i+1)*TI) of expert idx[j*S+s]
+            pl.BlockSpec((1, K // pack, TI), ga),
+            # up columns [I + i*TI, ...): block index n_tiles + i
+            pl.BlockSpec((1, K // pack, TI), ua),
+            pl.BlockSpec((1, n_kg, srows, TI), sa),
+            pl.BlockSpec((1, n_kg, srows, TI), sua),
+            pl.BlockSpec((1, TI // pack, H), da),
+            pl.BlockSpec((1, 1, srows_d, H), dsa),
+        ]
+        slot_args += [q_gu, q_gu, s_gu_tiled, s_gu_tiled, q_dn, s_dn_tiled]
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(n_tiles, n_slots),
+        grid=(n_tiles, n_groups),
         in_specs=[
             pl.BlockSpec((Mp, K), lambda i, j, ix: (0, 0)),
             pl.BlockSpec((Mp, K), lambda i, j, ix: (0, 0)),
             pl.BlockSpec((1, K), lambda i, j, ix: (0, 0)),
             pl.BlockSpec((Mp, 128), lambda i, j, ix: (0, 0)),
-            # gate columns [i*TI, (i+1)*TI) of expert idx[j]
-            pl.BlockSpec((1, K // pack, TI), lambda i, j, ix: (ix[j], 0, i)),
-            # up columns [I + i*TI, ...): block index n_tiles + i
-            pl.BlockSpec((1, K // pack, TI),
-                         lambda i, j, ix, _n=n_tiles: (ix[j], 0, _n + i)),
-            pl.BlockSpec((1, n_kg, srows, TI),
-                         lambda i, j, ix: (ix[j], 0, 0, i)),
-            pl.BlockSpec((1, n_kg, srows, TI),
-                         lambda i, j, ix, _n=n_tiles: (ix[j], 0, 0, _n + i)),
-            pl.BlockSpec((1, TI // pack, H), lambda i, j, ix: (ix[j], i, 0)),
-            pl.BlockSpec((1, 1, srows_d, H),
-                         lambda i, j, ix: (ix[j], i, 0, 0)),
-        ],
+        ] + slot_specs,
         out_specs=pl.BlockSpec((Mp, H), lambda i, j, ix: (0, 0)),
         scratch_shapes=[
             pltpu.VMEM((Mp, H), jnp.float32),
@@ -223,14 +272,21 @@ def fused_moe_block(
 
     kernel = functools.partial(
         _fused_moe_kernel, group_size=group_size, bits=bits, K=K, TI=TI,
-        H=H, n_tiles=n_tiles, n_slots=n_slots, eps=eps,
+        H=H, n_tiles=n_tiles, n_groups=n_groups, S=S, eps=eps,
         add_resid=add_resid)
+    # multi-slot steps hold 2*S weight blocks (double-buffered) plus the
+    # unpacked int8 copies — raise Mosaic's 16 MB default scoped-VMEM cap
+    slot_block_bytes = ((K // pack) * TI * 2 + (TI // pack) * H
+                        + 4 * (2 * n_kg * srows * TI + srows_d * H))
+    vmem_limit = (None if S == 1
+                  else min(110 << 20, 2 * S * slot_block_bytes + (24 << 20)))
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((Mp, H), out_dtype),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary")),
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=vmem_limit),
         cost_estimate=pl.CostEstimate(
             flops=2 * M * n_slots * (K * 2 * I + I * H),
             bytes_accessed=int(n_slots * (K * 2 * I + I * H) / pack
@@ -239,5 +295,5 @@ def fused_moe_block(
         ),
         interpret=interpret,
     )(jnp.asarray(idx, jnp.int32), pad(attn_out), pad(hid), nw, wp,
-      q_gu, q_gu, s_gu_tiled, s_gu_tiled, q_dn, s_dn_tiled)
+      *slot_args)
     return out[:M]

@@ -303,9 +303,9 @@ class InferenceEngine:
         # into [L_w, pages_w] + [L_g, pages_g] with two allocators/tables
         # threaded through every step variant would cap the win at
         # L_w/L x (ctx-w)/ctx of KV bytes (gemma2 at 8k ctx / 4k window:
-        # 25%; asymptotically 50%) — deliberate non-goal this round,
-        # measured trade-off in README (vs. the shared-table design the
-        # prefix cache, spec reserve, and preemption all lean on).
+        # 25%; asymptotically 50%) — deliberate non-goal, trade-off
+        # documented in README's long-context bullet (vs. the shared-table
+        # design the prefix cache, spec reserve, and preemption lean on).
         m = config.model
         self._window_evict = (
             m.sliding_window is not None and not m.sliding_pattern

@@ -1037,9 +1037,12 @@ def test_flash_prefill_softcap():
                                rtol=2e-5, atol=2e-5)
 
 
-@pytest.mark.parametrize("bits,mode", [(4, "gather"), (4, "sweep"),
-                                       (8, "sweep"), (4, "sorted")])
-def test_fused_moe_block_matches_composition(bits, mode):
+@pytest.mark.parametrize("bits,mode,slots_per_step",
+                         [(4, "gather", 1), (4, "sweep", 1),
+                          (8, "sweep", 1), (4, "sorted", 1),
+                          (4, "gather", 2), (4, "sorted", 2),
+                          (4, "sorted", 3), (8, "sweep", 4)])
+def test_fused_moe_block_matches_composition(bits, mode, slots_per_step):
     """One-launch routed MoE block (resid + sum_j w_j * expert_{idx_j}(
     rmsnorm(resid))) vs composing the tested fused_mlp_a8 per expert.
 
@@ -1089,13 +1092,19 @@ def test_fused_moe_block_matches_composition(bits, mode):
     hid = jax.random.normal(kg(2), (M, K))
     nw = jax.random.normal(kg(3), (K,)) * 0.1 + 1.0
 
+    S = slots_per_step
+    pad = (-idx.shape[0]) % S
+    idx_k, wts_k = idx, wts
+    if pad:   # multi-slot padding: repeated ids with zero weights (exact)
+        idx_k = jnp.concatenate([idx, jnp.broadcast_to(idx[-1:], (pad,))])
+        wts_k = jnp.pad(wts, ((0, 0), (0, pad)))
     got = fused_moe_block(
-        attn, hid, nw, idx, wts, jnp.stack([t.q for t in q_gu]),
+        attn, hid, nw, idx_k, wts_k, jnp.stack([t.q for t in q_gu]),
         jnp.stack([t.scales_tiled for t in q_gu]),
         jnp.stack([t.q for t in q_dn]),
         jnp.stack([t.scales_tiled for t in q_dn]),
         group_size=gs, bits=bits, tile_i=TI, eps=eps,
-        out_dtype=jnp.float32, interpret=True)
+        out_dtype=jnp.float32, interpret=True, slots_per_step=S)
 
     resid = attn + hid
     normed = rmsnorm(resid.astype(jnp.float32), nw, eps)
