@@ -511,14 +511,19 @@ class LoRAConfig:
 class ParallelConfig:
     """Mesh layout. TP shards heads/intermediate over the ``model`` axis
     (the reference's Megatron-style split, `model_graph.py:97-116`), DP
-    replicates over ``data``."""
+    replicates over ``data``, and SP shards the KV cache's PAGE axis over
+    ``seq`` (sequence/context parallelism: each rank owns the pages
+    ``{g : g % sp == rank}``, attends its local shard with flash partials,
+    and one psum combines — KV capacity scales sp-fold; SURVEY.md §5's
+    long-context mandate, no reference counterpart)."""
 
     tp_size: int = 1
     dp_size: int = 1
+    sp_size: int = 1
 
     @property
     def world_size(self) -> int:
-        return self.tp_size * self.dp_size
+        return self.tp_size * self.dp_size * self.sp_size
 
 
 # ---------------------------------------------------------------------------
@@ -550,6 +555,11 @@ class CacheConfig:
     prefix_cache: bool = False    # content-addressed reuse of full KV pages
                                   # across requests (vLLM-style automatic
                                   # prefix caching; absent in the reference)
+    reserved_pages: int = 1       # leading trash pages never allocated.
+                                  # 1 normally; sp under sequence-parallel KV
+                                  # (pages 0..sp-1 are each rank's local
+                                  # trash slot 0 — see ops/attention.py
+                                  # sp_owner_coords)
 
     @property
     def max_context(self) -> int:
@@ -557,7 +567,7 @@ class CacheConfig:
 
     @property
     def num_usable_pages(self) -> int:
-        return self.num_pages - 1
+        return self.num_pages - self.reserved_pages
 
 
 def moe_uses_ep(model: ModelConfig, tp_size: int) -> bool:
@@ -723,6 +733,32 @@ class EngineConfig:
             raise ValueError(
                 "enable_penalties is single-rank only for now (the sharded "
                 "step fns do not thread the penalty state)")
+        sp = self.parallel.sp_size
+        if sp > 1:
+            if c.num_pages % sp:
+                raise ValueError(
+                    f"num_pages {c.num_pages} must be divisible by "
+                    f"sp_size {sp} (the page axis shards over 'seq')")
+            if c.reserved_pages != sp:
+                raise ValueError(
+                    "sequence-parallel KV needs cache.reserved_pages == "
+                    f"sp_size (got {c.reserved_pages} != {sp}): global "
+                    "pages 0..sp-1 are the per-rank trash slots — "
+                    "InferenceEngine sets this automatically")
+            if m.sliding_window is not None:
+                raise NotImplementedError(
+                    "sliding-window attention under sequence-parallel KV "
+                    "is unsupported (window masking needs global slot "
+                    "order; the per-rank shards are compacted)")
+            if self.spec_k:
+                raise NotImplementedError(
+                    "speculative decoding under sequence-parallel KV is "
+                    "unsupported (spec verify windows use slot-exact "
+                    "stores the sp scatter path does not implement)")
+            if self.enable_penalties:
+                raise ValueError("enable_penalties is single-rank only")
+        elif c.reserved_pages != 1:
+            raise ValueError("reserved_pages != 1 requires sp_size > 1")
 
 
 def pick_bucket(n: int, buckets: Sequence[int]) -> int:

@@ -775,6 +775,7 @@ def decode_step(cfg: ModelConfig, params: Params,
                 adapter_ids: jnp.ndarray | None = None,
                 lora_scaling: float = 1.0,
                 dp_axis: str | None = None,
+                sp_axis: str | None = None, sp_size: int = 1,
                 ):
     """One decode step for a fixed-size batch.
 
@@ -789,6 +790,14 @@ def decode_step(cfg: ModelConfig, params: Params,
     adapter_ids:   optional ``[B]`` int32 — per-row LoRA adapter slot
                    (params["layers"] then carries lora_{qkv,o}_{a,b}
                    stacks; slot 0 is the all-zero base).
+    sp_axis/sp_size: sequence-parallel KV — the caches' PAGE axis is
+                   sharded over ``sp_axis`` (global page g on rank g % sp);
+                   each rank scatter-stores only its owned pages, attends
+                   its local shard, and one flash-partials psum combines
+                   (`ops/attention.py::sp_decode_attention`). KV capacity
+                   scales sp-fold. Composes with TP (heads) and DP (the
+                   all-gathered KV write is ownership-redirected here
+                   instead of `_dp_store_remote_decode`).
     Returns (logits ``[B, V]`` fp32, new_k_cache, new_v_cache).
     """
     scale = cfg.attn_scale
@@ -813,6 +822,51 @@ def decode_step(cfg: ModelConfig, params: Params,
         ctx_g = jax.lax.all_gather(context_lens, dp_axis, axis=0,
                                    tiled=True)
 
+    if sp_axis is not None:
+        from ..ops.attention import (quantize_kv, slot_coords,
+                                     sp_decode_attention, sp_local_tables,
+                                     sp_owner_coords)
+        page_size = k_cache.shape[3]
+        rank_sp = jax.lax.axis_index(sp_axis)
+        # attention reads this rank's shard of each row's pages, new token
+        # included (the store below lands it before the attend)
+        sp_lt, sp_ll = sp_local_tables(block_tables, context_lens + 1,
+                                       page_size, sp_size, rank_sp)
+        # store coords: every row this rank must write — ALL replicas'
+        # rows under dp (the cache is replicated over data, sharded over
+        # seq); non-owned pages redirect to the local trash slot 0
+        st_tabs = tables_g if dp_axis is not None else block_tables
+        st_ctx = ctx_g if dp_axis is not None else context_lens
+        sp_pids, sp_offs = slot_coords(st_tabs, st_ctx, page_size)
+        sp_lids = sp_owner_coords(sp_pids, sp_size, rank_sp)
+
+        def sp_store_attend(q, k, v, kc, vc, ks, vs, l):
+            """Ownership-redirected KV scatter + page-sharded attention
+            (q/k/v already padded to the cache head width)."""
+            kw, vw = k, v
+            if dp_axis is not None:
+                kw = jax.lax.all_gather(k, dp_axis, axis=0, tiled=True)
+                vw = jax.lax.all_gather(v, dp_axis, axis=0, tiled=True)
+            if ks is not None:
+                k_q, k_s = quantize_kv(kw)
+                v_q, v_s = quantize_kv(vw)
+                kc = kc.at[l, sp_lids, :, sp_offs].set(k_q)
+                vc = vc.at[l, sp_lids, :, sp_offs].set(v_q)
+                ks = ks.at[l, sp_lids, :, sp_offs].set(k_s)
+                vs = vs.at[l, sp_lids, :, sp_offs].set(v_s)
+            else:
+                kc = kc.at[l, sp_lids, :, sp_offs].set(kw.astype(kc.dtype))
+                vc = vc.at[l, sp_lids, :, sp_offs].set(vw.astype(vc.dtype))
+
+            def lay(x):
+                return (None if x is None else
+                        jax.lax.dynamic_index_in_dim(x, l, 0,
+                                                     keepdims=False))
+            attn = sp_decode_attention(
+                q, lay(kc), lay(vc), sp_lt, sp_ll, scale, lay(ks), lay(vs),
+                softcap=cfg.attn_logit_softcap, sp_axis=sp_axis)
+            return attn, kc, vc, ks, vs
+
     def one_layer(carry, l, lp, window, dense=False):
         hid, kc, vc, ks, vs = carry
         w = _weight_getter(lp, stacked)
@@ -824,14 +878,20 @@ def decode_step(cfg: ModelConfig, params: Params,
             q, k, v, w_uv = _mla_qkv(cfg, lp, w, normed, cos, sin, l,
                                      tp_size)
             d_pad = kc.shape[-1]
-            if dp_axis is not None:
-                kc, vc, ks, vs = _dp_store_remote_decode(
-                    kc, vc, ks, vs, pad_head(k, d_pad), pad_head(v, d_pad),
-                    tables_g, ctx_g, l, dp_axis)
-            attn, kc, vc, ks, vs = paged_decode_append_auto(
-                pad_head(q, d_pad), pad_head(k, d_pad), pad_head(v, d_pad),
-                kc, vc, block_tables, context_lens, l, scale, ks, vs,
-                window=window, softcap=cfg.attn_logit_softcap)
+            if sp_axis is not None:
+                attn, kc, vc, ks, vs = sp_store_attend(
+                    pad_head(q, d_pad), pad_head(k, d_pad),
+                    pad_head(v, d_pad), kc, vc, ks, vs, l)
+            else:
+                if dp_axis is not None:
+                    kc, vc, ks, vs = _dp_store_remote_decode(
+                        kc, vc, ks, vs, pad_head(k, d_pad),
+                        pad_head(v, d_pad), tables_g, ctx_g, l, dp_axis)
+                attn, kc, vc, ks, vs = paged_decode_append_auto(
+                    pad_head(q, d_pad), pad_head(k, d_pad),
+                    pad_head(v, d_pad), kc, vc, block_tables, context_lens,
+                    l, scale, ks, vs, window=window,
+                    softcap=cfg.attn_logit_softcap)
             attn_flat = _mla_out(cfg, attn, w_uv)
             from ..ops.linear import quant_linear_normed
             attn_out = quant_linear_normed(attn_flat, w("wo"), None,
@@ -886,14 +946,19 @@ def decode_step(cfg: ModelConfig, params: Params,
         k = apply_rope(k, cos, sin)
 
         d_pad = kc.shape[-1]
-        if dp_axis is not None:
-            kc, vc, ks, vs = _dp_store_remote_decode(
-                kc, vc, ks, vs, pad_head(k, d_pad), pad_head(v, d_pad),
-                tables_g, ctx_g, l, dp_axis)
-        attn, kc, vc, ks, vs = paged_decode_append_auto(
-            pad_head(q, d_pad), pad_head(k, d_pad), pad_head(v, d_pad),
-            kc, vc, block_tables, context_lens, l, scale, ks, vs,
-            window=window, softcap=cfg.attn_logit_softcap)
+        if sp_axis is not None:
+            attn, kc, vc, ks, vs = sp_store_attend(
+                pad_head(q, d_pad), pad_head(k, d_pad), pad_head(v, d_pad),
+                kc, vc, ks, vs, l)
+        else:
+            if dp_axis is not None:
+                kc, vc, ks, vs = _dp_store_remote_decode(
+                    kc, vc, ks, vs, pad_head(k, d_pad), pad_head(v, d_pad),
+                    tables_g, ctx_g, l, dp_axis)
+            attn, kc, vc, ks, vs = paged_decode_append_auto(
+                pad_head(q, d_pad), pad_head(k, d_pad), pad_head(v, d_pad),
+                kc, vc, block_tables, context_lens, l, scale, ks, vs,
+                window=window, softcap=cfg.attn_logit_softcap)
         attn = attn[..., : cfg.head_dim]
         attn_flat = attn.reshape(B, q_dim)
         # o-proj is row-parallel: fused a8 kernel on the per-rank K shard,
@@ -1001,6 +1066,7 @@ def decode_span(cfg: ModelConfig, params: Params,
                 penalties: tuple | None = None,
                 seed_state: tuple | None = None,
                 dp_axis: str | None = None,
+                sp_axis: str | None = None, sp_size: int = 1,
                 ):
     """Run ``num_steps`` decode steps entirely on device, feeding each
     sampled token into the next step (no host round-trips — the TPU
@@ -1043,12 +1109,14 @@ def decode_span(cfg: ModelConfig, params: Params,
             logits, kc, vc, ks, vs = decode_step(
                 cfg, params, kc, vc, toks, block_tables, ctx, tp_axis,
                 tp_size, ks, vs, adapter_ids=adapter_ids,
-                lora_scaling=lora_scaling, dp_axis=dp_axis)
+                lora_scaling=lora_scaling, dp_axis=dp_axis,
+                sp_axis=sp_axis, sp_size=sp_size)
         else:
             logits, kc, vc = decode_step(
                 cfg, params, kc, vc, toks, block_tables, ctx, tp_axis,
                 tp_size, adapter_ids=adapter_ids,
-                lora_scaling=lora_scaling, dp_axis=dp_axis)
+                lora_scaling=lora_scaling, dp_axis=dp_axis,
+                sp_axis=sp_axis, sp_size=sp_size)
         key, sub = jax.random.split(key)
         raw = logits
         if penalties is not None:
@@ -1101,6 +1169,7 @@ def prefill_step(cfg: ModelConfig, params: Params,
                  slot_exact_store: bool = False,
                  with_logits: bool = False,
                  dp_axis: str | None = None,
+                 sp_axis: str | None = None, sp_size: int = 1,
                  ):
     """Prefill a ``[B, S]`` chunk, writing all KV into the paged cache.
 
@@ -1154,10 +1223,13 @@ def prefill_step(cfg: ModelConfig, params: Params,
                 and S <= window):
             return None
         return window
+    # sequence-parallel KV: the bulk page-granular Pallas store writes
+    # whole pages by GLOBAL id — incompatible with per-rank ownership
+    # redirects, so sp always takes the scatter store + jnp sp attention
     pallas_store = (use_pallas() and S % page_size == 0
-                    and not slot_exact_store)
+                    and not slot_exact_store and sp_axis is None)
     pallas_attn = (use_pallas() and S % min(128, S) == 0
-                   and S % min(256, S) == 0)
+                   and S % min(256, S) == 0 and sp_axis is None)
     if not pallas_store:
         valid = jnp.arange(S, dtype=jnp.int32)[None, :] < chunk_lens[:, None]
         page_ids, offsets = slot_coords(block_tables, positions, page_size)
@@ -1177,11 +1249,62 @@ def prefill_step(cfg: ModelConfig, params: Params,
         pos_g = hist_g[:, None] + jnp.arange(S, dtype=jnp.int32)[None, :]
         valid_g = jnp.arange(S, dtype=jnp.int32)[None, :] < chunk_g[:, None]
 
+    if sp_axis is not None:
+        from ..ops.attention import (chunked_prefill_attention_sp,
+                                     sp_local_tables, sp_owner_coords)
+        rank_sp = jax.lax.axis_index(sp_axis)
+        # history-shard tables/lens for the sp attention (the chunk's own
+        # K/V are passed separately and included once, by seq-rank 0)
+        sp_lt, sp_hl = sp_local_tables(block_tables, history_lens,
+                                       page_size, sp_size, rank_sp)
+        # store coords: all rows (all replicas' under dp), padding and
+        # non-owned positions redirected to the local trash slot 0
+        if dp_axis is not None:
+            g_pids, g_offs = slot_coords(tables_g, pos_g, page_size)
+            g_pids = jnp.where(valid_g, g_pids, 0)
+            g_offs = jnp.where(valid_g, g_offs, 0)
+        else:
+            g_pids, g_offs = page_ids, offsets     # padding-redirected above
+        sp_flat_pages = sp_owner_coords(
+            g_pids, sp_size, rank_sp).reshape(-1)
+        sp_flat_offsets = g_offs.reshape(-1)
+
     def store_chunk(kc, vc, ks, vs, l, k, v):
+        if sp_axis is not None:
+            return _store_chunk_sp(kc, vc, ks, vs, l, k, v)
         if dp_axis is not None:
             kc, vc, ks, vs = _dp_store_remote_prefill(
                 kc, vc, ks, vs, k, v, tables_g, pos_g, valid_g, l, dp_axis)
         return _store_chunk_local(kc, vc, ks, vs, l, k, v)
+
+    def _store_chunk_sp(kc, vc, ks, vs, l, k, v):
+        """Ownership-redirected scatter of the whole chunk's K/V (all data
+        replicas' rows under dp — the cache is replicated over data,
+        sharded over seq)."""
+        d_pad = kc.shape[-1]
+        kw, vw = pad_head(k, d_pad), pad_head(v, d_pad)
+        if dp_axis is not None:
+            kw = jax.lax.all_gather(kw, dp_axis, axis=0, tiled=True)
+            vw = jax.lax.all_gather(vw, dp_axis, axis=0, tiled=True)
+        Bg, Sg = kw.shape[:2]
+        if quantized:
+            from ..ops.attention import quantize_kv
+            k_q, k_s = quantize_kv(kw)
+            v_q, v_s = quantize_kv(vw)
+            kc = kc.at[l, sp_flat_pages, :, sp_flat_offsets].set(
+                k_q.reshape(Bg * Sg, n_kv, d_pad))
+            vc = vc.at[l, sp_flat_pages, :, sp_flat_offsets].set(
+                v_q.reshape(Bg * Sg, n_kv, d_pad))
+            ks = ks.at[l, sp_flat_pages, :, sp_flat_offsets].set(
+                k_s.reshape(Bg * Sg, n_kv))
+            vs = vs.at[l, sp_flat_pages, :, sp_flat_offsets].set(
+                v_s.reshape(Bg * Sg, n_kv))
+            return kc, vc, ks, vs
+        kc = kc.at[l, sp_flat_pages, :, sp_flat_offsets].set(
+            kw.reshape(Bg * Sg, n_kv, d_pad).astype(kc.dtype))
+        vc = vc.at[l, sp_flat_pages, :, sp_flat_offsets].set(
+            vw.reshape(Bg * Sg, n_kv, d_pad).astype(vc.dtype))
+        return kc, vc, ks, vs
 
     def _store_chunk_local(kc, vc, ks, vs, l, k, v):
         d_pad = kc.shape[-1]
@@ -1296,7 +1419,17 @@ def prefill_step(cfg: ModelConfig, params: Params,
         hd_out = d_pad if cfg.mla else cfg.head_dim   # _mla_out slices dc
         nh_l, nkv_l = ((cfg.num_heads // tp_size, 1) if cfg.mla
                        else (n_heads, n_kv))
-        if pallas_attn:
+        if sp_axis is not None:
+            def lay(x):
+                return (None if x is None else
+                        jax.lax.dynamic_index_in_dim(x, l, 0,
+                                                     keepdims=False))
+            attn = chunked_prefill_attention_sp(
+                pad_head(q, d_pad), pad_head(k, d_pad), pad_head(v, d_pad),
+                lay(kc), lay(vc), sp_lt, sp_hl, scale, lay(ks), lay(vs),
+                softcap=cfg.attn_logit_softcap,
+                sp_axis=sp_axis)[..., :hd_out]
+        elif pallas_attn:
             from ..ops.pallas.prefill_attention import flash_prefill_attention
             qt = pad_head(q, d_pad).reshape(
                 B, S, nkv_l, nh_l // nkv_l, d_pad).transpose(0, 2, 3, 1, 4)

@@ -20,6 +20,7 @@ from jax.sharding import Mesh
 from ..config import ParallelConfig
 
 DATA_AXIS = "data"
+SEQ_AXIS = "seq"        # KV page sharding (sequence/context parallelism)
 MODEL_AXIS = "model"
 
 
@@ -29,10 +30,14 @@ def make_mesh(cfg: ParallelConfig,
     n = cfg.world_size
     if n > len(devices):
         raise ValueError(f"need {n} devices, have {len(devices)}")
-    grid = np.array(devices[:n]).reshape(cfg.dp_size, cfg.tp_size)
-    return Mesh(grid, (DATA_AXIS, MODEL_AXIS))
+    # model (TP) innermost = fastest-varying so its per-layer psums ride
+    # adjacent-chip ICI; seq next (one tiny flash-partials psum per step);
+    # data outermost (replicas only exchange KV appends)
+    grid = np.array(devices[:n]).reshape(cfg.dp_size, cfg.sp_size,
+                                         cfg.tp_size)
+    return Mesh(grid, (DATA_AXIS, SEQ_AXIS, MODEL_AXIS))
 
 
 def single_device_mesh() -> Mesh:
-    return Mesh(np.array(jax.devices()[:1]).reshape(1, 1),
-                (DATA_AXIS, MODEL_AXIS))
+    return Mesh(np.array(jax.devices()[:1]).reshape(1, 1, 1),
+                (DATA_AXIS, SEQ_AXIS, MODEL_AXIS))

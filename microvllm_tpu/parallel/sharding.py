@@ -22,7 +22,7 @@ import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..config import ModelConfig
-from .mesh import DATA_AXIS, MODEL_AXIS
+from .mesh import DATA_AXIS, MODEL_AXIS, SEQ_AXIS
 
 # Per-leaf PartitionSpec for the layer-stacked param tree ([L, ...] leaves).
 _LAYER_SPECS: dict[str, P] = {
@@ -172,21 +172,33 @@ def param_specs(params: Any, moe_ep: bool = False) -> Any:
     return specs
 
 
-def cache_spec(cfg: ModelConfig, tp_size: int) -> P:
+def cache_spec(cfg: ModelConfig, tp_size: int, sp_size: int = 1) -> P:
     """KV cache [L, pages, kv_heads, page_size, head_dim]: shard kv heads on
     ``model`` when they divide evenly, otherwise replicate (GQA models with
-    fewer kv heads than TP ranks)."""
-    if tp_size > 1 and cfg.num_kv_heads % tp_size == 0:
-        return P(None, None, MODEL_AXIS, None, None)
-    return P()
+    fewer kv heads than TP ranks). Under sequence parallelism the PAGE axis
+    additionally shards over ``seq`` (global page g lives on seq-rank
+    ``g % sp`` at local slot ``g // sp`` — a naming convention the store
+    redirects and table localization implement consistently, see
+    `ops/attention.py::sp_owner_coords` / `sp_local_tables`; the physical
+    contiguous jax shard never leaves the device, so the convention never
+    meets jax's global layout)."""
+    seq = SEQ_AXIS if sp_size > 1 else None
+    model = (MODEL_AXIS if tp_size > 1 and cfg.num_kv_heads % tp_size == 0
+             else None)
+    if seq is None and model is None:
+        return P()
+    return P(None, seq, model, None, None)
 
 
-def scale_spec(cfg: ModelConfig, tp_size: int) -> P:
-    """INT8-KV scale pages [L, pages, kv_heads, 128]: the kv-head axis
-    shards exactly like the cache itself (`cache_spec`)."""
-    if tp_size > 1 and cfg.num_kv_heads % tp_size == 0:
-        return P(None, None, MODEL_AXIS, None)
-    return P()
+def scale_spec(cfg: ModelConfig, tp_size: int, sp_size: int = 1) -> P:
+    """INT8-KV scale pages [L, pages, kv_heads, 128]: the kv-head and page
+    axes shard exactly like the cache itself (`cache_spec`)."""
+    seq = SEQ_AXIS if sp_size > 1 else None
+    model = (MODEL_AXIS if tp_size > 1 and cfg.num_kv_heads % tp_size == 0
+             else None)
+    if seq is None and model is None:
+        return P()
+    return P(None, seq, model, None)
 
 
 def batch_specs() -> dict[str, P]:
@@ -200,7 +212,8 @@ def batch_specs() -> dict[str, P]:
 
 
 def shard_engine_arrays(mesh: Mesh, cfg: ModelConfig, params, k_cache, v_cache,
-                        tp_size: int, k_scales=None, v_scales=None):
+                        tp_size: int, k_scales=None, v_scales=None,
+                        sp_size: int = 1):
     """Place params and KV cache (+ int8-KV scale pages, when present) on
     the mesh with their shardings (multi-process safe: every host holds the
     same full values)."""
@@ -221,11 +234,11 @@ def shard_engine_arrays(mesh: Mesh, cfg: ModelConfig, params, k_cache, v_cache,
     pspecs = param_specs(params, moe_ep=moe_uses_ep(cfg, tp_size))
     params = jax.tree_util.tree_map(place, params, pspecs,
                                     is_leaf=lambda x: x is None)
-    cspec = cache_spec(cfg, tp_size)
+    cspec = cache_spec(cfg, tp_size, sp_size)
     k_cache = place(k_cache, cspec)
     v_cache = place(v_cache, cspec)
     if k_scales is None:
         return params, k_cache, v_cache
-    sspec = scale_spec(cfg, tp_size)
+    sspec = scale_spec(cfg, tp_size, sp_size)
     return (params, k_cache, v_cache, place(k_scales, sspec),
             place(v_scales, sspec))

@@ -22,7 +22,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..config import EngineConfig
 from ..models import transformer as model_lib
 from ..ops.sampling import sample_tokens
-from .mesh import DATA_AXIS, MODEL_AXIS
+from .mesh import DATA_AXIS, MODEL_AXIS, SEQ_AXIS
 from .sharding import cache_spec, param_specs, scale_spec
 
 
@@ -44,6 +44,11 @@ class ShardedStepFns:
         # cache is replicated but each replica only computes its local
         # rows — see transformer._dp_store_remote_decode)
         self.dp_axis = DATA_AXIS if config.parallel.dp_size > 1 else None
+        # sp>1: the KV caches' page axis is sharded over 'seq'; the model
+        # steps scatter-store owned pages and psum-combine flash partials
+        # (transformer.py sp_axis plumbing)
+        self.sp = config.parallel.sp_size
+        self.sp_axis = SEQ_AXIS if self.sp > 1 else None
         self.has_lora = config.lora is not None
         self._lora_scaling = (float(config.lora.scaling)
                               if self.has_lora else 1.0)
@@ -51,8 +56,8 @@ class ShardedStepFns:
         from ..config import moe_uses_ep
         self._pspecs = param_specs(params,
                                    moe_ep=moe_uses_ep(self.mcfg, self.tp))
-        self._cspec = cache_spec(self.mcfg, self.tp)
-        self._sspec = scale_spec(self.mcfg, self.tp)
+        self._cspec = cache_spec(self.mcfg, self.tp, self.sp)
+        self._sspec = scale_spec(self.mcfg, self.tp, self.sp)
         self._decode_cache: dict[int, Any] = {}
         self._prefill_cache: dict[bool, Any] = {}
         self._decode_q_cache: dict[int, Any] = {}
@@ -106,6 +111,7 @@ class ShardedStepFns:
             return self._decode_cache[span]
         cfg, tp = self.mcfg, self.tp
         dp_axis = self.dp_axis
+        sp_axis, sp = self.sp_axis, self.sp
         scaling, has_lora = self._lora_scaling, self.has_lora
         lp_k = self._lp_k
 
@@ -116,7 +122,8 @@ class ShardedStepFns:
                 span, tp_axis=MODEL_AXIS if tp > 1 else None, tp_size=tp,
                 top_ks=top_ks,
                 adapter_ids=lora[0] if has_lora else None,
-                lora_scaling=scaling, logprobs_k=lp_k, dp_axis=dp_axis)
+                lora_scaling=scaling, logprobs_k=lp_k, dp_axis=dp_axis,
+                sp_axis=sp_axis, sp_size=sp)
             # replicate sampled tokens so every host reads them locally
             toks = jax.lax.all_gather(toks, DATA_AXIS, axis=0, tiled=True)
             return toks, self._gather_lp(lp), k, v
@@ -152,6 +159,7 @@ class ShardedStepFns:
             return self._decode_q_cache[span]
         cfg, tp = self.mcfg, self.tp
         dp_axis = self.dp_axis
+        sp_axis, sp = self.sp_axis, self.sp
         scaling, has_lora = self._lora_scaling, self.has_lora
         lp_k = self._lp_k
 
@@ -162,7 +170,8 @@ class ShardedStepFns:
                 span, tp_axis=MODEL_AXIS if tp > 1 else None, tp_size=tp,
                 k_scales=ks, v_scales=vs, top_ks=top_ks,
                 adapter_ids=lora[0] if has_lora else None,
-                lora_scaling=scaling, logprobs_k=lp_k, dp_axis=dp_axis)
+                lora_scaling=scaling, logprobs_k=lp_k, dp_axis=dp_axis,
+                sp_axis=sp_axis, sp_size=sp)
             toks = jax.lax.all_gather(toks, DATA_AXIS, axis=0, tiled=True)
             return toks, self._gather_lp(lp), k, v, ks, vs
 
@@ -212,6 +221,7 @@ class ShardedStepFns:
             return self._spec_cache[key]
         cfg, tp = self.mcfg, self.tp
         dp_axis = self.dp_axis
+        sp_axis, sp = self.sp_axis, self.sp
         scaling, has_lora = self._lora_scaling, self.has_lora
         lp_k = self._lp_k
         from ..models.speculative import spec_decode_span
@@ -284,6 +294,7 @@ class ShardedStepFns:
             return self._prefill_cache[has_history]
         cfg, tp = self.mcfg, self.tp
         dp_axis = self.dp_axis
+        sp_axis, sp = self.sp_axis, self.sp
         scaling, has_lora = self._lora_scaling, self.has_lora
 
         lp_k = self._lp_k
@@ -293,7 +304,7 @@ class ShardedStepFns:
             logits, k, v = model_lib.prefill_step(
                 cfg, params, k, v, tokens, tables, chunk_lens, history,
                 has_history, tp_axis=MODEL_AXIS if tp > 1 else None,
-                tp_size=tp, dp_axis=dp_axis,
+                tp_size=tp, dp_axis=dp_axis, sp_axis=sp_axis, sp_size=sp,
                 adapter_ids=lora[0] if has_lora else None,
                 lora_scaling=scaling)
             toks = sample_tokens(logits, rng, temp, top_p,
@@ -338,6 +349,7 @@ class ShardedStepFns:
             return self._prefill_q_cache[has_history]
         cfg, tp = self.mcfg, self.tp
         dp_axis = self.dp_axis
+        sp_axis, sp = self.sp_axis, self.sp
         scaling, has_lora = self._lora_scaling, self.has_lora
 
         lp_k = self._lp_k
@@ -348,6 +360,7 @@ class ShardedStepFns:
                 cfg, params, k, v, tokens, tables, chunk_lens, history,
                 has_history, tp_axis=MODEL_AXIS if tp > 1 else None,
                 tp_size=tp, k_scales=ks, v_scales=vs, dp_axis=dp_axis,
+                sp_axis=sp_axis, sp_size=sp,
                 adapter_ids=lora[0] if has_lora else None,
                 lora_scaling=scaling)
             toks = sample_tokens(logits, rng, temp, top_p,

@@ -11,6 +11,7 @@ updates (the `store_kvcache` path of the reference).
 
 from __future__ import annotations
 
+import dataclasses
 import logging
 import time
 from dataclasses import dataclass, field
@@ -211,6 +212,13 @@ class InferenceEngine:
 
     def __init__(self, config: EngineConfig, params=None, tokenizer=None,
                  mesh=None):
+        sp = config.parallel.sp_size
+        if sp > 1 and config.cache.reserved_pages != sp:
+            # sequence-parallel KV: global pages 0..sp-1 are the per-rank
+            # trash slots (validate() enforces the invariant; set it here
+            # so callers only choose sp_size)
+            config = config.replace(
+                cache=dataclasses.replace(config.cache, reserved_pages=sp))
         config.validate()
         self.config = config
         self.mcfg = config.model
@@ -328,11 +336,13 @@ class InferenceEngine:
                  self.v_scales) = shard_engine_arrays(
                     self._mesh, self.mcfg, self.params, self.k_cache,
                     self.v_cache, config.parallel.tp_size,
-                    self.k_scales, self.v_scales)
+                    self.k_scales, self.v_scales,
+                    sp_size=config.parallel.sp_size)
             else:
                 self.params, self.k_cache, self.v_cache = shard_engine_arrays(
                     self._mesh, self.mcfg, self.params, self.k_cache,
-                    self.v_cache, config.parallel.tp_size)
+                    self.v_cache, config.parallel.tp_size,
+                    sp_size=config.parallel.sp_size)
             fns = ShardedStepFns(self._mesh, config, self.params)
             self._decode_fn = fns.decode_fn
             self._prefill_fn = fns.prefill_fn

@@ -45,7 +45,10 @@ class PageAllocator:
 
     def __init__(self, cfg: CacheConfig):
         self.cfg = cfg
-        self._free: deque[int] = deque(range(1, cfg.num_pages))  # 0 = trash
+        # pages 0..reserved-1 are trash (1 normally; sp under sequence-
+        # parallel KV so every rank's local slot 0 stays inert)
+        reserved = getattr(cfg, "reserved_pages", 1)
+        self._free: deque[int] = deque(range(reserved, cfg.num_pages))
         self._tables: dict[int, list[int]] = {}
         self._lens: dict[int, int] = {}
 
@@ -164,7 +167,8 @@ class PageAllocator:
         self._lens.pop(seq_id, None)
 
     def reset(self) -> None:
-        self._free = deque(range(1, self.cfg.num_pages))
+        reserved = getattr(self.cfg, "reserved_pages", 1)
+        self._free = deque(range(reserved, self.cfg.num_pages))
         self._tables.clear()
         self._lens.clear()
 

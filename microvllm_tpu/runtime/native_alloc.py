@@ -34,8 +34,11 @@ def _load_lib() -> Optional[ctypes.CDLL]:
     _lib_tried = True
     if os.environ.get("MVT_NATIVE_ALLOC", "1") == "0":
         return None
+    src = os.path.join(_NATIVE_DIR, "page_allocator.cpp")
     try:
-        if not os.path.exists(_LIB_PATH):
+        stale = (not os.path.exists(_LIB_PATH)
+                 or os.path.getmtime(_LIB_PATH) < os.path.getmtime(src))
+        if stale:
             subprocess.run(["sh", os.path.join(_NATIVE_DIR, "build.sh")],
                            check=True, capture_output=True, timeout=120)
         lib = ctypes.CDLL(_LIB_PATH)
@@ -44,7 +47,7 @@ def _load_lib() -> Optional[ctypes.CDLL]:
         return None
 
     lib.mvt_alloc_create.restype = ctypes.c_void_p
-    lib.mvt_alloc_create.argtypes = [ctypes.c_int32] * 3
+    lib.mvt_alloc_create.argtypes = [ctypes.c_int32] * 4
     lib.mvt_alloc_destroy.argtypes = [ctypes.c_void_p]
     lib.mvt_alloc_num_free.restype = ctypes.c_int64
     lib.mvt_alloc_num_free.argtypes = [ctypes.c_void_p]
@@ -82,7 +85,7 @@ def _load_lib() -> Optional[ctypes.CDLL]:
         np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")]
     _keyptr = np.ctypeslib.ndpointer(np.uint64, flags="C_CONTIGUOUS")
     lib.mvt_alloc_create_prefix.restype = ctypes.c_void_p
-    lib.mvt_alloc_create_prefix.argtypes = [ctypes.c_int32] * 3
+    lib.mvt_alloc_create_prefix.argtypes = [ctypes.c_int32] * 4
     lib.mvt_alloc_match_len.restype = ctypes.c_int64
     lib.mvt_alloc_match_len.argtypes = [ctypes.c_void_p, _keyptr,
                                         ctypes.c_int64]
@@ -113,7 +116,8 @@ class NativePageAllocator:
         self.cfg = cfg
         self._lib = lib
         self._h = lib.mvt_alloc_create(cfg.num_pages, cfg.page_size,
-                                       cfg.max_pages_per_seq)
+                                       cfg.max_pages_per_seq,
+                                       getattr(cfg, "reserved_pages", 1))
 
     def __del__(self):
         if getattr(self, "_h", None):
@@ -230,8 +234,9 @@ class NativePrefixCachingAllocator(NativePageAllocator):
             raise RuntimeError("native allocator library not available")
         self.cfg = cfg
         self._lib = lib
-        self._h = lib.mvt_alloc_create_prefix(cfg.num_pages, cfg.page_size,
-                                              cfg.max_pages_per_seq)
+        self._h = lib.mvt_alloc_create_prefix(
+            cfg.num_pages, cfg.page_size, cfg.max_pages_per_seq,
+            getattr(cfg, "reserved_pages", 1))
 
     def _keys(self, token_ids, n_pages: int) -> np.ndarray:
         from .kv_cache import page_keys

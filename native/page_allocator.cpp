@@ -23,9 +23,11 @@ namespace {
 // python<->native comparison). Content keys are computed by the Python
 // binding (chained blake2b, first 8 bytes) so both sides share one hash.
 struct Allocator {
-  int32_t num_pages;        // includes trash page 0
+  int32_t num_pages;        // includes the reserved trash pages
   int32_t page_size;
   int32_t max_pages_per_seq;
+  int32_t reserved;         // leading trash pages (1 normally; sp under
+                            // sequence-parallel KV page sharding)
   bool prefix;              // prefix caching enabled
   std::deque<int32_t> free_pages;
   std::unordered_map<int64_t, std::vector<int32_t>> tables;
@@ -38,9 +40,11 @@ struct Allocator {
   std::unordered_map<int32_t, std::list<int32_t>::iterator> lru_pos;
   int64_t hits = 0, misses = 0, evictions = 0;
 
-  explicit Allocator(int32_t np, int32_t ps, int32_t mpps, bool pf = false)
-      : num_pages(np), page_size(ps), max_pages_per_seq(mpps), prefix(pf) {
-    for (int32_t p = 1; p < np; ++p) free_pages.push_back(p);
+  explicit Allocator(int32_t np, int32_t ps, int32_t mpps, bool pf = false,
+                     int32_t rsv = 1)
+      : num_pages(np), page_size(ps), max_pages_per_seq(mpps), reserved(rsv),
+        prefix(pf) {
+    for (int32_t p = rsv; p < np; ++p) free_pages.push_back(p);
   }
 
   int64_t pages_needed(int64_t tokens) const {
@@ -107,13 +111,15 @@ struct Allocator {
 extern "C" {
 
 void* mvt_alloc_create(int32_t num_pages, int32_t page_size,
-                       int32_t max_pages_per_seq) {
-  return new Allocator(num_pages, page_size, max_pages_per_seq);
+                       int32_t max_pages_per_seq, int32_t reserved) {
+  return new Allocator(num_pages, page_size, max_pages_per_seq, false,
+                       reserved);
 }
 
 void* mvt_alloc_create_prefix(int32_t num_pages, int32_t page_size,
-                              int32_t max_pages_per_seq) {
-  return new Allocator(num_pages, page_size, max_pages_per_seq, true);
+                              int32_t max_pages_per_seq, int32_t reserved) {
+  return new Allocator(num_pages, page_size, max_pages_per_seq, true,
+                       reserved);
 }
 
 void mvt_alloc_destroy(void* h) { delete static_cast<Allocator*>(h); }
@@ -230,7 +236,8 @@ void mvt_alloc_reset(void* h) {
   a->key_of.clear();
   a->lru.clear();
   a->lru_pos.clear();
-  for (int32_t p = 1; p < a->num_pages; ++p) a->free_pages.push_back(p);
+  for (int32_t p = a->reserved; p < a->num_pages; ++p)
+    a->free_pages.push_back(p);
 }
 
 // -- prefix caching (keys computed by the Python binding: chained blake2b
@@ -329,7 +336,7 @@ void mvt_alloc_batch_views(void* h, const int64_t* seq_ids, int32_t n,
 // (free includes idle LRU-cached pages — they are reclaimable)
 void mvt_alloc_stats(void* h, int64_t* out) {
   auto* a = static_cast<Allocator*>(h);
-  int64_t usable = a->num_pages - 1;
+  int64_t usable = a->num_pages - a->reserved;
   int64_t free_p = a->num_free();
   int64_t used_slots = 0;
   for (auto& kv : a->lens) used_slots += kv.second;

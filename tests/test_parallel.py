@@ -33,7 +33,9 @@ def tiny_cfg(parallel=None, quant=None):
 
 def test_mesh_shapes():
     mesh = make_mesh(ParallelConfig(tp_size=4, dp_size=2))
-    assert mesh.shape == {"data": 2, "model": 4}
+    assert mesh.shape == {"data": 2, "seq": 1, "model": 4}
+    mesh = make_mesh(ParallelConfig(tp_size=2, dp_size=2, sp_size=2))
+    assert mesh.shape == {"data": 2, "seq": 2, "model": 2}
 
 
 def test_param_specs_cover_tree():
@@ -427,3 +429,131 @@ def test_sharded_engine_sampled_speculation():
     assert eng.metrics.spec_rounds > 0
     assert eng.metrics.spec_fallbacks.get("sampled", 0) == 0
     assert eng.cache_stats.used_pages == 0
+
+
+# ---------------------------------------------------------------------------
+# Sequence-parallel KV (page sharding over the 'seq' mesh axis) — the
+# engine-level legs of tests/test_kv_sharding.py's op-level parity suite.
+# SURVEY.md §5's long-context mandate: KV capacity scales with sp.
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("sp_size,tp,dp", [(2, 1, 1), (4, 2, 1), (2, 1, 2),
+                                           (2, 2, 2)])
+def test_sp_engine_matches_single_device(sp_size, tp, dp):
+    """Page-sharded KV engine == single-device engine, greedy bit-parity,
+    composed with TP (head sharding) and DP (batch replicas)."""
+    prompts = [[1, 2, 3, 4], [9, 8, 7], [5, 6], [11, 12, 13]]
+    samp = SamplingParams(temperature=0.0, max_new_tokens=6)
+
+    ref = [s.output_token_ids
+           for s in InferenceEngine(tiny_cfg()).generate(prompts,
+                                                         sampling=samp)]
+    eng = InferenceEngine(tiny_cfg(ParallelConfig(
+        sp_size=sp_size, tp_size=tp, dp_size=dp)))
+    out = [s.output_token_ids for s in eng.generate(prompts, sampling=samp)]
+    assert out == ref
+    # pages 0..sp-1 are reserved per-rank trash slots
+    assert eng.config.cache.reserved_pages == sp_size
+    assert eng.cache_stats.total_pages == 64 - sp_size
+
+
+def test_sp_engine_int8_kv_matches_single_device():
+    """INT8-KV latent scatter under sp (per-token scale pages shard their
+    page axis with the cache) keeps greedy outputs exact."""
+    from microvllm_tpu.config import QuantConfig
+    prompts = [[1, 2, 3, 4], [9, 8, 7], [5, 6]]
+    samp = SamplingParams(temperature=0.0, max_new_tokens=6)
+    ref = [s.output_token_ids
+           for s in InferenceEngine(tiny_cfg(quant=QuantConfig(kv_bits=8)))
+           .generate(prompts, sampling=samp)]
+    out = [s.output_token_ids
+           for s in InferenceEngine(
+               tiny_cfg(ParallelConfig(sp_size=2),
+                        quant=QuantConfig(kv_bits=8)))
+           .generate(prompts, sampling=samp)]
+    assert out == ref
+
+
+def test_sp_kv_consistent_across_batch_layout_changes():
+    """The dp-layout-change regression (r4) re-run with sp in the mesh:
+    prefill-vs-decode row moves must not corrupt the page-sharded cache
+    (stores key off GLOBAL page ids, not batch rows, so this holds by
+    construction — pinned here)."""
+    def cfg(parallel=None):
+        return EngineConfig(
+            model=ModelConfig.tiny(num_heads=8, num_kv_heads=4, head_dim=32,
+                                   hidden_size=128, intermediate_size=256),
+            cache=CacheConfig(num_pages=64, page_size=16,
+                              max_pages_per_seq=8),
+            scheduler=SchedulerConfig(
+                max_batch_size=4, max_prefill_tokens=256,
+                prefill_wait_s=0.0, decode_buckets=(1, 4),
+                prefill_len_buckets=(16, 32), prefill_batch_buckets=(1, 2),
+                decode_spans=(1, 4)),
+            max_model_len=128, default_max_new_tokens=6,
+            parallel=parallel or ParallelConfig())
+
+    prompts = [[1, 2, 3, 4], [9, 8, 7], [5, 6], [11, 12, 13]]
+    samp = SamplingParams(temperature=0.0, max_new_tokens=6)
+    ref = [s.output_token_ids
+           for s in InferenceEngine(cfg()).generate(prompts, sampling=samp)]
+    got = [s.output_token_ids
+           for s in InferenceEngine(cfg(ParallelConfig(sp_size=2,
+                                                       dp_size=2)))
+           .generate(prompts, sampling=samp)]
+    assert got == ref
+
+
+def test_sp_mla_matches_single_device():
+    """MLA's latent paged cache — REPLICATED under TP — page-shards over
+    'seq': sp is the capacity-scaling axis for deepseek models. Greedy
+    parity incl. the full sp x tp x dp composition."""
+    import sys as _sys, os as _os
+    _sys.path.insert(0, _os.path.dirname(__file__))
+    from test_mla import _engine
+    samp = SamplingParams(temperature=0.0, max_new_tokens=6)
+    prompts = [[1, 2, 3, 4], [9, 8, 7], [5, 6], [11, 12, 13]]
+    ref = [s.output_token_ids
+           for s in _engine().generate(prompts, sampling=samp)]
+    got = [s.output_token_ids
+           for s in _engine(parallel=ParallelConfig(sp_size=2))
+           .generate(prompts, sampling=samp)]
+    assert got == ref
+    got = [s.output_token_ids
+           for s in _engine(parallel=ParallelConfig(sp_size=2, tp_size=2,
+                                                    dp_size=2))
+           .generate(prompts, sampling=samp)]
+    assert got == ref
+
+
+def test_sp_rejects_unsupported_combinations():
+    """Windowed models, speculation, and penalties are gated off under sp
+    with actionable errors; num_pages must divide by sp."""
+    import dataclasses as _dc
+    with pytest.raises(NotImplementedError, match="sliding-window"):
+        InferenceEngine(_dc.replace(
+            tiny_cfg(ParallelConfig(sp_size=2)),
+            model=ModelConfig.tiny(num_heads=8, num_kv_heads=4, head_dim=32,
+                                   hidden_size=128, intermediate_size=256,
+                                   sliding_window=32)))
+    with pytest.raises(NotImplementedError, match="speculative"):
+        InferenceEngine(_dc.replace(tiny_cfg(ParallelConfig(sp_size=2)),
+                                    spec_k=3))
+    bad = tiny_cfg(ParallelConfig(sp_size=3))   # 64 % 3 != 0
+    with pytest.raises(ValueError, match="divisible"):
+        InferenceEngine(bad)
+
+
+def test_dp_capacity_contract():
+    """DP multiplies decode compute, NOT KV capacity: the paged cache is
+    replicated per data replica, so usable pages are identical at dp=1 and
+    dp=2 (the honest capacity model — README 'DP replicas never own
+    sequences'). Capacity scales with sp instead (tests above)."""
+    e1 = InferenceEngine(tiny_cfg())
+    e2 = InferenceEngine(tiny_cfg(ParallelConfig(dp_size=2)))
+    assert e1.cache_stats.total_pages == e2.cache_stats.total_pages == 63
+    # sp=2 halves per-rank page count but total capacity spans both ranks:
+    # usable GLOBAL pages only lose the extra trash page
+    e3 = InferenceEngine(tiny_cfg(ParallelConfig(sp_size=2)))
+    assert e3.cache_stats.total_pages == 62
