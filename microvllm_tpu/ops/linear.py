@@ -186,22 +186,17 @@ def fused_mlp_block(attn_out: jnp.ndarray, hid: jnp.ndarray, norm_w, eps,
 
 def _moe_slots_per_step(K: int, tile_i: int, bits: int,
                         n_slots: int) -> int:
-    """Largest power-of-two slots-per-step S whose 2*S double-buffered
-    expert weight blocks fit a ~50 MB VMEM budget (the kernel raises
-    Mosaic's 16 MB default; unpacked int8 temps need the rest of the
-    ~110 MB v5e VMEM). ``MVT_MOE_SLOTS`` overrides for probing."""
+    """Slots packed per fused-MoE grid step. Default 1: the r5 on-chip
+    sweep measured S=2/4/8 at >= S=1 at both deepseek and OLMoE shapes —
+    per-slot cost is unpack+dot COMPUTE, which packing cannot amortize
+    (the kernel's compute-dedup + merged gate|up dot are the levers that
+    worked). ``MVT_MOE_SLOTS`` overrides for probing."""
     import os
 
     env = os.environ.get("MVT_MOE_SLOTS")
     if env:
         return max(1, int(env))
-    pack = 2 if bits == 4 else 1
-    slot_bytes = (K // pack) * tile_i * 2 + (tile_i // pack) * K
-    s = 1
-    while (s < 8 and s * 2 < 2 * n_slots
-           and 2 * (s * 2) * slot_bytes <= (50 << 20)):
-        s *= 2
-    return s
+    return 1
 
 
 def fused_moe_mlp_block(attn_out: jnp.ndarray, hid: jnp.ndarray, norm_w,

@@ -16,17 +16,31 @@ expert's weight tiles directly from the ``[L*E, ...]`` stack:
                       acc += wts[:, jS+s] * (quant(a) @ Wd[idx_{jS+s}, t, :])
     last step:    out = resid + acc
 
-MULTI-SLOT (``slots_per_step`` = S > 1): the r4 elision probe
-(tools/probe_moe_elision.py, RESULTS.md r4) proved batched MoE is
-per-grid-step LATENCY-bound, not expert-DMA-bound — a 48-slot launch
-costs the same whether it streams 206 MB or 4.3 MB of weights. Packing S
-(row, expert) slots into one grid step amortizes that fixed per-step
-cost S-fold and lets the S independent dot chains overlap each other's
-VPU rescales. Each slot's weight tiles arrive as separate BlockSpec
-operands (the same stack passed S times with lane-offset index maps), so
-the pipeline still prefetches and double-buffers them; VMEM is the
-limit — the caller sizes S so 2*S weight blocks fit (~18 MB budget,
-vmem_limit raised above the 16 MB default).
+MEASUREMENT CAVEAT THAT REFRAMED THIS KERNEL (r5,
+tools/probe_moe_step_overhead.py): a STANDALONE jitted pallas_call on the
+axon rig costs ~1.45 ms per dispatch regardless of grid length — an empty
+1-step kernel and an empty 192-step kernel time identically. Every
+"us/slot" number from standalone-call probes (r4's elision probe, the r5
+multi-slot sweep) was that dispatch floor divided by slot count; only
+IN-JIT timings (tools/probe_moe_injit.py, scan-chained launches, slope
+over chain length) and end-to-end benches are trusted here.
+
+Two exact levers landed in r5 (e2e: deepseek-v2-lite b8 275.3 -> 300.7,
+OLMoE b8 1052 -> 1100.8, deepseek TTFT 132.6 -> 98.4 ms):
+
+* COMPUTE DEDUP: sorted-assignment puts duplicate expert ids in adjacent
+  slots; the kernel computes the expert part into a scratch once per RUN
+  of equal ids and only re-applies per-slot routing weights (b8 x top-6
+  over 64 experts routes ~34 unique experts; trailing pad slots repeat
+  the last id and skip compute entirely).
+* MERGED GATE|UP DOT (n_tiles == 1, the deepseek/OLMoE shapes): gate and
+  up arrive as ONE [K/pack, 2*I] block and ride one double-width dot
+  chain — half the dot issues of separate chains.
+
+MULTI-SLOT (``slots_per_step`` = S > 1) showed no standalone win and is
+kept only for probing (``MVT_MOE_SLOTS``); the caller defaults to S=1.
+The DMA roofline (expert-union bytes at ~695 GB/s: deepseek b8 ~211
+us/layer, OLMoE ~184) is the target the in-jit probe tracks.
 
 Weighting modes (all exact):
 * GATHER (decode, one row): ``idx`` = the top-k selected experts,
@@ -64,25 +78,35 @@ from microvllm_tpu.ops.pallas.unpack import unpack4
 
 
 def _slot_part(x_q, xs, qg_ref, qu_ref, sg_ref, su_ref, qd_ref, sd_ref, *,
-               gs: int, bits: int, gpt: int):
+               gs: int, bits: int, gpt: int, merged: bool):
     """One expert slot's SwiGLU MLP on the shared quantized activations:
     ``quant(silu(x@Wg) * (x@Wu)) @ Wd`` with per-128-group output
-    rescaling; returns the [Mp, H] f32 partial (pre routing weight)."""
-    if bits == 4:
-        wg = unpack4(qg_ref[0], gs)
-        wu = unpack4(qu_ref[0], gs)
-    else:
-        wg = qg_ref[0]
-        wu = qu_ref[0]
+    rescaling; returns the [Mp, H] f32 partial (pre routing weight).
 
+    ``merged`` (n_tiles == 1): qg_ref IS the whole [K/pack, 2*I] gate|up
+    row and qu_ref is None — gate and up ride ONE dot chain of double
+    width (half the short-M dot issues, the measured per-slot floor at
+    decode batch sizes)."""
     def xrow(g):
         return xs[:, g][:, None]
 
     def wrow(ref):
         return lambda g: ref[0, g // gpt, g % gpt][None, :]
 
-    g_acc = _group_dots(x_q, wg, xrow, wrow(sg_ref), gs)
-    u_acc = _group_dots(x_q, wu, xrow, wrow(su_ref), gs)
+    if merged:
+        w = unpack4(qg_ref[0], gs) if bits == 4 else qg_ref[0]
+        out = _group_dots(x_q, w, xrow, wrow(sg_ref), gs)   # [Mp, 2*TI]
+        ti = out.shape[-1] // 2
+        g_acc, u_acc = out[:, :ti], out[:, ti:]
+    else:
+        if bits == 4:
+            wg = unpack4(qg_ref[0], gs)
+            wu = unpack4(qu_ref[0], gs)
+        else:
+            wg = qg_ref[0]
+            wu = qu_ref[0]
+        g_acc = _group_dots(x_q, wg, xrow, wrow(sg_ref), gs)
+        u_acc = _group_dots(x_q, wu, xrow, wrow(su_ref), gs)
     a = g_acc * jax.nn.sigmoid(g_acc) * u_acc        # silu(g)*u, [Mp, TI]
 
     a_absmax = jnp.max(jnp.abs(a), axis=-1, keepdims=True)
@@ -100,9 +124,11 @@ def _slot_part(x_q, xs, qg_ref, qu_ref, sg_ref, su_ref, qd_ref, sd_ref, *,
 def _fused_moe_kernel(idx_ref, attn_ref, hid_ref, nw_ref, wts_ref, *refs,
                       group_size: int, bits: int, K: int, TI: int, H: int,
                       n_tiles: int, n_groups: int, S: int, eps: float,
-                      add_resid: bool):
-    # refs = S x (qg, qu, sg, su, qd, sd), o_ref, acc_ref, xq_scr, xs_scr
-    o_ref, acc_ref, xq_scr, xs_scr = refs[6 * S:]
+                      add_resid: bool, merged: bool):
+    # refs = S x (qgu, sgu, qd, sd) [merged] or S x (qg, qu, sg, su, qd,
+    # sd), then o_ref, acc_ref, xq_scr, xs_scr, part_scr
+    per_slot = 4 if merged else 6
+    o_ref, acc_ref, xq_scr, xs_scr, part_scr = refs[per_slot * S:]
     i = pl.program_id(0)          # intermediate tile
     j = pl.program_id(1)          # slot GROUP (S slots each)
     gs = group_size
@@ -124,21 +150,40 @@ def _fused_moe_kernel(idx_ref, attn_ref, hid_ref, nw_ref, wts_ref, *refs,
                 jnp.round(seg / s), -127, 127).astype(jnp.int8)
             xs_scr[:, g] = s[:, 0]
 
-    gpt = G_k // refs[2].shape[1]
+    s_ref0 = refs[1] if merged else refs[2]
+    gpt = G_k // s_ref0.shape[1]
     x_q = xq_scr[...]
     xs = xs_scr[...]
     lane = jax.lax.broadcasted_iota(jnp.int32, wts_ref.shape, 1)
     wts = wts_ref[...]
 
     for s in range(S):
-        part = _slot_part(x_q, xs, *refs[6 * s:6 * s + 6],
-                          gs=gs, bits=bits, gpt=gpt)
-        # slot (j*S+s)'s routing weight: dynamic LANE indexing is not
+        t = j * S + s
+        # COMPUTE DEDUP: sorted-assignment batches put duplicate expert
+        # ids in adjacent slots; the expert part (unpack + all dots) is
+        # identical across them — only the per-slot routing weights
+        # differ. Recompute into part_scr only when this slot's expert
+        # differs from the previous slot's (the r5 dup-vs-unique probe
+        # proved per-slot COMPUTE, not DMA, is the batched-MoE floor:
+        # all-dup 22.0 us/slot vs all-unique 24.2 — eliding DMA alone
+        # saves 9%; skipping the compute makes dup slots ~free).
+        fresh = (idx_ref[jnp.maximum(t - 1, 0)] != idx_ref[t])
+        if s == 0:
+            fresh = fresh | (j == 0)   # first slot of the i-tile sweep
+
+        def _compute(_s=s):
+            r = refs[per_slot * _s:per_slot * (_s + 1)]
+            if merged:
+                r = (r[0], None, r[1], None, r[2], r[3])
+            part_scr[...] = _slot_part(x_q, xs, *r, gs=gs, bits=bits,
+                                       gpt=gpt, merged=merged)
+        pl.when(fresh)(_compute)
+        # slot t's routing weight: dynamic LANE indexing is not
         # lowerable (Mosaic requires static 128-multiples), so select via
         # a lane mask
-        w_s = jnp.sum(jnp.where(lane == j * S + s, wts, 0.0), axis=1,
+        w_s = jnp.sum(jnp.where(lane == t, wts, 0.0), axis=1,
                       keepdims=True)                          # [Mp, 1]
-        acc_ref[...] += w_s * part
+        acc_ref[...] += w_s * part_scr[...]
 
     @pl.when((i == n_tiles - 1) & (j == n_groups - 1))
     def _():
@@ -220,7 +265,13 @@ def fused_moe_block(
     # Slot axis INNER so sorted-assignment batches (duplicate adjacent
     # expert ids) reuse the previous slot's weight blocks at S=1 (the
     # pipeline skips a copy whose block index is unchanged from the
-    # immediately preceding step).
+    # immediately preceding step) AND skip the expert compute entirely
+    # (part_scr dedup in the kernel).
+    #
+    # merged (n_tiles == 1, the deepseek/OLMoE shapes): gate|up ride ONE
+    # [K/pack, 2*TI] block and one double-width dot chain — half the
+    # short-M dot issues that floor batched decode.
+    merged = n_tiles == 1
     slot_specs, slot_args = [], []
     for s in range(S):
         def ga(i, j, ix, _s=s):
@@ -241,17 +292,28 @@ def fused_moe_block(
         def dsa(i, j, ix, _s=s):
             return (ix[j * S + _s], i, 0, 0)
 
-        slot_specs += [
-            # gate columns [i*TI, (i+1)*TI) of expert idx[j*S+s]
-            pl.BlockSpec((1, K // pack, TI), ga),
-            # up columns [I + i*TI, ...): block index n_tiles + i
-            pl.BlockSpec((1, K // pack, TI), ua),
-            pl.BlockSpec((1, n_kg, srows, TI), sa),
-            pl.BlockSpec((1, n_kg, srows, TI), sua),
-            pl.BlockSpec((1, TI // pack, H), da),
-            pl.BlockSpec((1, 1, srows_d, H), dsa),
-        ]
-        slot_args += [q_gu, q_gu, s_gu_tiled, s_gu_tiled, q_dn, s_dn_tiled]
+        if merged:
+            slot_specs += [
+                # whole gate|up row [K/pack, 2*I] of expert idx[j*S+s]
+                pl.BlockSpec((1, K // pack, 2 * TI), ga),
+                pl.BlockSpec((1, n_kg, srows, 2 * TI), sa),
+                pl.BlockSpec((1, TI // pack, H), da),
+                pl.BlockSpec((1, 1, srows_d, H), dsa),
+            ]
+            slot_args += [q_gu, s_gu_tiled, q_dn, s_dn_tiled]
+        else:
+            slot_specs += [
+                # gate columns [i*TI, (i+1)*TI) of expert idx[j*S+s]
+                pl.BlockSpec((1, K // pack, TI), ga),
+                # up columns [I + i*TI, ...): block index n_tiles + i
+                pl.BlockSpec((1, K // pack, TI), ua),
+                pl.BlockSpec((1, n_kg, srows, TI), sa),
+                pl.BlockSpec((1, n_kg, srows, TI), sua),
+                pl.BlockSpec((1, TI // pack, H), da),
+                pl.BlockSpec((1, 1, srows_d, H), dsa),
+            ]
+            slot_args += [q_gu, q_gu, s_gu_tiled, s_gu_tiled, q_dn,
+                          s_dn_tiled]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -267,19 +329,23 @@ def fused_moe_block(
             pltpu.VMEM((Mp, H), jnp.float32),
             pltpu.VMEM((Mp, K), jnp.int8),
             pltpu.VMEM((Mp, 128), jnp.float32),
+            pltpu.VMEM((Mp, H), jnp.float32),   # part_scr (compute dedup)
         ],
     )
 
     kernel = functools.partial(
         _fused_moe_kernel, group_size=group_size, bits=bits, K=K, TI=TI,
         H=H, n_tiles=n_tiles, n_groups=n_groups, S=S, eps=eps,
-        add_resid=add_resid)
-    # multi-slot steps hold 2*S weight blocks (double-buffered) plus the
-    # unpacked int8 copies — raise Mosaic's 16 MB default scoped-VMEM cap
+        add_resid=add_resid, merged=merged)
+    # S weight-block sets are double-buffered and the unpacked int8 copies
+    # live on the kernel stack — raise Mosaic's 16 MB default scoped-VMEM
+    # cap to fit (int8 stacks and the part_scr pushed the S=1 int4 shape
+    # over 16 MB too)
     slot_block_bytes = ((K // pack) * TI * 2 + (TI // pack) * H
                         + 4 * (2 * n_kg * srows * TI + srows_d * H))
-    vmem_limit = (None if S == 1
-                  else min(110 << 20, 2 * S * slot_block_bytes + (24 << 20)))
+    unpacked_bytes = (K * TI * 2 + TI * H) if bits == 4 else 0
+    vmem_limit = min(110 << 20,
+                     2 * S * slot_block_bytes + unpacked_bytes + (24 << 20))
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,

@@ -16,14 +16,15 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 from microvllm_tpu.ops.quant import quantize
 from microvllm_tpu.ops.pallas.fused_moe import fused_moe_block
 
-which = sys.argv[1] if len(sys.argv) > 1 else "deepseek"
+which = sys.argv[1] if len(sys.argv) > 1 else "deepseek"  # noqa
+BITS = int(sys.argv[2]) if len(sys.argv) > 2 else 4
 if which == "deepseek":
     L, E, K, I, gs, n_slots = 2, 64, 2048, 1408, 128, 48   # b8 x top-6
 else:
     L, E, K, I, gs, n_slots = 2, 64, 2048, 1024, 128, 64   # b8 x top-8
 kg = jax.random.PRNGKey
-gu = quantize(jax.random.normal(kg(1), (K, 2*I), jnp.float32)*0.05, 4, gs)
-dn = quantize(jax.random.normal(kg(2), (I, K), jnp.float32)*0.05, 4, gs)
+gu = quantize(jax.random.normal(kg(1), (K, 2*I), jnp.float32)*0.05, BITS, gs)
+dn = quantize(jax.random.normal(kg(2), (I, K), jnp.float32)*0.05, BITS, gs)
 q_gu = jnp.broadcast_to(gu.q[None], (L*E, *gu.q.shape)).copy()
 s_gu = jnp.broadcast_to(gu.scales_tiled[None],
                         (L*E, *gu.scales_tiled.shape)).copy()
@@ -41,15 +42,16 @@ ids = sorted(np.random.default_rng(0).integers(0, E, n_slots).tolist())
 base_idx = [e * L + 1 for e in ids]
 
 
-def run(S, iters=30):
+def run(S, iters=30, ids=None, tag=""):
     ns = n_slots + ((-n_slots) % S)
-    idx = jnp.asarray(base_idx + [base_idx[-1]] * (ns - n_slots), jnp.int32)
+    bi = ([e * L + 1 for e in ids] if ids is not None else base_idx)
+    idx = jnp.asarray(bi + [bi[-1]] * (ns - n_slots), jnp.int32)
     wts = jnp.concatenate(
         [jnp.full((M, n_slots), 0.02, jnp.float32),
          jnp.zeros((M, ns - n_slots), jnp.float32)], axis=1)
     f = lambda a: fused_moe_block(
         a, hid, nw, idx, wts, q_gu, s_gu, q_dn, s_dn, group_size=gs,
-        bits=4, tile_i=TI, eps=1e-6, slots_per_step=S)
+        bits=BITS, tile_i=TI, eps=1e-6, slots_per_step=S)
     o = f(attn); np.asarray(o[0, :1])  # warm + sync
     t0 = time.monotonic()
     o = attn
@@ -57,9 +59,17 @@ def run(S, iters=30):
         o = f(o)
     np.asarray(o[0, :1])
     dt = (time.monotonic() - t0) / iters * 1e3
-    print(f"{which} S={S}: {dt:.3f} ms/call ({dt*1e3/n_slots:.1f} us/slot)",
-          flush=True)
+    print(f"{which} int{BITS} S={S}{tag}: {dt:.3f} ms/call "
+          f"({dt*1e3/n_slots:.1f} us/slot)", flush=True)
 
 
-for S in (1, 2, 4, 8):
-    run(S)
+if len(sys.argv) > 3 and sys.argv[3] == "dup":
+    # bottleneck split: all-duplicate ids elide every weight DMA after the
+    # first slot (same-block-index pipeline reuse) but still run every
+    # slot's unpack + dots; all-unique ids pay full DMA. dup ~= unique
+    # -> per-slot COMPUTE (unpack + short-M dot issues) is the floor.
+    run(1, ids=[ids[0]] * n_slots, tag=" all-dup")
+    run(1, ids=sorted(range(n_slots)), tag=" all-unique")
+else:
+    for S in (1,):
+        run(S)
