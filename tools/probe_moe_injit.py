@@ -74,10 +74,12 @@ def timed(ids, label, S=1):
 
     def chain_fn(length):
         @jax.jit
-        def chain(a):
+        def chain(a, qg, sg, qd, sd):
+            # weight stacks as ARGUMENTS: closing over them would bake
+            # 370 MB of constants into the HLO (remote compile HTTP 413)
             def body(c, _):
                 return fused_moe_block(
-                    c, hid, nw, idx, wts, q_gu, s_gu, q_dn, s_dn,
+                    c, hid, nw, idx, wts, qg, sg, qd, sd,
                     group_size=gs, bits=4, tile_i=TI, eps=1e-6,
                     out_dtype=jnp.bfloat16, slots_per_step=S), None
             c, _ = jax.lax.scan(body, a, None, length=length)
@@ -88,12 +90,12 @@ def timed(ids, label, S=1):
     times = {}
     for length in (8, N_CHAIN):
         chain = chain_fn(length)
-        np.asarray(chain(a0)[0, :1])             # compile + sync
+        np.asarray(chain(a0, q_gu, s_gu, q_dn, s_dn)[0, :1])   # compile
         t0 = time.monotonic()
         iters = 20
         o = a0
         for _ in range(iters):
-            o = chain(o)
+            o = chain(o, q_gu, s_gu, q_dn, s_dn)
         np.asarray(o[0, :1])
         times[length] = (time.monotonic() - t0) / iters
     # slope removes the per-dispatch overhead the r5 sweep exposed

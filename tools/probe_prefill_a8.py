@@ -60,7 +60,7 @@ def _kernel(x_ref, xs_ref, q_ref, s_ref, o_ref, acc_ref, *, variant: str,
 
     tn = q_ref.shape[-1]
     w = unpack4(q_ref[...], GS)
-    ws = s_ref[0, :gpt, :]                               # [gpt, TN] f32
+    ws = s_ref[k, :gpt, :]                               # [gpt, TN] f32
 
     if variant == "group":                               # production
         wg = w.reshape(gpt, GS, tn)
@@ -71,7 +71,7 @@ def _kernel(x_ref, xs_ref, q_ref, s_ref, o_ref, acc_ref, *, variant: str,
                 xg, wg[g], (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.int32)
             acc = acc + r.astype(jnp.float32) * (
-                xs_ref[:, g][:, None] * ws[g][None, :])
+                xs_ref[:, k * gpt + g][:, None] * ws[g][None, :])
         acc_ref[...] = acc
     elif variant == "i32chain":                          # lever ceiling
         wg = w.reshape(gpt, GS, tn)
@@ -82,13 +82,13 @@ def _kernel(x_ref, xs_ref, q_ref, s_ref, o_ref, acc_ref, *, variant: str,
                 xg, wg[g], (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.int32)
         acc_ref[...] += r.astype(jnp.float32) * (
-            xs_ref[:, 0][:, None] * ws[0][None, :])
+            xs_ref[:, k * gpt][:, None] * ws[0][None, :])
     else:                                                # whole-tile dot
         r = jax.lax.dot_general(
             x_ref[...], w, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.int32)
         acc_ref[...] += r.astype(jnp.float32) * (
-            xs_ref[:, 0][:, None] * ws[0][None, :])
+            xs_ref[:, k * gpt][:, None] * ws[0][None, :])
 
     @pl.when(k == n_k - 1)
     def _():
