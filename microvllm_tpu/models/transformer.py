@@ -464,6 +464,46 @@ def _route_kw(cfg: ModelConfig) -> dict:
     return kw
 
 
+def _fused_moe_dispatch(cfg: ModelConfig, w, lp, l, attn_out: jnp.ndarray,
+                        hid: jnp.ndarray, tp_axis: str | None,
+                        tp_size: int) -> jnp.ndarray | None:
+    """One-launch routed MoE block for ANY quantized-expert MoE layer —
+    plain (mixtral/OLMoE/qwen3-moe) and deepseek_v2 (shared experts ride
+    ``extra_fn`` inside the same psum, routed_scaling/group-limited
+    routing ride ``route_kw``). Returns the full new hidden (residual
+    included) or None -> caller falls back to per-expert launches.
+
+    Exists because the r5 deepseek b8 xplane showed the per-expert SWEEP
+    fallback costing ~730 us/layer (64 a8 launches + loop glue) while the
+    fused block measures 322 us in-jit — the MLA branch never reached the
+    fused path, which was gated on ``plain_moe``.
+    """
+    from ..config import moe_uses_ep
+    from ..ops.linear import fused_moe_mlp_block
+    if not cfg.num_experts or w("w_gate_up_e") is None:
+        return None
+    ep_q = tp_axis is not None and moe_uses_ep(cfg, tp_size)
+    if tp_axis is not None and not ep_q:
+        return None
+    k0 = cfg.first_k_dense_replace if cfg.first_k_dense_replace else 0
+    l_moe = l - k0 if k0 else l
+    extra = None
+    if cfg.n_shared_experts:
+        from ..ops.activations import glu_act
+        f = glu_act(cfg.hidden_act)
+
+        def extra(normed):
+            a = f(linear(normed, lp["w_gate_sh"], layer=l),
+                  linear(normed, lp["w_up_sh"], layer=l))
+            return linear(a, lp["w_down_sh"], layer=l)
+    return fused_moe_mlp_block(
+        attn_out, hid, lp["mlp_norm"], cfg.rms_norm_eps, lp["w_router"],
+        w("w_gate_up_e"), w("w_down_e"), l_moe, cfg.num_experts,
+        cfg.num_experts_per_tok, cfg.moe_layer_count, cfg.moe_renorm,
+        ep_axis=tp_axis if ep_q else None, ep_size=tp_size if ep_q else 1,
+        route_kw=_route_kw(cfg), extra_fn=extra)
+
+
 def _mlp_out(cfg: ModelConfig, w, lp, l, normed2: jnp.ndarray,
              tp_axis: str | None = None, tp_size: int = 1,
              dense_prefix: bool = False) -> jnp.ndarray:
@@ -899,13 +939,19 @@ def decode_step(cfg: ModelConfig, params: Params,
             if attn_out is None:
                 attn_out = linear(attn_flat, w("wo"), layer=l)
             attn_out = _maybe_psum(attn_out, tp_axis)
-            normed2, resid = rmsnorm_residual(attn_out, hid,
-                                              lp["mlp_norm"],
-                                              cfg.rms_norm_eps)
-            mlp = _maybe_psum(
-                _mlp_out(cfg, w, lp, l, normed2, tp_axis, tp_size,
-                         dense_prefix=dense), tp_axis)
-            return (resid + mlp, kc, vc, ks, vs)
+            new_hid = None
+            if not dense:
+                new_hid = _fused_moe_dispatch(cfg, w, lp, l, attn_out,
+                                              hid, tp_axis, tp_size)
+            if new_hid is None:
+                normed2, resid = rmsnorm_residual(attn_out, hid,
+                                                  lp["mlp_norm"],
+                                                  cfg.rms_norm_eps)
+                mlp = _maybe_psum(
+                    _mlp_out(cfg, w, lp, l, normed2, tp_axis, tp_size,
+                             dense_prefix=dense), tp_axis)
+                new_hid = resid + mlp
+            return (new_hid, kc, vc, ks, vs)
 
         # norm + activation-quantization fused into the a8 qkv kernel when
         # available; else the classic chain. Under TP the fused weights are
@@ -981,18 +1027,10 @@ def decode_step(cfg: ModelConfig, params: Params,
         # quantized expert stacks gets the one-launch routed block.
         new_hid = None
         if not cfg.post_norms and cfg.hidden_act == "silu":
-            from ..config import moe_uses_ep
-            ep_q = tp_axis is not None and moe_uses_ep(cfg, tp_size)
-            if cfg.plain_moe and (tp_axis is None or ep_q):
-                from ..ops.linear import fused_moe_mlp_block
-                new_hid = fused_moe_mlp_block(
-                    attn_out, hid, lp["mlp_norm"], cfg.rms_norm_eps,
-                    lp["w_router"], w("w_gate_up_e"), w("w_down_e"), l,
-                    cfg.num_experts, cfg.num_experts_per_tok,
-                    cfg.moe_layer_count, cfg.moe_renorm,
-                    ep_axis=tp_axis if ep_q else None,
-                    ep_size=tp_size if ep_q else 1)
-            elif not cfg.num_experts:
+            if cfg.num_experts:
+                new_hid = _fused_moe_dispatch(cfg, w, lp, l, attn_out, hid,
+                                              tp_axis, tp_size)
+            else:
                 new_hid = fused_mlp_block(attn_out, hid, lp["mlp_norm"],
                                           cfg.rms_norm_eps, w("w_gate_up"),
                                           w("w_down"), l, tp_axis=tp_axis)
@@ -1474,20 +1512,14 @@ def prefill_step(cfg: ModelConfig, params: Params,
                                cfg.rms_norm_eps)
         new_hid = None
         if not cfg.post_norms and cfg.hidden_act == "silu":
-            from ..config import moe_uses_ep
-            ep_q = tp_axis is not None and moe_uses_ep(cfg, tp_size)
-            if cfg.plain_moe and (tp_axis is None or ep_q):
+            if cfg.num_experts:
                 # spec-verify windows / short chunks ride the one-launch
-                # MoE block (gates itself on row count)
-                from ..ops.linear import fused_moe_mlp_block
-                new_hid = fused_moe_mlp_block(
-                    attn_out, hid, lp["mlp_norm"], cfg.rms_norm_eps,
-                    lp["w_router"], w("w_gate_up_e"), w("w_down_e"), l,
-                    cfg.num_experts, cfg.num_experts_per_tok,
-                    cfg.moe_layer_count, cfg.moe_renorm,
-                    ep_axis=tp_axis if ep_q else None,
-                    ep_size=tp_size if ep_q else 1)
-            elif not cfg.num_experts:
+                # MoE block (gates itself on row count); covers plain AND
+                # deepseek (shared experts + routing extras) MoE layers
+                if not dense:
+                    new_hid = _fused_moe_dispatch(cfg, w, lp, l, attn_out,
+                                                  hid, tp_axis, tp_size)
+            else:
                 new_hid = fused_mlp_block(attn_out, hid, lp["mlp_norm"],
                                           cfg.rms_norm_eps, w("w_gate_up"),
                                           w("w_down"), l, tp_axis=tp_axis)

@@ -203,7 +203,8 @@ def fused_moe_mlp_block(attn_out: jnp.ndarray, hid: jnp.ndarray, norm_w,
                         eps, w_router: jnp.ndarray, w_gu, w_dn, layer,
                         num_experts: int, top_k: int, num_layers: int,
                         renorm: bool, ep_axis: str | None = None,
-                        ep_size: int = 1) -> jnp.ndarray | None:
+                        ep_size: int = 1, route_kw: dict | None = None,
+                        extra_fn=None) -> jnp.ndarray | None:
     """One-launch routed post-attention half of a MoE decoder layer
     (`ops/pallas/fused_moe.py::fused_moe_block`); returns None when not
     applicable and the caller falls back to per-expert launches.
@@ -214,6 +215,15 @@ def fused_moe_mlp_block(attn_out: jnp.ndarray, hid: jnp.ndarray, norm_w,
     SWEEP mode (all E experts, per-row masked weights, each expert's
     weights read once). Expert stacks are expert-major ``[E*L, ...]``
     (flat index ``e*num_layers + layer``).
+
+    ``route_kw``: deepseek_v2 routing extras (routed_scaling_factor,
+    group-limited greedy) passed straight to `moe_route` — the scaling
+    rides the routing weights, so the kernel stays exact.
+    ``extra_fn(normed) -> [rows, K]``: deepseek shared experts — a dense
+    MLP on the same normed input whose output adds to the routed sum
+    BEFORE the residual (and inside the EP psum: under TP the shared
+    stacks are intermediate-sharded partials that ride the same
+    reduction, matching `transformer._mlp_out`).
 
     Under expert parallelism (``ep_axis`` set, inside shard_map) the
     stacks hold this rank's ``E/ep`` experts; remote slots are clamped
@@ -256,7 +266,8 @@ def fused_moe_mlp_block(attn_out: jnp.ndarray, hid: jnp.ndarray, norm_w,
     normed = rmsnorm((a2.astype(jnp.float32)
                       + h2.astype(jnp.float32)).astype(attn_out.dtype),
                      norm_w, eps)
-    sel, top_w, top_i = moe_route(normed, w_router, top_k, renorm)
+    sel, top_w, top_i = moe_route(normed, w_router, top_k, renorm,
+                                  **(route_kw or {}))
     ep = ep_axis is not None and ep_size > 1
     rank0 = (jax.lax.axis_index(ep_axis) * e_local) if ep else 0
     if rows == 1:
@@ -307,13 +318,21 @@ def fused_moe_mlp_block(attn_out: jnp.ndarray, hid: jnp.ndarray, norm_w,
         # DMAs coalesce with the real last slot's blocks
         idx = jnp.concatenate([idx, jnp.broadcast_to(idx[-1:], (pad,))])
         wts = jnp.pad(wts, ((0, 0), (0, pad)))
+    extra = extra_fn(normed) if extra_fn is not None else None
     y = _kernel(a2, h2, norm_w, idx, wts, w_gu.q, w_gu.scales_tiled,
                 w_dn.q, w_dn.scales_tiled, group_size=gs, bits=w_gu.bits,
                 tile_i=tile, eps=float(eps), out_dtype=attn_out.dtype,
-                add_resid=not ep, slots_per_step=S)
+                add_resid=not ep and extra is None, slots_per_step=S)
     if ep:
+        part = y.astype(jnp.float32)
+        if extra is not None:
+            part = part + extra.reshape(rows, K).astype(jnp.float32)
         y = ((a2.astype(jnp.float32) + h2.astype(jnp.float32)
-              + jax.lax.psum(y.astype(jnp.float32), ep_axis))
+              + jax.lax.psum(part, ep_axis)).astype(attn_out.dtype))
+    elif extra is not None:
+        y = ((a2.astype(jnp.float32) + h2.astype(jnp.float32)
+              + y.astype(jnp.float32)
+              + extra.reshape(rows, K).astype(jnp.float32))
              .astype(attn_out.dtype))
     return y.reshape(*lead, K)
 

@@ -61,6 +61,7 @@ def _kernel(x_ref, xs_ref, q_ref, s_ref, o_ref, acc_ref, *, variant: str,
     tn = q_ref.shape[-1]
     w = unpack4(q_ref[...], GS)
     ws = s_ref[k, :gpt, :]                               # [gpt, TN] f32
+    xsk = xs_ref[0]                                      # [M, 128] k-tile
 
     if variant == "group":                               # production
         wg = w.reshape(gpt, GS, tn)
@@ -71,7 +72,7 @@ def _kernel(x_ref, xs_ref, q_ref, s_ref, o_ref, acc_ref, *, variant: str,
                 xg, wg[g], (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.int32)
             acc = acc + r.astype(jnp.float32) * (
-                xs_ref[:, k * gpt + g][:, None] * ws[g][None, :])
+                xsk[:, g][:, None] * ws[g][None, :])
         acc_ref[...] = acc
     elif variant == "i32chain":                          # lever ceiling
         wg = w.reshape(gpt, GS, tn)
@@ -82,13 +83,13 @@ def _kernel(x_ref, xs_ref, q_ref, s_ref, o_ref, acc_ref, *, variant: str,
                 xg, wg[g], (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.int32)
         acc_ref[...] += r.astype(jnp.float32) * (
-            xs_ref[:, k * gpt][:, None] * ws[0][None, :])
+            xsk[:, 0][:, None] * ws[0][None, :])
     else:                                                # whole-tile dot
         r = jax.lax.dot_general(
             x_ref[...], w, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.int32)
         acc_ref[...] += r.astype(jnp.float32) * (
-            xs_ref[:, k * gpt][:, None] * ws[0][None, :])
+            xsk[:, 0][:, None] * ws[0][None, :])
 
     @pl.when(k == n_k - 1)
     def _():
@@ -105,7 +106,7 @@ def run_variant(x_q, x_s, q, s_tiled, *, variant: str):
         grid=grid,
         in_specs=[
             pl.BlockSpec((256, BLOCK_K), lambda m, n, k: (m, k)),
-            pl.BlockSpec((256, K // GS), lambda m, n, k: (m, 0)),
+            pl.BlockSpec((1, 256, 128), lambda m, n, k: (k, 0, 0)),
             pl.BlockSpec((BLOCK_K // 2, BLOCK_N), lambda m, n, k: (k, n)),
             pl.BlockSpec((n_k, 8, BLOCK_N), lambda m, n, k: (0, 0, n)),
         ],
@@ -131,43 +132,66 @@ def main():
     x = jax.random.normal(kg(1), (M, K), jnp.float32)
     # per-group int8 activations (production prologue's output)
     xg = np.asarray(x).reshape(M, K // GS, GS)
-    xs = np.maximum(np.abs(xg).max(-1) / 127.0, 1e-10)  # [M, K//GS]
-    x_q = np.clip(np.round(xg / xs[..., None]), -127, 127
+    xs_flat = np.maximum(np.abs(xg).max(-1) / 127.0, 1e-10)  # [M, K//GS]
+    x_q = np.clip(np.round(xg / xs_flat[..., None]), -127, 127
                   ).astype(np.int8).reshape(M, K)
+    # probe-kernel layout: [n_k, M, 128] (dynamic lane indexing is not
+    # lowerable; the k-tile rides the leading block dim, like production)
+    gpt_m = BLOCK_K // GS
+    xs = np.zeros((K // BLOCK_K, M, 128), np.float32)
+    xs[:, :, :gpt_m] = xs_flat.reshape(M, K // BLOCK_K, gpt_m).transpose(
+        1, 0, 2)
 
     flops = 2 * M * K * N
     peak_us = flops / INT8_TOPS * 1e6
     print(f"shape [{M},{K}]x[{K},{N}] int4-w int8-a; "
           f"int8 peak {peak_us:.0f} us", flush=True)
 
-    args = (jnp.asarray(x_q), jnp.asarray(xs), qt.q,
-            jnp.asarray(s_tiled))
+    # IN-JIT timing (scan-chained, slope between chain lengths): a
+    # standalone dispatch costs ~1.45 ms fixed on this rig — more than
+    # the kernels under test (CLAUDE.md gotcha / probe_moe_step_overhead)
+    def timed(call, tag):
+        def chain_fn(length):
+            @jax.jit
+            def chain(xq, xs_, q, st):
+                def body(c, _):
+                    o = call(c, xs_, q, st)
+                    # data dependence without changing values
+                    return c + (o[0, 0] * 0).astype(jnp.int8), None
+                c, _ = jax.lax.scan(body, xq, None, length=length)
+                return c
+            return chain
+
+        a = (jnp.asarray(x_q), jnp.asarray(xs), qt.q, jnp.asarray(s_tiled))
+        ts = {}
+        for length in (4, 16):
+            f = chain_fn(length)
+            np.asarray(f(*a)[0, :1])
+            t0 = time.monotonic()
+            iters = 20
+            o = a[0]
+            for _ in range(iters):
+                o = f(o, *a[1:])
+            np.asarray(o[0, :1])
+            ts[length] = (time.monotonic() - t0) / iters
+        us = (ts[16] - ts[4]) / 12 * 1e6
+        print(f"{tag:10s}: {us:7.1f} us in-jit "
+              f"({peak_us / us * 100:5.1f}% of int8 peak)", flush=True)
+
     for variant in ("group", "i32chain", "whole"):
-        f = lambda: run_variant(*args, variant=variant)
-        np.asarray(f()[0, :1])                          # compile + sync
-        t0 = time.monotonic()
-        iters = 30
-        for _ in range(iters):
-            o = f()
-        np.asarray(o[0, :1])
-        us = (time.monotonic() - t0) / iters * 1e6
-        print(f"{variant:9s}: {us:7.1f} us  ({peak_us / us * 100:5.1f}% of "
-              f"int8 peak)", flush=True)
+        timed(functools.partial(run_variant, variant=variant), variant)
 
     # ground truth: the production kernel via its public API
     from microvllm_tpu.ops.pallas.quant_matmul import quant_matmul_stacked_a8
-    qs = jnp.asarray(qt.scales_tiled)[None]
-    f = lambda: quant_matmul_stacked_a8(
-        jnp.asarray(x_q), jnp.asarray(xs), qt.q[None], qs,
-        jnp.int32(0), group_size=GS, bits=BITS, block_k=BLOCK_K)
-    np.asarray(f()[0, :1])
-    t0 = time.monotonic()
-    for _ in range(30):
-        o = f()
-    np.asarray(o[0, :1])
-    us = (time.monotonic() - t0) / 30 * 1e6
-    print(f"production: {us:7.1f} us  ({peak_us / us * 100:5.1f}% of int8 "
-          f"peak)", flush=True)
+    qs = jnp.asarray(qt.scales_tiled)
+
+    xsf = jnp.asarray(xs_flat)
+
+    def prod(xq, xs_, q, st):
+        return quant_matmul_stacked_a8(
+            xq, xsf, q[None], qs[None], jnp.int32(0), group_size=GS,
+            bits=BITS, block_k=BLOCK_K)
+    timed(prod, "production")
 
 
 if __name__ == "__main__":
