@@ -129,6 +129,12 @@ def spec_decode_span(cfg: ModelConfig, params, k_cache, v_cache,
     if sampled:
         assert rng is not None and temperature is not None
 
+    # slice layer-scan inputs once per span dispatch, not per spec round
+    # (transformer.decode_span does the same; deepseek's [k0:] stack
+    # slices are per-iteration copies otherwise)
+    scan_inputs = (list(model_lib._prefix_layers(params, cfg)),
+                   model_lib._layer_xs(params, cfg))
+
     def body(carry, key):
         last, ctx, hist, hlen, kc, vc, ks, vs = carry
         props = ngram_propose(hist, hlen, k, ngram)              # [B, k]
@@ -141,7 +147,8 @@ def spec_decode_span(cfg: ModelConfig, params, k_cache, v_cache,
             k_scales=ks, v_scales=vs,
             adapter_ids=adapter_ids, lora_scaling=lora_scaling,
             tp_axis=tp_axis, tp_size=tp_size,
-            with_logits=sampled or logprobs_k > 0, dp_axis=dp_axis)
+            with_logits=sampled or logprobs_k > 0, dp_axis=dp_axis,
+            scan_inputs=scan_inputs)
         if quantized:
             preds, kc, vc, ks, vs = out
         else:

@@ -92,7 +92,7 @@ def init_params(cfg: ModelConfig, key: jax.Array,
     # same fused a8 kernels run inside shard_map as on a single chip.
     if cfg.mla:
         return _init_params_deepseek(cfg, key, quant_bits,
-                                     quant_group_size)
+                                     quant_group_size, quant_tp)
     tp_fusable = (q_dim % quant_tp == 0 and kv_dim % quant_tp == 0
                   and inter % quant_tp == 0)
     fuse = quant_bits is not None and tp_fusable
@@ -234,14 +234,20 @@ def init_params(cfg: ModelConfig, key: jax.Array,
 
 def _init_params_deepseek(cfg: ModelConfig, key: jax.Array,
                           quant_bits: int | None,
-                          quant_group_size: int) -> Params:
+                          quant_group_size: int,
+                          quant_tp: int = 1) -> Params:
     """Random-init deepseek_v2 params: MLA projections (bf16; the W_uk
     absorption consumes w_kv_b as a reshaped tensor), dense-prefix MLP
     stacks (``*_d``, leading first_k_dense_replace), MoE-layer stacks
     (router / experts / shared experts, leading moe_layer_count).
     ``quant_bits`` quantizes the ROUTED EXPERT stacks (the parameter
-    mass) into expert-major ``[E*L_moe, ...]``; attention/dense/shared
-    weights stay bf16 in this round."""
+    mass) into expert-major ``[E*L_moe, ...]`` AND the per-layer
+    projection/shared-expert stacks (r5: the bf16 attention+shared mass
+    was ~1.75 GB on deepseek-v2-lite = ~2.5 ms/step of pure DMA at b8).
+    ``w_kv_b`` stays bf16 — the absorbed-MQA einsums consume it reshaped
+    per head, not as a matmul. The dense-prefix MLP stays bf16 too
+    (dense_intermediate_size 10944 is not a multiple of the group size;
+    one layer, ~90 MB)."""
     dtype = cfg.jax_dtype
     h = cfg.hidden_size
     L = cfg.num_layers
@@ -310,9 +316,38 @@ def _init_params_deepseek(cfg: ModelConfig, key: jax.Array,
         layers["w_up"] = w(keys[13], (L, h, inter), h)
         layers["w_down"] = w(keys[14], (L, inter, h), inter)
 
+    if quant_bits is not None:
+        from ..ops.quant import quantize
+
+        def qstack(name, row: bool = False, col: bool = False):
+            """Quantize a per-layer stack when its TP sharding stays
+            divisible (row: the scales' group axis shards; col: the out
+            axis) — else the stack stays bf16 (tiny geometries / odd
+            intermediate sizes)."""
+            v = layers.get(name)
+            if v is None or v.shape[-2] % quant_group_size:
+                return
+            if row and (v.shape[-2] // quant_group_size) % quant_tp:
+                return
+            if col and v.shape[-1] % quant_tp:
+                return
+            layers[name] = jax.lax.map(
+                lambda x: quantize(x, quant_bits, quant_group_size,
+                                   quant_tp if row else 1), v)
+
+        for name in ("wq", "w_q_a", "w_q_b", "w_gate_sh", "w_up_sh"):
+            qstack(name, col=name not in ("w_q_a",))
+        qstack("w_kv_a")
+        qstack("wo", row=True)
+        qstack("w_down_sh", row=True)
+
     embed = w(keys[15], (cfg.vocab_size, h), h)
     lm_head = (None if cfg.tie_word_embeddings
                else w(keys[16], (h, cfg.vocab_size), h))
+    if quant_bits is not None and lm_head is not None:
+        from ..ops.quant import quantize as _q
+        lm_head = _q(lm_head, quant_bits, quant_group_size)
+        jax.block_until_ready(lm_head.q)
     return {"embed": embed, "layers": layers,
             "final_norm": jnp.ones((h,), dtype), "lm_head": lm_head}
 
@@ -493,9 +528,9 @@ def _fused_moe_dispatch(cfg: ModelConfig, w, lp, l, attn_out: jnp.ndarray,
         f = glu_act(cfg.hidden_act)
 
         def extra(normed):
-            a = f(linear(normed, lp["w_gate_sh"], layer=l),
-                  linear(normed, lp["w_up_sh"], layer=l))
-            return linear(a, lp["w_down_sh"], layer=l)
+            a = f(linear(normed, w("w_gate_sh"), layer=l_moe),
+                  linear(normed, w("w_up_sh"), layer=l_moe))
+            return linear(a, w("w_down_sh"), layer=l_moe)
     return fused_moe_mlp_block(
         attn_out, hid, lp["mlp_norm"], cfg.rms_norm_eps, lp["w_router"],
         w("w_gate_up_e"), w("w_down_e"), l_moe, cfg.num_experts,
@@ -555,11 +590,13 @@ def _mlp_out(cfg: ModelConfig, w, lp, l, normed2: jnp.ndarray,
             # DeepseekV2MoE.forward). Under TP the shared stacks are
             # intermediate-dim sharded (parallel/sharding.py), so this
             # rank-local partial sums with the routed/EP partial in the
-            # caller's single psum.
+            # caller's single psum. w() resolves the quantized [L_moe]
+            # stacks when present (indexed by l_moe), else the scanned
+            # bf16 per-layer slice (layer ignored for plain 2D weights).
             f = glu_act(cfg.hidden_act)
-            a = f(linear(normed2, lp["w_gate_sh"], layer=l),
-                  linear(normed2, lp["w_up_sh"], layer=l))
-            out = out + linear(a, lp["w_down_sh"], layer=l)
+            a = f(linear(normed2, w("w_gate_sh"), layer=l_moe),
+                  linear(normed2, w("w_up_sh"), layer=l_moe))
+            out = out + linear(a, w("w_down_sh"), layer=l_moe)
         return out
     return linear(_swiglu_proj(normed2, w, l, cfg.hidden_act),
                   w("w_down"), layer=l)
@@ -816,6 +853,7 @@ def decode_step(cfg: ModelConfig, params: Params,
                 lora_scaling: float = 1.0,
                 dp_axis: str | None = None,
                 sp_axis: str | None = None, sp_size: int = 1,
+                scan_inputs=None,
                 ):
     """One decode step for a fixed-size batch.
 
@@ -1050,12 +1088,21 @@ def decode_step(cfg: ModelConfig, params: Params,
             carry = one_layer(carry, l, lp, win)
         return carry, None
 
+    # deepseek's dense-prefix design slices every full-depth bf16 stack
+    # ([k0:] for the scan xs, [i] for the unrolled prefix) — inside a
+    # decode-SPAN scan those slices re-materialize EVERY STEP (~1.8
+    # ms/step on deepseek-v2-lite b8, xplane r5). decode_span precomputes
+    # them once per dispatch and passes ``scan_inputs``.
+    if scan_inputs is None:
+        scan_inputs = (list(_prefix_layers(params, cfg)),
+                       _layer_xs(params, cfg))
+    prefix_lps, layer_xs = scan_inputs
     carry = (h, k_cache, v_cache, k_scales, v_scales)
-    for i, lp0 in _prefix_layers(params, cfg):   # deepseek dense prefix
+    for i, lp0 in prefix_lps:                    # deepseek dense prefix
         carry = one_layer(carry, jnp.int32(i), lp0, cfg.layer_window(0),
                           dense=True)
     (h, k_cache, v_cache, k_scales, v_scales), _ = jax.lax.scan(
-        body, carry, _layer_xs(params, cfg))
+        body, carry, layer_xs)
 
     logits = None
     if params.get("lm_head") is not None:
@@ -1141,6 +1188,11 @@ def decode_span(cfg: ModelConfig, params: Params,
     else:
         pos0 = jnp.zeros((), jnp.int32)  # inert carry
 
+    # slice the layer-scan inputs ONCE per span dispatch, not per step
+    # (deepseek's [k0:] stack slices cost ~1.8 ms/step otherwise)
+    scan_inputs = (list(_prefix_layers(params, cfg)),
+                   _layer_xs(params, cfg))
+
     def body(carry, _):
         toks, ctx, kc, vc, ks, vs, key, counts, seen, pos = carry
         if quantized:
@@ -1148,13 +1200,13 @@ def decode_span(cfg: ModelConfig, params: Params,
                 cfg, params, kc, vc, toks, block_tables, ctx, tp_axis,
                 tp_size, ks, vs, adapter_ids=adapter_ids,
                 lora_scaling=lora_scaling, dp_axis=dp_axis,
-                sp_axis=sp_axis, sp_size=sp_size)
+                sp_axis=sp_axis, sp_size=sp_size, scan_inputs=scan_inputs)
         else:
             logits, kc, vc = decode_step(
                 cfg, params, kc, vc, toks, block_tables, ctx, tp_axis,
                 tp_size, adapter_ids=adapter_ids,
                 lora_scaling=lora_scaling, dp_axis=dp_axis,
-                sp_axis=sp_axis, sp_size=sp_size)
+                sp_axis=sp_axis, sp_size=sp_size, scan_inputs=scan_inputs)
         key, sub = jax.random.split(key)
         raw = logits
         if penalties is not None:
@@ -1208,6 +1260,7 @@ def prefill_step(cfg: ModelConfig, params: Params,
                  with_logits: bool = False,
                  dp_axis: str | None = None,
                  sp_axis: str | None = None, sp_size: int = 1,
+                 scan_inputs=None,
                  ):
     """Prefill a ``[B, S]`` chunk, writing all KV into the paged cache.
 
@@ -1541,11 +1594,15 @@ def prefill_step(cfg: ModelConfig, params: Params,
         return carry, None
 
     carry = (h, k_cache, v_cache, k_scales, v_scales)
-    for i, lp0 in _prefix_layers(params, cfg):   # deepseek dense prefix
+    if scan_inputs is None:   # see decode_step: hoisted by looping callers
+        scan_inputs = (list(_prefix_layers(params, cfg)),
+                       _layer_xs(params, cfg))
+    prefix_lps, layer_xs_v = scan_inputs
+    for i, lp0 in prefix_lps:                    # deepseek dense prefix
         carry = one_layer(carry, jnp.int32(i), lp0, cfg.layer_window(0),
                           dense=True)
     (h, k_cache, v_cache, k_scales, v_scales), _ = jax.lax.scan(
-        body, carry, _layer_xs(params, cfg))
+        body, carry, layer_xs_v)
 
     from ..ops.linear import quant_linear_normed as _qln
 

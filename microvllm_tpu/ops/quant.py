@@ -314,11 +314,24 @@ def quantize_params(params, bits: int, group_size: int = 128, tp: int = 1,
         layers["w_down_e"] = _quant_layer_stack(dn, 1)
         del dn
 
+    # deepseek_v2 per-layer stacks: MLA projections (w_kv_b is consumed
+    # reshaped by the absorbed einsums — stays bf16) and shared experts.
+    # Skipped when the contraction dim is not a group multiple (e.g. the
+    # dense-prefix MLP's intermediate 10944).
+    _ROW_PARALLEL = _ROW_PARALLEL | {"w_down_sh"}
+    _COL_GUARDED = {"w_q_b", "w_gate_sh", "w_up_sh"}   # new names only
     for name in ("wqkv", "w_gate_up", "wq", "wk", "wv", "wo", "w_gate",
-                 "w_up", "w_down"):
-        if name in layers and isinstance(layers[name], jnp.ndarray):
-            layers[name] = _quant_layer_stack(
-                layers[name], tp if name in _ROW_PARALLEL else 1)
+                 "w_up", "w_down", "w_q_a", "w_q_b", "w_kv_a",
+                 "w_gate_sh", "w_up_sh", "w_down_sh"):
+        v = layers.get(name)
+        if not isinstance(v, jnp.ndarray) or v.shape[-2] % group_size:
+            continue
+        if name in _ROW_PARALLEL and (v.shape[-2] // group_size) % tp:
+            continue   # scale-group axis would not shard evenly under TP
+        if name in _COL_GUARDED and v.shape[-1] % tp:
+            continue
+        layers[name] = _quant_layer_stack(
+            v, tp if name in _ROW_PARALLEL else 1)
     out["layers"] = layers
     if isinstance(out.get("lm_head"), jnp.ndarray) and out["lm_head"] is not None:
         out["lm_head"] = quantize(out["lm_head"], bits, group_size)

@@ -91,12 +91,16 @@ _EP_SPECS: dict[str, P] = {
 }
 
 
-_ROW_PARALLEL = {"wo", "w_down"}          # contraction (in) dim sharded
+_ROW_PARALLEL = {"wo", "w_down", "w_down_sh"}  # contraction (in) dim sharded
 # fused wqkv/w_gate_up are quantized with rank-INTERLEAVED columns
 # (`ops/quant.py::interleave_columns`): the contiguous column shard this
 # spec produces is, per rank, exactly its own fused (q_r|k_r|v_r) /
 # (gate_r|up_r) block — the fused a8 kernels run unchanged inside shard_map
-_COLUMN_PARALLEL = {"wq", "wk", "wv", "w_gate", "w_up", "wqkv", "w_gate_up"}
+_COLUMN_PARALLEL = {"wq", "wk", "wv", "w_gate", "w_up", "wqkv", "w_gate_up",
+                    "w_q_b", "w_gate_sh", "w_up_sh"}
+# deepseek latent-path quantized stacks replicate under TP (every rank
+# computes identical per-token latents), like their bf16 twins above
+_REPLICATED_QUANT = {"w_kv_a", "w_q_a"}
 
 
 def _quant_specs(leaf, column: bool, stacked: bool):
@@ -149,6 +153,10 @@ def param_specs(params: Any, moe_ep: bool = False) -> Any:
         if isinstance(leaf, QuantizedTensor):
             if name in _QUANT_EXPERT_STACKS:
                 return _quant_ep_specs(leaf, moe_ep)
+            if name in _REPLICATED_QUANT:
+                return QuantizedTensor(
+                    q=P(), scales=P(), scales_tiled=P(), bits=leaf.bits,
+                    group_size=leaf.group_size, block_k=leaf.block_k)
             return _quant_specs(leaf, column=name in _COLUMN_PARALLEL,
                                 stacked=leaf.stacked)
         if moe_ep and name in _EP_SPECS:

@@ -45,7 +45,8 @@ from microvllm_tpu.ops.pallas.unpack import unpack4  # noqa: E402
 from microvllm_tpu.ops.quant import quantize  # noqa: E402
 
 M, K, N = 256, 3584, 2 * 18944          # qwen2.5-7b gate_up at chunk 256
-GS, BITS = 128, 4
+import os as _os
+GS, BITS = 128, int(_os.environ.get("MVT_PROBE_BITS", "4"))
 BLOCK_K, BLOCK_N = 896, 512
 INT8_TOPS = 394.1e12                     # v5e peak (bf16 197)
 
@@ -59,7 +60,7 @@ def _kernel(x_ref, xs_ref, q_ref, s_ref, o_ref, acc_ref, *, variant: str,
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
     tn = q_ref.shape[-1]
-    w = unpack4(q_ref[...], GS)
+    w = unpack4(q_ref[...], GS) if BITS == 4 else q_ref[...]
     ws = s_ref[k, :gpt, :]                               # [gpt, TN] f32
     xsk = xs_ref[0]                                      # [M, 128] k-tile
 
@@ -107,7 +108,8 @@ def run_variant(x_q, x_s, q, s_tiled, *, variant: str):
         in_specs=[
             pl.BlockSpec((256, BLOCK_K), lambda m, n, k: (m, k)),
             pl.BlockSpec((1, 256, 128), lambda m, n, k: (k, 0, 0)),
-            pl.BlockSpec((BLOCK_K // 2, BLOCK_N), lambda m, n, k: (k, n)),
+            pl.BlockSpec((BLOCK_K // (2 if BITS == 4 else 1), BLOCK_N),
+                         lambda m, n, k: (k, n)),
             pl.BlockSpec((n_k, 8, BLOCK_N), lambda m, n, k: (0, 0, n)),
         ],
         out_specs=pl.BlockSpec((256, BLOCK_N), lambda m, n, k: (m, n)),
