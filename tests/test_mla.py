@@ -181,3 +181,19 @@ def test_mla_quantized_under_tp_bounded_drift():
         lr = [t["logprob"] for t in r.logprobs]
         lg = [t["logprob"] for t in g.logprobs]
         assert np.max(np.abs(np.asarray(lr) - np.asarray(lg))) < 0.1
+
+
+def test_mla_fused_moe_dispatch_matches_fallback(monkeypatch):
+    """The one-launch fused MoE dispatch (routed experts + shared experts
+    via extra_fn + routed_scaling in the routing weights) is greedy-exact
+    vs the per-expert fallback path (MVT_FUSED_MOE=0)."""
+    q = QuantConfig(weight_bits=4, weight_group_size=32)
+    sp = SamplingParams(temperature=0.0, max_new_tokens=6)
+    prompts = [[1, 2, 3, 4], [9, 8, 7], [5, 6]]
+    monkeypatch.setenv("MVT_FUSED_MOE", "0")
+    ref = [s.output_token_ids
+           for s in _engine(quant=q).generate(prompts, sampling=sp)]
+    monkeypatch.setenv("MVT_FUSED_MOE", "1")
+    got = [s.output_token_ids
+           for s in _engine(quant=q).generate(prompts, sampling=sp)]
+    assert got == ref
