@@ -1510,6 +1510,16 @@ def prefill_step(cfg: ModelConfig, params: Params,
         hd_out = d_pad if cfg.mla else cfg.head_dim   # _mla_out slices dc
         nh_l, nkv_l = ((cfg.num_heads // tp_size, 1) if cfg.mla
                        else (n_heads, n_kv))
+        # STORE BEFORE ATTEND: the store writes only the chunk's pages and
+        # the attention reads only history pages (the chunk's K/V arrive
+        # as separate operands), so reading the post-store buffer is safe
+        # — and the cache dataflow becomes one linear chain. The previous
+        # attend-then-store order gave XLA two users of one buffer (a
+        # reading custom call + an in-place-aliasing custom call), which
+        # copy-protected the ENTIRE cache around every layer's store
+        # (2 x ~45 us/layer on the 7B prefill xplane, RESULTS r4/r5 —
+        # ~2.5 ms of a 21.6 ms 256-token chunk).
+        kc, vc, ks, vs = store_chunk(kc, vc, ks, vs, l, k, v)
         if sp_axis is not None:
             def lay(x):
                 return (None if x is None else
@@ -1544,8 +1554,6 @@ def prefill_step(cfg: ModelConfig, params: Params,
         else:
             attn = prefill_attention_ref(q, k, v, scale, window=window,
                                          softcap=cfg.attn_logit_softcap)
-
-        kc, vc, ks, vs = store_chunk(kc, vc, ks, vs, l, k, v)
 
         if cfg.mla:
             attn_flat = _mla_out(cfg, attn, w_uv)

@@ -39,13 +39,22 @@ except Exception:
 
 
 def time_prefill(mcfg, bits: int, batch: int, S: int,
-                 page_size: int = 64) -> tuple[float, object]:
-    """Median ms per single-chunk prefill; returns (ms, replay_fn)."""
+                 page_size: int = 64, kv_pages: int | None = None
+                 ) -> tuple[float, object]:
+    """Median ms per single-chunk prefill; returns (ms, replay_fn).
+
+    ``kv_pages``: total cache pages. Default: PRODUCTION-sized (240) — a
+    tiny just-fits cache changes what is being measured: XLA memory-space
+    assignment promotes a <= ~30 MB cache into VMEM inside the layer loop
+    and pays a full demotion copy per layer (the r4 "copy-protection
+    residue", 2 x ~45 us/layer, was THIS artifact — see RESULTS r5)."""
     from microvllm_tpu.config import CacheConfig
     from microvllm_tpu.models import transformer as model_lib
 
     max_pages = max(8, -(-(S + 1) // page_size))
-    ccfg = CacheConfig(num_pages=batch * max_pages + 8, page_size=page_size,
+    if kv_pages is None:
+        kv_pages = max(240, batch * max_pages + 8)
+    ccfg = CacheConfig(num_pages=kv_pages, page_size=page_size,
                        max_pages_per_seq=max_pages)
     params = model_lib.init_params(mcfg, jax.random.PRNGKey(0),
                                    quant_bits=bits, quant_group_size=128)
