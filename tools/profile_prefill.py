@@ -53,7 +53,10 @@ def time_prefill(mcfg, bits: int, batch: int, S: int,
 
     max_pages = max(8, -(-(S + 1) // page_size))
     if kv_pages is None:
-        kv_pages = max(240, batch * max_pages + 8)
+        # big enough that memory-space assignment cannot promote the cache
+        # into VMEM (the artifact above), small enough that weights + two
+        # caches + trace buffers fit 16 GB
+        kv_pages = max(80, batch * max_pages + 8)
     ccfg = CacheConfig(num_pages=kv_pages, page_size=page_size,
                        max_pages_per_seq=max_pages)
     params = model_lib.init_params(mcfg, jax.random.PRNGKey(0),
