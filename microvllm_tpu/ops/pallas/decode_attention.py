@@ -202,7 +202,7 @@ def paged_decode_attention(
     context_lens: jnp.ndarray,  # [B] int32
     *,
     scale: float,
-    pages_per_chunk: int = 4,
+    pages_per_chunk: int | None = None,
     interpret: bool = False,
     window: int | None = None,
     softcap: float | None = None,
@@ -219,6 +219,12 @@ def paged_decode_attention(
     max_pages = block_tables.shape[1]
     group = num_heads // kv_heads
 
+    if pages_per_chunk is None:
+        # sweepable: larger chunks mean fewer sequential DMA waits per row
+        # at batched decode (b8 attention measured 73 us/layer vs a ~35 us
+        # KV-DMA roofline, r5 OLMoE xplane)
+        import os
+        pages_per_chunk = int(os.environ.get("MVT_DECODE_PPC", "4"))
     pages_per_chunk = min(pages_per_chunk, max_pages)
     # block table width must divide into whole chunks; pad with trash pages
     if max_pages % pages_per_chunk:
@@ -677,7 +683,7 @@ def paged_decode_attention_append_q(
     layer: jnp.ndarray,
     *,
     scale: float,
-    pages_per_chunk: int = 4,
+    pages_per_chunk: int | None = None,
     interpret: bool = False,
     window: int | None = None,
     softcap: float | None = None,
@@ -690,6 +696,12 @@ def paged_decode_attention_append_q(
     group = num_heads // kv_heads
     assert page_size <= 128, "int8 KV requires page_size <= 128"
 
+    if pages_per_chunk is None:
+        # sweepable: larger chunks mean fewer sequential DMA waits per row
+        # at batched decode (b8 attention measured 73 us/layer vs a ~35 us
+        # KV-DMA roofline, r5 OLMoE xplane)
+        import os
+        pages_per_chunk = int(os.environ.get("MVT_DECODE_PPC", "4"))
     pages_per_chunk = min(pages_per_chunk, max_pages)
     if max_pages % pages_per_chunk:
         pad = pages_per_chunk - max_pages % pages_per_chunk
@@ -786,7 +798,7 @@ def paged_decode_attention_append(
     layer: jnp.ndarray,         # [] or [1] int32
     *,
     scale: float,
-    pages_per_chunk: int = 4,
+    pages_per_chunk: int | None = None,
     interpret: bool = False,
     window: int | None = None,
     softcap: float | None = None,
@@ -803,6 +815,12 @@ def paged_decode_attention_append(
     max_pages = block_tables.shape[1]
     group = num_heads // kv_heads
 
+    if pages_per_chunk is None:
+        # sweepable: larger chunks mean fewer sequential DMA waits per row
+        # at batched decode (b8 attention measured 73 us/layer vs a ~35 us
+        # KV-DMA roofline, r5 OLMoE xplane)
+        import os
+        pages_per_chunk = int(os.environ.get("MVT_DECODE_PPC", "4"))
     pages_per_chunk = min(pages_per_chunk, max_pages)
     if max_pages % pages_per_chunk:
         pad = pages_per_chunk - max_pages % pages_per_chunk
